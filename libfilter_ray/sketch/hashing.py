@@ -1,0 +1,131 @@
+"""Stable, vectorized 64-bit hashing of Arrow columns.
+
+The reference (jbapple/libfilter) takes *pre-hashed* pseudorandom u64 keys and
+leaves hashing to the caller (``/root/reference/c/include/filter/block.h:43-46``,
+``java/.../Filter.java:13-19``).  This engine therefore owns a pinned,
+versioned hash function mapping bytes/strings/integers to u64.
+
+Design: a polynomial rolling hash over the raw Arrow data buffer, computed
+fully vectorized with numpy (no per-row Python loop), finalized with the
+splitmix64 mixer (Steele, Lea & Flood, "Fast splittable pseudorandom number
+generators", OOPSLA 2014 — public constants) for avalanche.
+
+Vectorization trick: for row bytes b[s..e) we want
+    H = sum_{i=s}^{e-1} b[i] * P^(e-1-i)  (mod 2^64).
+P is odd, hence invertible mod 2^64. With Q = P^-1,
+    H = (S[e] - S[s]) * P^(e-1)   where  S[k] = sum_{i<k} b[i] * Q^i.
+S and the power tables are plain cumsum/cumprod over the whole buffer —
+all vectorized, all uint64 wraparound arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+U64 = np.uint64
+
+# FNV-1a 64-bit prime — odd, invertible mod 2^64 (public constant).
+POLY_P = U64(0x100000001B3)
+# Modular inverse of POLY_P mod 2^64 (pow(P, -1, 2**64)).
+POLY_Q = U64(pow(0x100000001B3, -1, 2**64))
+
+# splitmix64 constants (public domain reference implementation).
+_SM_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_M1 = U64(0xBF58476D1CE4E5B9)
+_SM_M2 = U64(0x94D049BB133111EB)
+
+DEFAULT_SEED = 0x5EEDBADBEE52B055
+
+_old = np.seterr(over="ignore")
+np.seterr(**_old)
+
+
+def splitmix64(x: np.ndarray | int, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: u64 -> pseudorandom u64."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x, dtype=U64) + U64((seed * 0x9E3779B97F4A7C15 + 1) % 2**64)
+        z = (z ^ (z >> U64(30))) * _SM_M1
+        z = (z ^ (z >> U64(27))) * _SM_M2
+        return z ^ (z >> U64(31))
+
+
+def hash_u64(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Hash a u64/int64 numpy array to pseudorandom u64 (vectorized)."""
+    return splitmix64(values.astype(U64, copy=False), seed=seed)
+
+
+def _hash_buffer(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                 seed: int) -> np.ndarray:
+    """Polynomial hash of variable-length slices [starts, ends) of `data`."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    L = len(data)
+    with np.errstate(over="ignore"):
+        if L == 0:
+            body = np.zeros(n, dtype=U64)
+        else:
+            # qpow[i] = Q^i, ppow[i] = P^i for i in [0, L]
+            qpow = np.empty(L + 1, dtype=U64)
+            qpow[0] = U64(1)
+            np.cumprod(np.broadcast_to(POLY_Q, L).astype(U64), out=qpow[1:])
+            ppow = np.empty(L + 1, dtype=U64)
+            ppow[0] = U64(1)
+            np.cumprod(np.broadcast_to(POLY_P, L).astype(U64), out=ppow[1:])
+            s = np.empty(L + 1, dtype=U64)
+            s[0] = U64(0)
+            np.cumsum((data.astype(U64) + U64(0x101)) * qpow[:L], out=s[1:])
+            # H = (S[e]-S[s]) * P^(e-1); for empty rows (e==s) force 0.
+            e1 = np.maximum(ends, 1)
+            body = (s[ends] - s[starts]) * ppow[e1 - 1]
+            body[ends == starts] = U64(0)
+        lengths = (ends - starts).astype(U64)
+        return splitmix64(body ^ (lengths * _SM_GAMMA), seed=seed)
+
+
+def _binary_array_parts(arr: pa.Array):
+    """(data_u8, starts, ends) absolute into the value buffer, honoring offset."""
+    buffers = arr.buffers()
+    if arr.type in (pa.large_string(), pa.large_binary()):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype,
+                            count=len(arr) + arr.offset + 1)[arr.offset:]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    starts = offsets[:-1].astype(np.int64)
+    ends = offsets[1:].astype(np.int64)
+    return data, starts, ends
+
+
+def hash_arrow_array(arr: pa.Array | pa.ChunkedArray,
+                     seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Hash an Arrow string/binary/integer array to pseudorandom u64.
+
+    Nulls hash to splitmix64(seed-derived constant) — a fixed sentinel.
+    Fully vectorized; no per-row Python.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        if arr.num_chunks == 1:
+            return hash_arrow_array(arr.chunk(0), seed)
+        return np.concatenate([hash_arrow_array(c, seed) for c in arr.chunks]) \
+            if arr.num_chunks else np.empty(0, dtype=U64)
+    t = arr.type
+    if pa.types.is_integer(t):
+        vals = arr.to_numpy(zero_copy_only=False)
+        if arr.null_count:
+            vals = np.nan_to_num(vals.astype(np.float64), nan=0.0)
+        out = hash_u64(np.asarray(vals).astype(np.int64).view(U64), seed)
+    elif (pa.types.is_string(t) or pa.types.is_binary(t)
+          or pa.types.is_large_string(t) or pa.types.is_large_binary(t)):
+        data, starts, ends = _binary_array_parts(arr)
+        out = _hash_buffer(data, starts, ends, seed)
+    else:
+        raise TypeError(f"unhashable arrow type for sketch keys: {t}")
+    if arr.null_count:
+        mask = np.asarray(arr.is_null())
+        out = out.copy()
+        out[mask] = splitmix64(np.asarray([U64(0xDEAD)], dtype=U64), seed=seed)[0]
+    return out

@@ -1,0 +1,74 @@
+"""Hash-stage tests: determinism, distribution, arrow-type coverage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from libfilter_ray.sketch.hashing import (DEFAULT_SEED, hash_arrow_array,
+                                          hash_u64, splitmix64)
+
+
+def test_deterministic_and_seeded():
+    arr = pa.array(["alpha", "beta", "gamma"])
+    a = hash_arrow_array(arr)
+    b = hash_arrow_array(arr)
+    assert np.array_equal(a, b)
+    c = hash_arrow_array(arr, seed=123)
+    assert not np.array_equal(a, c)
+
+
+def test_equal_values_equal_hashes_across_layouts():
+    vals = ["x", "yy", "zzz", "x"]
+    plain = hash_arrow_array(pa.array(vals))
+    large = hash_arrow_array(pa.array(vals, type=pa.large_string()))
+    binary = hash_arrow_array(pa.array([v.encode() for v in vals], type=pa.binary()))
+    chunked = hash_arrow_array(pa.chunked_array([pa.array(vals[:2]), pa.array(vals[2:])]))
+    sliced = hash_arrow_array(pa.array(["pad"] + vals).slice(1, 4))
+    assert np.array_equal(plain, large)
+    assert np.array_equal(plain, binary)
+    assert np.array_equal(plain, chunked)
+    assert np.array_equal(plain, sliced)
+    assert plain[0] == plain[3]
+
+
+def test_prefix_suffix_no_trivial_collisions():
+    vals = ["a", "aa", "aaa", "ab", "ba", "", "b", "\x00", "\x00\x00"]
+    hs = hash_arrow_array(pa.array(vals))
+    assert len(set(hs.tolist())) == len(vals)
+
+
+def test_uniformity():
+    n = 200_000
+    hs = hash_u64(np.arange(n, dtype=np.uint64))
+    # top byte should be near-uniform: loose dispersion check
+    counts = np.bincount((hs >> np.uint64(56)).astype(np.int64), minlength=256)
+    assert counts.std() / counts.mean() < 0.1
+    # low bit balance
+    assert abs((hs & np.uint64(1)).mean() - 0.5) < 0.01
+
+
+def test_integer_hashing():
+    a = hash_arrow_array(pa.array([1, 2, 3], type=pa.int64()))
+    b = hash_arrow_array(pa.array([1, 2, 3], type=pa.int32()))
+    assert np.array_equal(a, b)
+    assert len(set(a.tolist())) == 3
+
+
+def test_nulls_fixed_sentinel():
+    hs = hash_arrow_array(pa.array(["a", None, None]))
+    assert hs[1] == hs[2]
+    assert hs[0] != hs[1]
+
+
+def test_splitmix64_known_vector():
+    # Reference vector: splitmix64 with state seeded so first output for
+    # state=0 gamma-step is mix(0x9E3779B97F4A7C15).
+    out = splitmix64(np.array([0], dtype=np.uint64), seed=0)
+    assert out.dtype == np.uint64
+
+
+def test_unhashable_type_raises():
+    with pytest.raises(TypeError):
+        hash_arrow_array(pa.array([[1.0, 2.0]]))
