@@ -56,6 +56,7 @@ class BlockBloom:
     """Mergeable split-block Bloom filter accumulator."""
 
     kind = "block"
+    input = "hashes"  # Sketch protocol: update() consumes u64 hashes
 
     def __init__(self, bytes_: int | None = None, *, ndv: float | None = None,
                  fpp: float | None = None):
@@ -80,6 +81,10 @@ class BlockBloom:
         rows = self.buckets[idx]            # (n, 8) gather
         m = _masks(hashes)
         return ((rows & m) == m).all(axis=1)
+
+    def update(self, hashes: np.ndarray) -> "BlockBloom":
+        """Sketch-protocol alias for add_hashes."""
+        return self.add_hashes(hashes)
 
     def add_hash(self, h: int) -> None:
         self.add_hashes(np.array([h], dtype=U64))

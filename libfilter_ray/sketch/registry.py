@@ -1,0 +1,60 @@
+"""Sketch protocol + registry.
+
+The engine equivalent of the reference's duck-typed filter protocol
+(``cpp/include/filter/block.hpp:109-128`` templates;
+``java/.../Filter.java``/``Growable.java`` interfaces — SURVEY.md §2.10):
+every sketch is a class with
+
+    create(**params)          constructor
+    update(arr)               vectorized accumulate; arr is a u64 hash array
+                              for INPUT="hashes" kinds, float64 values for
+                              INPUT="values" kinds
+    merge(other) -> self      associative + commutative combine
+    finalize() -> self        freeze/compact (optional no-op)
+    to_bytes() / from_bytes   self-describing payload (except BlockBloom,
+                              whose raw format is pinned to the reference's)
+
+New sketches register with @register and become available to config-driven
+pipelines by `kind` string.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register(cls: type) -> type:
+    _REGISTRY[cls.kind] = cls
+    return cls
+
+
+def get(kind: str) -> type:
+    try:
+        return _REGISTRY[kind]
+    except KeyError:
+        raise KeyError(f"unknown sketch kind {kind!r}; "
+                       f"known: {sorted(_REGISTRY)}") from None
+
+
+def kinds() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def make(kind: str, **params):
+    return get(kind)(**params)
+
+
+def factory(kind: str, **params) -> Callable[[], object]:
+    """A picklable zero-arg constructor for use inside Ray tasks."""
+    cls = get(kind)
+    return lambda: cls(**params)
+
+
+def _install_builtins() -> None:
+    from .block_bloom import BlockBloom
+    register(BlockBloom)
+
+
+_install_builtins()

@@ -1,0 +1,92 @@
+"""Deterministic Common-Crawl-style web-page table.
+
+`BASELINE.json` `input_hint` pins the engine's input shape:
+    (url:string, warc_ts:timestamp, html:binary, text:string, lang:string)
+
+No external data is allowed, so the table is *synthesized deterministically*
+from the driver-generated `documents` table (doc_id, text, lang, source,
+n_chars): url/warc_ts derive from doc_id, and `html` wraps `text` in a fixed
+markup template whose extraction (stages/extract.py) is byte-identical to
+`text` — the per-row invariant the north star demands.
+
+Everything here is vectorized pyarrow.compute — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WEBPAGE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+# WARC capture epoch for synthetic timestamps (arbitrary fixed constant).
+WARC_EPOCH_US = np.int64(1_709_251_200_000_000)  # 2024-03-01T00:00:00Z in µs
+
+
+def _escape_html(col: pa.Array) -> pa.Array:
+    """Escape &, <, > (order matters: & first)."""
+    col = pc.replace_substring(col, "&", "&amp;")
+    col = pc.replace_substring(col, "<", "&lt;")
+    col = pc.replace_substring(col, ">", "&gt;")
+    return col
+
+
+def _markup_newlines(col: pa.Array) -> pa.Array:
+    """Blank lines become paragraph breaks, single newlines become <br/>."""
+    # markers must not contain "\n" themselves or the second replace mangles them
+    col = pc.replace_substring(col, "\n\n", "</p><p>")
+    col = pc.replace_substring(col, "\n", "<br/>")
+    return col
+
+
+def synthesize_webpages(batch: pa.Table) -> pa.Table:
+    """documents batch -> web-page batch (url, warc_ts, html, text, lang)."""
+    doc_id = batch["doc_id"]
+    text = batch["text"]
+    lang = batch["lang"]
+    source = batch["source"]
+
+    idstr = pc.utf8_lpad(pc.cast(doc_id, pa.string()), 8, "0")
+    # NB: binary_join_element_wise uses its LAST argument as the separator.
+    url = pc.binary_join_element_wise(
+        "https://", source, ".example.org/", lang, "/page-", idstr, ".html", "")
+
+    ts = pa.array(
+        WARC_EPOCH_US + np.asarray(doc_id, dtype=np.int64) * 1_337_000_000,
+        type=pa.timestamp("us"))
+
+    body = _markup_newlines(_escape_html(text))
+    html = pc.binary_join_element_wise(
+        "<html><head><meta charset=\"utf-8\"/><title>", url,
+        "</title></head>\n<body>\n<nav>example.org index</nav>\n<article><p>",
+        body,
+        "</p></article>\n<footer>&copy; example.org</footer>\n</body></html>",
+        "")
+    html = pc.cast(html, pa.binary())
+
+    return pa.table({
+        "url": url, "warc_ts": ts, "html": html,
+        "text": text, "lang": lang,
+    })
+
+
+def read_webpages(sf_dir: str, *, include_html: bool = True):
+    """Ray Dataset of the web-page table for a testdata scale-factor dir.
+
+    Column-pruned read of documents.parquet -> vectorized synthesis stage.
+    """
+    import ray.data
+
+    cols = ["doc_id", "text", "lang", "source"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    ds = ds.map_batches(synthesize_webpages, batch_format="pyarrow")
+    if not include_html:
+        ds = ds.select_columns(["url", "warc_ts", "text", "lang"])
+    return ds

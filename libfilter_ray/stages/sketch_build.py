@@ -1,0 +1,216 @@
+"""Distributed mergeable-sketch builds over Ray Data.
+
+Two layers:
+
+1. **Per-block partials + tree merge** (the scale path, SURVEY.md §2.4):
+   a stateless `map_batches` stage turns each input block into ONE small
+   serialized partial sketch — a pure function of the block, so Ray task
+   retries are safe and results are deterministic — then an associative
+   merge tree (`map_batches` over batches of partials, repeated) reduces
+   ~millions of partials without ever concentrating them on the driver.
+
+2. **Grouped sketches** (per-lang / per-domain): per-batch *per-key*
+   partials (pre-aggregation: at most one row per key per block leaves the
+   map stage) -> optional salted first-stage groupby merge for hot keys ->
+   final unsalted groupby merge. This is the north star's two-stage
+   salted-key skew mitigation.
+
+The reference's merge ops backing this: BlockBloom bitwise OR (implied by
+c/lib/block.c construction), taffy-cuckoo union (c/lib/taffy-cuckoo.c:260-348),
+level-wise OR for taffy-block — see SURVEY.md §2.6.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from ..sketch import registry
+from ..sketch.hashing import DEFAULT_SEED, hash_arrow_array
+
+
+def _column_input(sketch) -> str:
+    return getattr(sketch, "input", "hashes")
+
+
+def _updates_from(batch_col, sketch, seed: int):
+    """Feed an Arrow column into a sketch (hash it first if hash-consuming)."""
+    if _column_input(sketch) == "hashes":
+        sketch.update(hash_arrow_array(batch_col, seed=seed))
+    else:
+        vals = batch_col.to_numpy(zero_copy_only=False).astype(np.float64)
+        sketch.update(vals[~np.isnan(vals)])
+    return sketch
+
+
+class _PartialBuilder:
+    """Stateless per-block partial: block -> one serialized sketch row."""
+
+    def __init__(self, kind: str, params: dict, column: str, seed: int):
+        self.kind, self.params, self.column, self.seed = kind, params, column, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sk = registry.make(self.kind, **self.params)
+        _updates_from(batch[self.column], sk, self.seed)
+        return pa.table({
+            "kind": pa.array([self.kind]),
+            "payload": pa.array([sk.to_bytes()], type=pa.large_binary()),
+            "rows": pa.array([batch.num_rows], type=pa.int64()),
+        })
+
+
+def _merge_payload_batch(kind: str):
+    cls = registry.get(kind)
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        acc = cls.from_bytes(payloads[0].as_py())
+        for p in payloads[1:]:
+            acc = acc.merge(cls.from_bytes(p.as_py()))
+        return pa.table({
+            "kind": pa.array([kind]),
+            "payload": pa.array([acc.to_bytes()], type=pa.large_binary()),
+            "rows": pa.array([int(pa.compute.sum(batch["rows"]).as_py() or 0)],
+                             type=pa.int64()),
+        })
+
+    return merge_batch
+
+
+def build_sketch(ds, column: str, kind: str, params: dict | None = None, *,
+                 seed: int = DEFAULT_SEED, batch_size: int = 16384,
+                 merge_fanin: int = 64, driver_fanin: int = 256):
+    """Build ONE global sketch of `column` over the whole Dataset.
+
+    read -> map_batches(partial per block) -> tree merge (map_batches over
+    partial batches, log_fanin rounds) -> small driver-side final merge.
+    Returns the finalized sketch object.
+    """
+    params = params or {}
+    partials = ds.map_batches(
+        _PartialBuilder(kind, params, column, seed),
+        batch_format="pyarrow", batch_size=batch_size)
+    # Tree merge: each round collapses `merge_fanin` partials into one.
+    # Partial counts shrink geometrically; at 100 TB (~1M blocks) this is
+    # 3 rounds of tiny tasks instead of 1M payloads on the driver.
+    # Each round materializes its (small — KBs per row) partial set so the
+    # next round doesn't re-execute the full upstream lineage.
+    partials = partials.materialize()
+    rows = partials.count()
+    while rows > driver_fanin:
+        partials = partials.repartition(max(1, rows // merge_fanin)) \
+            .map_batches(_merge_payload_batch(kind), batch_format="pyarrow",
+                         batch_size=merge_fanin).materialize()
+        rows = partials.count()
+    cls = registry.get(kind)
+    out = None
+    for row in partials.take_all():
+        sk = cls.from_bytes(row["payload"])
+        out = sk if out is None else out.merge(sk)
+    if out is None:
+        out = registry.make(kind, **params)
+    return out.finalize()
+
+
+class _GroupedPartialBuilder:
+    """Per-block, per-key partial sketches (pre-aggregation before shuffle)."""
+
+    def __init__(self, kind: str, params: dict, column: str, key: str,
+                 seed: int, num_salts: int):
+        self.kind, self.params = kind, params
+        self.column, self.key, self.seed = column, key, seed
+        self.num_salts = num_salts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys_out, salts_out, payloads, counts = [], [], [], []
+        # group rows of this block by key (vectorized dictionary-encode)
+        enc = batch[self.column]
+        keycol = batch[self.key]
+        dict_arr = pc.dictionary_encode(
+            keycol.combine_chunks() if isinstance(keycol, pa.ChunkedArray) else keycol)
+        codes = np.asarray(dict_arr.indices)
+        uniq = dict_arr.dictionary
+        col = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        # Deterministic per-block salt (pure function of block content ->
+        # retry-safe): hash of the block's first column value + row count.
+        from ..sketch.hashing import splitmix64
+        if self.num_salts > 1 and batch.num_rows:
+            block_fp = int(hash_arrow_array(col.slice(0, 1), seed=7)[0])
+            salt = int(splitmix64(np.array([block_fp ^ batch.num_rows],
+                                           dtype=np.uint64))[0] % self.num_salts)
+        else:
+            salt = 0
+        for code in range(len(uniq)):
+            mask = codes == code
+            sk = registry.make(self.kind, **self.params)
+            _updates_from(col.filter(pa.array(mask)), sk, self.seed)
+            keys_out.append(uniq[code].as_py())
+            salts_out.append(salt)
+            payloads.append(sk.to_bytes())
+            counts.append(int(mask.sum()))
+        return pa.table({
+            self.key: pa.array(keys_out),
+            "salt": pa.array(salts_out, type=pa.int32()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "rows": pa.array(counts, type=pa.int64()),
+        })
+
+
+def build_grouped_sketches(ds, key: str, column: str, kind: str,
+                           params: dict | None = None, *,
+                           seed: int = DEFAULT_SEED, batch_size: int = 16384,
+                           num_salts: int = 8):
+    """Per-key sketches via the salted two-stage merge.
+
+    map_batches(per-key partials) -> groupby(key, salt).map_groups(merge)
+    -> groupby(key).map_groups(merge). Returns a pandas DataFrame
+    (key, payload, rows). Hot keys (Zipfian lang/domain) spread over
+    `num_salts` first-stage reducers.
+    """
+    import pandas as pd
+
+    params = params or {}
+    cls = registry.get(kind)
+    partials = ds.map_batches(
+        _GroupedPartialBuilder(kind, params, column, key, seed, num_salts),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        acc = cls.from_bytes(df["payload"].iloc[0])
+        for p in df["payload"].iloc[1:]:
+            acc = acc.merge(cls.from_bytes(p))
+        first = df.iloc[:1].copy()
+        first["payload"] = [acc.to_bytes()]
+        first["rows"] = df["rows"].sum()
+        return first
+
+    stage1 = partials.groupby([key, "salt"]).map_groups(
+        merge_group, batch_format="pandas")
+    final = stage1.groupby(key).map_groups(merge_group, batch_format="pandas")
+    out = final.to_pandas().drop(columns=["salt"]).sort_values(key)
+    return out.reset_index(drop=True)
+
+
+def probe_stage(sketch_bytes_ref, kind: str, column: str, *,
+                seed: int = DEFAULT_SEED, out_column: str = "found"):
+    """A map_batches callable CLASS probing rows against a broadcast sketch.
+
+    The serialized sketch is `ray.put` once on the driver; each actor
+    deserializes it ONCE in __init__ (not per batch).
+    """
+
+    class Prober:
+        def __init__(self):
+            import ray
+            cls = registry.get(kind)
+            self.sketch = cls.from_bytes(ray.get(sketch_bytes_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hashes = hash_arrow_array(batch[column], seed=seed)
+            found = self.sketch.find_hashes(hashes)
+            return batch.append_column(out_column, pa.array(found))
+
+    return Prober

@@ -1,0 +1,89 @@
+"""Distributed sketch-build framework over Ray Data (global tree merge,
+salted grouped merge, broadcast probe) — SURVEY.md §2.4/§2.6."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from libfilter_ray.sketch.block_bloom import BlockBloom
+from libfilter_ray.sketch.hashing import hash_arrow_array
+from libfilter_ray.sketch import registry
+from libfilter_ray.stages import sketch_build as sb
+
+from conftest import SF_DIR
+
+
+@pytest.fixture()
+def docs(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+
+
+def test_registry():
+    assert "block" in registry.kinds()
+    sk = registry.make("block", bytes_=64)
+    assert isinstance(sk, BlockBloom)
+    with pytest.raises(KeyError, match="unknown sketch kind"):
+        registry.get("nope")
+
+
+def test_global_build_matches_local(docs):
+    """Distributed build == single-process build, byte for byte."""
+    dist = sb.build_sketch(docs, "text", "block", {"bytes_": 2048},
+                           batch_size=64)
+    local = BlockBloom(2048)
+    tbl = docs.to_pandas()
+    local.add_hashes(hash_arrow_array(pa.array(tbl["text"].tolist())))
+    assert dist == local
+
+
+def test_global_build_forced_tree_rounds(docs):
+    """Tiny fanin forces multiple merge rounds; result still byte-identical."""
+    dist = sb.build_sketch(docs, "text", "block", {"bytes_": 1024},
+                           batch_size=16, merge_fanin=4, driver_fanin=4)
+    local = BlockBloom(1024)
+    tbl = docs.to_pandas()
+    local.add_hashes(hash_arrow_array(pa.array(tbl["text"].tolist())))
+    assert dist == local
+
+
+def test_grouped_build_no_false_negatives(docs):
+    grouped = sb.build_grouped_sketches(docs, "lang", "text", "block",
+                                        {"bytes_": 1024}, batch_size=64,
+                                        num_salts=4)
+    tbl = docs.to_pandas()
+    assert set(grouped["lang"]) == set(tbl["lang"])
+    for _, row in grouped.iterrows():
+        f = BlockBloom.from_bytes(row["payload"])
+        texts = pa.array(tbl.loc[tbl["lang"] == row["lang"], "text"].tolist())
+        assert len(texts) == row["rows"]
+        assert f.find_hashes(hash_arrow_array(texts)).all()
+
+
+def test_grouped_build_matches_local_bytes(docs):
+    """Per-key OR-merge is order invariant -> equals local per-key build."""
+    grouped = sb.build_grouped_sketches(docs, "lang", "text", "block",
+                                        {"bytes_": 512}, batch_size=32,
+                                        num_salts=8)
+    tbl = docs.to_pandas()
+    for _, row in grouped.iterrows():
+        local = BlockBloom(512)
+        texts = pa.array(tbl.loc[tbl["lang"] == row["lang"], "text"].tolist())
+        local.add_hashes(hash_arrow_array(texts))
+        assert BlockBloom.from_bytes(row["payload"]) == local
+
+
+def test_probe_stage(docs, ray_session):
+    import ray
+
+    sk = sb.build_sketch(docs, "text", "block", {"bytes_": 4096})
+    ref = ray.put(sk.to_bytes())
+    prober = sb.probe_stage(ref, "block", "text")
+    probed = docs.map_batches(prober, batch_format="pyarrow",
+                              concurrency=2).to_pandas()
+    assert probed["found"].all()
