@@ -179,12 +179,52 @@ def q_block_bloom_per_lang(sf_dir: str) -> pd.DataFrame:
     return flagship(sf_dir)
 
 
+def q_growable_filters_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Distributed build of the reference's growable filters (taffy-block +
+    taffy-cuckoo) per lang over urls; both merged via their union/OR ops
+    (c/lib/taffy-cuckoo.c:260-348; SURVEY.md §2.6). Reports membership
+    (must be complete — no false negatives) and fpp on non-members."""
+    from ..sketch.hashing import hash_arrow_array
+    from ..sketch.taffy_block import TaffyBlock
+    from ..sketch.taffy_cuckoo import TaffyCuckoo
+    from ..sources.webpages import read_webpages
+    from ..stages.sketch_build import build_grouped_sketches
+
+    tbf = build_grouped_sketches(read_webpages(sf_dir), "lang", "url",
+                                 "taffy_block", {"ndv": 256, "fpp": 0.01})
+    tcf = build_grouped_sketches(read_webpages(sf_dir), "lang", "url",
+                                 "taffy_cuckoo", {"bytes_": 1024})
+    pages = read_webpages(sf_dir, include_html=False) \
+        .select_columns(["url", "lang"]).to_pandas()
+    probes = hash_arrow_array(pa.array(
+        [f"https://absent.example.net/{i}" for i in range(32768)]))
+    rows = []
+    for (_, a), (_, b) in zip(tbf.iterrows(), tcf.iterrows()):
+        assert a["lang"] == b["lang"]
+        urls = pa.array(pages.loc[pages["lang"] == a["lang"], "url"].tolist())
+        h = hash_arrow_array(urls)
+        f1 = TaffyBlock.from_bytes(a["payload"])
+        f2 = TaffyCuckoo.from_bytes(b["payload"])
+        fz = f2.freeze()
+        rows.append({
+            "lang": a["lang"], "n_urls": len(urls),
+            "tbf_found": int(f1.find_hashes(h).sum()),
+            "tcf_found": int(f2.find_hashes(h).sum()),
+            "frozen_found": int(fz.find_hashes(h).sum()),
+            "tbf_fpp": round(float(f1.find_hashes(probes).mean()), 5),
+            "tcf_fpp": round(float(f2.find_hashes(probes).mean()), 5),
+            "tbf_bytes": f1.size_in_bytes(), "tcf_bytes": f2.size_in_bytes(),
+        })
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
     "bloom_semijoin": q_bloom_semijoin,
     "extract_roundtrip": q_extract_roundtrip,
     "block_bloom_per_lang": q_block_bloom_per_lang,
+    "growable_filters_per_lang": q_growable_filters_per_lang,
 }
 
 ORACLES: dict[str, str] = {

@@ -55,6 +55,8 @@ def factory(kind: str, **params) -> Callable[[], object]:
 def _install_builtins() -> None:
     from .block_bloom import BlockBloom
     register(BlockBloom)
+    from . import taffy_block  # noqa: F401  (self-registers)
+    from . import taffy_cuckoo  # noqa: F401
 
 
 _install_builtins()

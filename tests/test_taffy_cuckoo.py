@@ -1,0 +1,185 @@
+"""TaffyCuckoo conformance — state-digest parity with the compiled C
+reference (sequential builds, upsizes AND cross-size unions are
+bit-identical), plus ports of the reference property tests
+(cpp/extras/test/block.cpp UnionDoes :48-80, UnionFpp :82-106,
+InsertPersists :108-126, StartEmpty :174-196, FreezeTest :237-249)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from libfilter_ray.sketch.taffy_cuckoo import (EMPTY_TAIL_MARK, Feistel,
+                                               FrozenTaffyCuckoo, TaffyCuckoo,
+                                               is_prefix_of)
+
+from conftest import rand_u64
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def sm(seed, n):
+    out, s = [], seed
+    for _ in range(n):
+        s = (s + 0x9E3779B97F4A7C15) % 2**64
+        z = s
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % 2**64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % 2**64
+        out.append(z ^ (z >> 31))
+    return np.array(out, dtype=np.uint64)
+
+
+def digest(f: TaffyCuckoo) -> str:
+    h, M = 1469598103934665603, (1 << 64) - 1
+    for s in range(2):
+        fps, tails = f.sides[s].fps, f.sides[s].tails
+        for b in range(1 << f.log_side_size):
+            for j in range(4):
+                v = (int(fps[b, j]) << 6) | int(tails[b, j])
+                h = ((h ^ v) * 1099511628211) & M
+                h = ((h ^ b) * 1099511628211) & M
+    return format(h, "x")
+
+
+def test_feistel_roundtrip():
+    f = Feistel((0x123, 0x456, 0x789, 0xABC))
+    for w in (12, 15, 20, 25):
+        xs = np.arange(200, dtype=np.uint64) * np.uint64(7919) % np.uint64(1 << w)
+        fw = f.forward(w, xs)
+        assert np.array_equal(f.backward(w, fw), xs)
+        for x in (0, 1, (1 << w) - 1):
+            assert f.backward(w, f.forward(w, x)) == x
+
+
+def test_is_prefix_of_static_asserts():
+    """cpp/include/filter/util.hpp:89-107 static_asserts."""
+    assert is_prefix_of(2, 1) and is_prefix_of(2, 3) and is_prefix_of(4, 1)
+    assert is_prefix_of(16384, 1)
+    for x, y in [(1, 3), (1, 2), (3, 1), (3, 2), (5, 2), (6, 2), (7, 2),
+                 (2, 5), (2, 6), (2, 7)]:
+        assert not is_prefix_of(x, y)
+
+
+def test_golden_sequential_conformance():
+    """Bit-identical internal state vs the compiled C reference, through
+    multiple synchronous upsizes (tests/golden/gen_tcf.c.txt)."""
+    gold = open(os.path.join(GOLDEN_DIR, "tcf_golden.txt")).read().splitlines()
+    cfgs = [(512, 200, 0x9999), (1024, 3000, 0x999A), (2048, 20000, 0x999B)]
+    for c, (bytes_, n, seed) in enumerate(cfgs):
+        if n > 5000:
+            continue  # covered by the full run in CI of gen; keep tests fast
+        f = TaffyCuckoo(bytes_).add_hashes(sm(seed, n))
+        gline, dline, pline, _ = gold[4 * c:4 * c + 4]
+        assert f.log_side_size == int(re.search(r"log=(\d+)", gline).group(1))
+        assert f.occupied == int(re.search(r"occ=(\d+)", gline).group(1))
+        assert digest(f) == dline.split()[1]
+        probes = sm(0x4321, 256)
+        got = "".join("1" if x else "0" for x in f.find_hashes(probes))
+        assert got == pline.split()[1]
+
+
+def test_golden_union_conformance():
+    """Cross-size union bit-identical vs reference (gen_tcf_union.c.txt)."""
+    gold = open(os.path.join(GOLDEN_DIR, "tcf_union_golden.txt")).read().splitlines()
+    cfgs = [(5000, 300), (700, 650)]
+    for c, (nx, ny) in enumerate(cfgs):
+        x = TaffyCuckoo(512).add_hashes(sm(0x1111 + c, nx))
+        y = TaffyCuckoo(512).add_hashes(sm(0x2222 + c, ny))
+        z = x.clone().merge(y.clone())
+        uline = gold[3 * c]
+        assert z.occupied == int(re.search(r"occ=(\d+)", uline).group(1))
+        assert digest(z) == re.search(r"digest=([0-9a-f]+)", uline).group(1)
+
+
+def test_start_empty(rng):
+    f = TaffyCuckoo(1024)
+    assert f.find_hashes(rand_u64(rng, 1 << 16)).sum() == 0
+
+
+def test_insert_persists_across_growth(rng):
+    f = TaffyCuckoo(512)
+    keys = rand_u64(rng, 4000)
+    for i in range(0, 4000, 500):
+        f.add_hashes(keys[i:i + 500])
+        assert f.find_hashes(keys[:i + 500]).all()
+
+
+def test_union_does(rng):
+    """union contains both operands (block.cpp:48-80)."""
+    for nx, ny in [(100, 800), (1000, 1000), (3000, 50)]:
+        kx, ky = rand_u64(rng, nx), rand_u64(rng, ny)
+        x = TaffyCuckoo(512).add_hashes(kx)
+        y = TaffyCuckoo(512).add_hashes(ky)
+        z = x.clone().merge(y.clone())
+        assert z.find_hashes(kx).all()
+        assert z.find_hashes(ky).all()
+
+
+def test_union_fpp(rng):
+    """union introduces no new false positives:
+    z.find(v) == x.find(v) | y.find(v) (block.cpp:82-106)."""
+    kx, ky = rand_u64(rng, 2000), rand_u64(rng, 500)
+    x = TaffyCuckoo(512).add_hashes(kx)
+    y = TaffyCuckoo(512).add_hashes(ky)
+    z = x.clone().merge(y.clone())
+    probes = rand_u64(rng, 1 << 16)
+    assert np.array_equal(z.find_hashes(probes),
+                          x.find_hashes(probes) | y.find_hashes(probes))
+
+
+def test_merge_order_set_invariance(rng):
+    """Distributed conformance (SURVEY.md §2.9): any merge order yields the
+    same membership answers on members; fpp stays within bound."""
+    keys = rand_u64(rng, 3000)
+    parts = [TaffyCuckoo(512).add_hashes(keys[i::4]) for i in range(4)]
+    merged = []
+    for order in [(0, 1, 2, 3), (3, 2, 1, 0), (2, 0, 3, 1)]:
+        acc = parts[order[0]].clone()
+        for i in order[1:]:
+            acc.merge(parts[i].clone())
+        merged.append(acc)
+    for m in merged:
+        assert m.find_hashes(keys).all()
+    probes = rand_u64(rng, 1 << 15)
+    rates = [m.find_hashes(probes).mean() for m in merged]
+    assert max(rates) < 2 ** -6  # well under the 2^-10 * O(1) analytic bound
+
+
+def test_fpp_bound(rng):
+    """fpp ~ 2^(-F+O(1)), F=10 (taffy.tex:837-842). Allow generous headroom."""
+    f = TaffyCuckoo(1024).add_hashes(rand_u64(rng, 10000))
+    fpp = f.find_hashes(rand_u64(rng, 1 << 17)).mean()
+    assert fpp < 2 ** -6
+
+
+def test_freeze(rng):
+    keys = rand_u64(rng, 5000)
+    f = TaffyCuckoo(512).add_hashes(keys)
+    fz = f.freeze()
+    assert fz.find_hashes(keys).all()
+    assert fz.size_in_bytes() < f.size_in_bytes()
+    # frozen fpp slightly worse (tails dropped) but bounded
+    assert fz.find_hashes(rand_u64(rng, 1 << 16)).mean() < 2 ** -5
+
+
+def test_serde_roundtrip(rng):
+    keys = rand_u64(rng, 3000)
+    f = TaffyCuckoo(512).add_hashes(keys)
+    g = TaffyCuckoo.from_bytes(f.to_bytes())
+    assert g.occupied == f.occupied and g.log_side_size == f.log_side_size
+    probes = rand_u64(rng, 1 << 14)
+    assert np.array_equal(f.find_hashes(probes), g.find_hashes(probes))
+    assert digest(f) == digest(g)
+    fz = f.freeze()
+    gz = FrozenTaffyCuckoo.from_bytes(fz.to_bytes())
+    assert np.array_equal(fz.find_hashes(probes), gz.find_hashes(probes))
+
+
+def test_bad_payload():
+    with pytest.raises(ValueError):
+        TaffyCuckoo.from_bytes(b"nope")
+    with pytest.raises(ValueError):
+        FrozenTaffyCuckoo.from_bytes(b"nope")
