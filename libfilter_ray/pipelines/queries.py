@@ -168,9 +168,109 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct count via two-stage groupby (the exact oracle the HLL
+    pipeline approximates; at 100 TB you'd use the HLL path instead)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).count()
+    out = pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_users")).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group quantiles via map_groups (linear interpolation ==
+    DuckDB quantile_cont)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def qtl(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "p50": [round(float(np.quantile(v, 0.5)), 6)],
+            "p90": [round(float(np.quantile(v, 0.9)), 6)],
+            "p99": [round(float(np.quantile(v, 0.99)), 6)],
+        })
+
+    out = ds.groupby("event_type").map_groups(qtl, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_top_users_by_events(sf_dir: str) -> pd.DataFrame:
+    """Exact top-10 heavy hitters (the CMS verification oracle):
+    groupby count -> total-order sort (count desc, user_id asc) -> limit."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    top = counts.sort(["n_events", "user_id"], descending=[True, False]) \
+        .limit(10).to_pandas()
+    top["n_events"] = top["n_events"].astype("int64")
+    top["user_id"] = top["user_id"].astype("int64")
+    return top.reset_index(drop=True)
+
+
+SQL_TOP_USERS = """
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sketch pipelines (approximate / no SQL oracle; bounds asserted in tests)
 # ---------------------------------------------------------------------------
+
+
+def q_sketch_summary_events(sf_dir: str) -> pd.DataFrame:
+    """One-pass distributed build of FOUR mergeable sketches per event_type
+    (HLL over user_id, CMS over user_id, t-digest + KLL over value) via
+    build_grouped_multi — single read, single shuffle of tiny partials."""
+    from ..sketch.cms import CountMin
+    from ..sketch.hll import HyperLogLog
+    from ..sketch.kll import KLL
+    from ..sketch.tdigest import TDigest
+    from ..stages.sketch_build import build_grouped_multi
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    specs = [
+        ("hll", "hll", {"p": 12}, "user_id"),
+        ("cms", "cms", {"width": 4096, "depth": 5}, "user_id"),
+        ("td", "tdigest", {"delta": 100.0}, "value"),
+        ("kll", "kll", {"k": 200}, "value"),
+    ]
+    grouped = build_grouped_multi(ds, "event_type", specs)
+    rows = []
+    for _, r in grouped.iterrows():
+        hll = HyperLogLog.from_bytes(r["payload_hll"])
+        td = TDigest.from_bytes(r["payload_td"])
+        kll = KLL.from_bytes(r["payload_kll"])
+        cms = CountMin.from_bytes(r["payload_cms"])
+        rows.append({
+            "event_type": r["event_type"], "n_rows": int(r["rows"]),
+            "distinct_users_est": round(hll.estimate(), 1),
+            "cms_total": int(cms.total),
+            "value_p50_td": round(td.quantile(0.5), 4),
+            "value_p99_td": round(td.quantile(0.99), 4),
+            "value_p50_kll": round(kll.quantile(0.5), 4),
+            "value_p99_kll": round(kll.quantile(0.99), 4),
+        })
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 def q_block_bloom_per_lang(sf_dir: str) -> pd.DataFrame:
     """Per-lang BlockBloom membership report (flagship, deterministic)."""
@@ -225,6 +325,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "extract_roundtrip": q_extract_roundtrip,
     "block_bloom_per_lang": q_block_bloom_per_lang,
     "growable_filters_per_lang": q_growable_filters_per_lang,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
+    "top_users_by_events": q_top_users_by_events,
+    "sketch_summary_events": q_sketch_summary_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -232,4 +336,7 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "bloom_semijoin": SQL_BLOOM_SEMIJOIN,
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
+    "distinct_users_by_type": SQL_DISTINCT_USERS,
+    "value_quantiles_by_type": SQL_VALUE_QUANTILES,
+    "top_users_by_events": SQL_TOP_USERS,
 }

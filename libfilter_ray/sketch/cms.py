@@ -1,0 +1,113 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005, public algorithm).
+
+Mergeable UDAF for frequency estimation: overestimate <= eps*N with
+probability >= 1-delta, for w = ceil(e/eps), d = ceil(ln(1/delta))
+(asserted in tests — SURVEY.md §2.6 / BASELINE.md).
+
+Row hashes derive from the input u64 via splitmix64 with per-row seeds
+(pairwise-independent enough in practice; same family as the engine's hash
+stage). Updates are np.add.at scatters; merge is elementwise sum.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .hashing import splitmix64
+from .registry import register
+
+U64 = np.uint64
+
+
+@register
+class CountMin:
+    kind = "cms"
+    input = "hashes"
+
+    def __init__(self, width: int | None = None, depth: int | None = None, *,
+                 eps: float | None = None, delta: float | None = None):
+        if width is None:
+            if eps is None:
+                eps = 0.001
+            width = max(1, math.ceil(math.e / eps))
+        if depth is None:
+            if delta is None:
+                delta = 0.01
+            depth = max(1, math.ceil(math.log(1.0 / delta)))
+        self.width = int(width)
+        self.depth = int(depth)
+        self.counts = np.zeros((self.depth, self.width), dtype=np.uint64)
+        self.total = 0
+
+    def _indices(self, hashes: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices."""
+        idx = np.empty((self.depth, len(hashes)), dtype=np.int64)
+        for r in range(self.depth):
+            idx[r] = (splitmix64(hashes, seed=0xC0FFEE + r)
+                      % U64(self.width)).astype(np.int64)
+        return idx
+
+    def update(self, hashes: np.ndarray,
+               weights: np.ndarray | None = None) -> "CountMin":
+        hashes = np.ascontiguousarray(hashes, dtype=U64)
+        if not len(hashes):
+            return self
+        idx = self._indices(hashes)
+        if weights is None:
+            for r in range(self.depth):
+                np.add.at(self.counts[r], idx[r], 1)
+            self.total += len(hashes)
+        else:
+            w = np.ascontiguousarray(weights, dtype=np.uint64)
+            for r in range(self.depth):
+                np.add.at(self.counts[r], idx[r], w)
+            self.total += int(w.sum())
+        return self
+
+    add_hashes = update
+
+    def query(self, hashes: np.ndarray) -> np.ndarray:
+        """Point estimates (vectorized min over rows)."""
+        hashes = np.ascontiguousarray(hashes, dtype=U64)
+        idx = self._indices(hashes)
+        est = self.counts[0][idx[0]]
+        for r in range(1, self.depth):
+            est = np.minimum(est, self.counts[r][idx[r]])
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("cannot merge count-min sketches of different shape")
+        self.counts += other.counts
+        self.total += other.total
+        return self
+
+    def finalize(self) -> "CountMin":
+        return self
+
+    def eps(self) -> float:
+        return math.e / self.width
+
+    def delta(self) -> float:
+        return math.exp(-self.depth)
+
+    _MAGIC = b"CMS1"
+
+    def to_bytes(self) -> bytes:
+        return (self._MAGIC
+                + struct.pack("<iiq", self.width, self.depth, self.total)
+                + self.counts.astype("<u8").tobytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountMin":
+        if data[:4] != cls._MAGIC:
+            raise ValueError("bad cms payload")
+        w, d, total = struct.unpack_from("<iiq", data, 4)
+        c = cls(width=w, depth=d)
+        c.total = total
+        c.counts = np.frombuffer(data, dtype="<u8", count=w * d,
+                                 offset=4 + 16).reshape(d, w).astype(np.uint64)
+        return c

@@ -57,6 +57,10 @@ def _install_builtins() -> None:
     register(BlockBloom)
     from . import taffy_block  # noqa: F401  (self-registers)
     from . import taffy_cuckoo  # noqa: F401
+    from . import hll  # noqa: F401
+    from . import cms  # noqa: F401
+    from . import tdigest  # noqa: F401
+    from . import kll  # noqa: F401
 
 
 _install_builtins()

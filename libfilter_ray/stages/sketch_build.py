@@ -194,6 +194,75 @@ def build_grouped_sketches(ds, key: str, column: str, kind: str,
     return out.reset_index(drop=True)
 
 
+class _MultiGroupedPartialBuilder:
+    """One pass, many sketches: per-block per-key partials for a list of
+    (name, kind, params, column) specs. At 100 TB this is the pattern that
+    matters — one read feeds every sketch instead of one pipeline each."""
+
+    def __init__(self, specs, key: str, seed: int):
+        self.specs, self.key, self.seed = specs, key, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keycol = batch[self.key]
+        dict_arr = pc.dictionary_encode(
+            keycol.combine_chunks() if isinstance(keycol, pa.ChunkedArray)
+            else keycol)
+        codes = np.asarray(dict_arr.indices)
+        uniq = dict_arr.dictionary
+        cols = {}
+        for (_, _, _, column) in self.specs:
+            if column not in cols:
+                c = batch[column]
+                cols[column] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        out: dict[str, list] = {self.key: [], "rows": []}
+        for (name, *_rest) in self.specs:
+            out[f"payload_{name}"] = []
+        counts = np.bincount(codes, minlength=len(uniq))
+        for code in range(len(uniq)):
+            mask = pa.array(codes == code)
+            out[self.key].append(uniq[code].as_py())
+            out["rows"].append(int(counts[code]))
+            for (name, kind, params, column) in self.specs:
+                sk = registry.make(kind, **params)
+                _updates_from(cols[column].filter(mask), sk, self.seed)
+                out[f"payload_{name}"].append(sk.to_bytes())
+        arrays = {self.key: pa.array(out[self.key]),
+                  "rows": pa.array(out["rows"], type=pa.int64())}
+        for (name, *_r) in self.specs:
+            arrays[f"payload_{name}"] = pa.array(out[f"payload_{name}"],
+                                                 type=pa.large_binary())
+        return pa.table(arrays)
+
+
+def build_grouped_multi(ds, key: str, specs, *, seed: int = DEFAULT_SEED,
+                        batch_size: int = 16384):
+    """Per-key sketches for several (name, kind, params, column) specs in ONE
+    pass over the data + one shuffle of tiny partial rows. Returns pandas
+    (key, rows, payload_<name>...)."""
+    import pandas as pd
+
+    partials = ds.map_batches(
+        _MultiGroupedPartialBuilder(list(specs), key, seed),
+        batch_format="pyarrow", batch_size=batch_size)
+    classes = {name: registry.get(kind) for (name, kind, _p, _c) in specs}
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.iloc[:1].copy()
+        for name, cls in classes.items():
+            col = f"payload_{name}"
+            acc = cls.from_bytes(df[col].iloc[0])
+            for p in df[col].iloc[1:]:
+                acc = acc.merge(cls.from_bytes(p))
+            first[col] = [acc.finalize().to_bytes()]
+        first["rows"] = df["rows"].sum()
+        return first
+
+    final = partials.groupby(key).map_groups(merge_group, batch_format="pandas")
+    return final.to_pandas().sort_values(key).reset_index(drop=True)
+
+
 def probe_stage(sketch_bytes_ref, kind: str, column: str, *,
                 seed: int = DEFAULT_SEED, out_column: str = "found"):
     """A map_batches callable CLASS probing rows against a broadcast sketch.
