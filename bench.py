@@ -1,0 +1,172 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+--scaling: runs the same bench in two fresh subprocesses at 8 and 32 CPUs
+on the same input and reports both throughputs + scaling efficiency
+(the sandbox evidence for the N vs 4N cluster criterion — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _warm_cache() -> None:
+    import glob
+
+    for f in glob.glob(f"{SF_DIR}/*.parquet"):
+        with open(f, "rb") as fh:
+            fh.read()
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from libfilter_ray.pipelines import queries as q
+    from libfilter_ray.pipelines.flagship import flagship
+
+    _warm_cache()
+
+    # untimed warm pipeline: spawns + warms worker processes (imports, heap)
+    # so the timed runs measure compute, not cold-start (see _alloc.py)
+    import numpy as _np
+
+    ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: {"x": _np.asarray(b["id"])}, batch_size=1).materialize()
+
+    n_docs = None
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn(SF_DIR)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: flagship per-lang BlockBloom build over synthesized web pages
+    # (read -> synth -> extract-verify -> salted grouped build -> probe),
+    # corpus deterministically replicated so the bench measures throughput,
+    # not per-pipeline fixed overhead
+    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "20"))
+    flag = timed("flagship_block_bloom",
+                 lambda sf: flagship(sf, replicate=replicate,
+                                     parallelism=NUM_CPUS * 4))
+    n_docs = int(flag["rows"].sum())
+
+    timed("sketch_summary_events", q.q_sketch_summary_events)
+    timed("pricing_summary", q.q_pricing_summary)
+    timed("bloom_semijoin", q.q_bloom_semijoin)
+    timed("distinct_users_by_type", q.q_distinct_users_by_type)
+    timed("growable_filters_per_lang", q.q_growable_filters_per_lang)
+
+    # single-process kernel throughput (comparable to the reference's
+    # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)
+    kernels = kernel_throughput()
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["flagship_block_bloom"], 1)
+    result = {
+        "metric": "headline_pipelines_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+        "kernel_mkeys_per_sec": kernels,
+    }
+    ray.shutdown()
+    return result
+
+
+def kernel_throughput(n: int = 10_000_000) -> dict:
+    """Vectorized single-process kernel rates in M keys/s (vs the reference's
+    single-core SBBF numbers, doc/doc.tex:60-76)."""
+    import numpy as np
+
+    from libfilter_ray.sketch import sizing
+    from libfilter_ray.sketch.block_bloom import BlockBloom
+    from libfilter_ray.sketch.cms import CountMin
+    from libfilter_ray.sketch.hll import HyperLogLog
+
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, 2**64, n, dtype=np.uint64)
+    out = {}
+    f = BlockBloom(sizing.block_bytes_needed(n, 0.01))
+    f.add_hashes(keys)  # full-size warm pass: faults in heap+temps once
+    f.find_hashes(keys)
+    f.zero_out()
+    t0 = time.perf_counter()
+    f.add_hashes(keys)
+    out["block_insert"] = round(n / (time.perf_counter() - t0) / 1e6, 1)
+    t0 = time.perf_counter()
+    f.find_hashes(keys)
+    out["block_find"] = round(n / (time.perf_counter() - t0) / 1e6, 1)
+    h = HyperLogLog(14)
+    t0 = time.perf_counter()
+    h.update(keys)
+    out["hll_update"] = round(n / (time.perf_counter() - t0) / 1e6, 1)
+    c = CountMin(width=1 << 16, depth=4)
+    t0 = time.perf_counter()
+    c.update(keys[:n // 4])
+    out["cms_update"] = round((n // 4) / (time.perf_counter() - t0) / 1e6, 1)
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    thr_lo = lo["docs"] / lo["queries"]["flagship_block_bloom"]
+    thr_hi = hi["docs"] / hi["queries"]["flagship_block_bloom"]
+    eff_total = (lo["value"] / hi["value"]) / (32 / 8)
+    eff_headline = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "docs_per_sec_8": round(thr_lo, 1), "docs_per_sec_32": round(thr_hi, 1),
+        "scaling_efficiency_total": round(eff_total, 3),
+        "scaling_efficiency_headline": round(eff_headline, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -16,3 +16,7 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from ._alloc import tune_allocator as _tune_allocator
+
+_tune_allocator()  # see _alloc.py — first-touch page faults are ~100x cost here

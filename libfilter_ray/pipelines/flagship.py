@@ -1,13 +1,20 @@
 """Flagship pipeline: the engine equivalent of the reference's HIBP run
 (cpp/extras/benchmarks/hibp.cpp:66-129 — read corpus -> build filters ->
 evaluate membership/fpp -> report), re-expressed Ray-Data-first over the
-Common-Crawl-style web-page table:
+Common-Crawl-style web-page table.
 
-read documents -> synthesize web pages -> extract text (byte-identical
-invariant enforced per row) -> hash urls -> per-lang mergeable BlockBloom
-build (salted two-stage groupby merge) -> broadcast probe: every member
-found (no false negatives), non-member fpp within the reference's 2x test
-bound (java FilterTest.java:69-78).
+Exactly TWO Ray executions (fixed per-pipeline overhead matters at small
+scale and stage count stays constant at 100 TB):
+
+1. build: read documents -> synthesize pages -> extract text with the
+   byte-identical invariant ENFORCED per row -> per-block per-lang BlockBloom
+   partials -> two-stage salted groupby merge (one streaming pipeline).
+2. probe: broadcast the per-lang filters (ray.put once), stream the pages
+   again, count members found per lang inside each batch (vectorized),
+   tiny groupby sum at the end.
+
+FPP on non-members is measured driver-side on a synthetic probe set
+(vectorized, no Ray needed).
 """
 
 from __future__ import annotations
@@ -24,36 +31,80 @@ from ..stages.extract import verify_extract_stage
 from ..stages.sketch_build import build_grouped_sketches
 
 
-def flagship(sf_dir: str, fpp: float = 0.01) -> pd.DataFrame:
+def _document_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def flagship(sf_dir: str, fpp: float = 0.01, replicate: int = 1,
+             parallelism: int | None = None) -> pd.DataFrame:
     """Returns one row per lang: rows, filter bytes, members found, fpp."""
-    pages = read_webpages(sf_dir).map_batches(
+    # size from parquet metadata (free): conservative upper bound = total
+    # rows; a 100 TB run would take the lang histogram from a stats pass.
+    total = _document_count(sf_dir) * replicate
+    size = sizing.block_bytes_needed(max(total, 1), fpp)
+
+    # --- Ray execution 1: build (extract invariant enforced in-pipeline) ---
+    pages = read_webpages(sf_dir, replicate=replicate,
+                          parallelism=parallelism).map_batches(
         verify_extract_stage, batch_format="pyarrow")
+    grouped = build_grouped_sketches(pages, "lang", "url", "block",
+                                     {"bytes_": size})
 
-    # size the per-lang filter from exact per-lang counts (a tiny aggregate)
-    counts = pages.groupby("lang").count().to_pandas()
-    counts = counts.set_index("lang")["count()"].to_dict()
-    max_n = max(counts.values())
-    size = sizing.block_bytes_needed(max_n, fpp)
+    # --- Ray execution 2: broadcast probe, per-batch vectorized counts ----
+    # The per-lang filters are small (KBs); a stateless closure avoids actor
+    # startup cost. (For GB-scale frozen filters use stages.probe_stage with
+    # an actor pool + ray.put instead.)
+    payloads = {row["lang"]: row["payload"] for _, row in grouped.iterrows()}
 
-    grouped = build_grouped_sketches(
-        read_webpages(sf_dir), "lang", "url", "block", {"bytes_": size})
+    def probe_count(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    # probe: members per lang + fpp on synthetic non-members
-    rng_probe = pa.array([f"https://no-such.example.net/{i}" for i in range(65536)])
-    probe_hashes = hash_arrow_array(rng_probe)
+        filters = {k: BlockBloom.from_bytes(v) for k, v in payloads.items()}
+        langs, found, n = [], [], []
+        dict_arr = pc.dictionary_encode(t["lang"].combine_chunks()
+                                        if isinstance(t["lang"], pa.ChunkedArray)
+                                        else t["lang"])
+        codes = np.asarray(dict_arr.indices)
+        urls = t["url"].combine_chunks() \
+            if isinstance(t["url"], pa.ChunkedArray) else t["url"]
+        for code in range(len(dict_arr.dictionary)):
+            lang = dict_arr.dictionary[code].as_py()
+            mask = codes == code
+            h = hash_arrow_array(urls.filter(pa.array(mask)))
+            langs.append(lang)
+            found.append(int(filters[lang].find_hashes(h).sum()))
+            n.append(int(mask.sum()))
+        return pa.table({"lang": pa.array(langs),
+                         "found": pa.array(found, type=pa.int64()),
+                         "n": pa.array(n, type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    probe = read_webpages(sf_dir, include_html=False, replicate=replicate,
+                          parallelism=parallelism) \
+        .select_columns(["url", "lang"]) \
+        .map_batches(probe_count, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("found", alias_name="members_found"),
+                                   Sum("n", alias_name="n")).to_pandas()
+
+    # --- driver-side fpp measurement (vectorized, tiny) -------------------
+    probe_hashes = hash_arrow_array(pa.array(
+        [f"https://no-such.example.net/{i}" for i in range(65536)]))
     out = []
-    pages_df = read_webpages(sf_dir, include_html=False) \
-        .select_columns(["url", "lang"]).to_pandas()
+    probe = probe.set_index("lang")
     for _, row in grouped.iterrows():
         f = BlockBloom.from_bytes(row["payload"])
-        urls = pa.array(pages_df.loc[pages_df["lang"] == row["lang"], "url"].tolist())
-        members_found = int(f.find_hashes(hash_arrow_array(urls)).sum())
-        measured_fpp = float(f.find_hashes(probe_hashes).mean())
+        lang = row["lang"]
         out.append({
-            "lang": row["lang"], "rows": int(row["rows"]),
+            "lang": lang, "rows": int(row["rows"]),
             "filter_bytes": f.size_in_bytes(),
-            "members_found": members_found,
-            "fpp_measured": round(measured_fpp, 5),
+            "members_found": int(probe.loc[lang, "members_found"]),
+            "fpp_measured": round(float(f.find_hashes(probe_hashes).mean()), 5),
             "fpp_configured": fpp,
         })
-    return pd.DataFrame(out).sort_values("lang").reset_index(drop=True)
+    df = pd.DataFrame(out).sort_values("lang").reset_index(drop=True)
+    assert (df["members_found"] == df["rows"]).all(), \
+        "false negatives detected — BlockBloom invariant violated"
+    return df

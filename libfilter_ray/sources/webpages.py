@@ -77,15 +77,36 @@ def synthesize_webpages(batch: pa.Table) -> pa.Table:
     })
 
 
-def read_webpages(sf_dir: str, *, include_html: bool = True):
+def _replicate_docs(batch: pa.Table, factor: int) -> pa.Table:
+    """Deterministically expand a documents batch `factor`x: replica r gets
+    doc_id' = doc_id*factor + r (so urls/timestamps stay unique). Used by the
+    bench to scale work beyond the tiny driver-generated documents table."""
+    n = batch.num_rows
+    reps = [batch.set_column(
+        batch.schema.get_field_index("doc_id"), "doc_id",
+        pa.array(np.asarray(batch["doc_id"], dtype=np.int64) * factor + r,
+                 type=pa.int64()))
+        for r in range(factor)]
+    return pa.concat_tables(reps)
+
+
+def read_webpages(sf_dir: str, *, include_html: bool = True,
+                  replicate: int = 1, parallelism: int | None = None):
     """Ray Dataset of the web-page table for a testdata scale-factor dir.
 
     Column-pruned read of documents.parquet -> vectorized synthesis stage.
+    `replicate` > 1 deterministically expands the corpus for benchmarking.
     """
     import ray.data
 
     cols = ["doc_id", "text", "lang", "source"]
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    kwargs = {"columns": cols}
+    if parallelism:
+        kwargs["override_num_blocks"] = parallelism
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", **kwargs)
+    if replicate > 1:
+        ds = ds.map_batches(lambda b: _replicate_docs(b, replicate),
+                            batch_format="pyarrow", batch_size=2048)
     ds = ds.map_batches(synthesize_webpages, batch_format="pyarrow")
     if not include_html:
         ds = ds.select_columns(["url", "warc_ts", "text", "lang"])
