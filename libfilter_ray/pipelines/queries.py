@@ -318,6 +318,70 @@ def q_growable_filters_per_lang(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
 
 
+def q_static_xor_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-lang static (xor) filter bulk build — the reference's immutable
+    filter (c/lib/static.c:12-82) via groupby(lang).map_groups (the filter
+    is NOT mergeable, so each group's full hash list feeds one build task;
+    SURVEY.md §2.6). Reports membership completeness, fpp, and the
+    (0.75 + 1/ln ln n) bytes/key space ratio."""
+    from ..sketch.hashing import hash_arrow_array
+    from ..sketch.xor_static import StaticXor
+    from ..sources.webpages import read_webpages
+
+    pages = read_webpages(sf_dir, include_html=False) \
+        .select_columns(["url", "lang"])
+    probes = hash_arrow_array(pa.array(
+        [f"https://absent.example.net/{i}" for i in range(1 << 17)]))
+
+    def build_group(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash_arrow_array(pa.array(df["url"].tolist()))
+        f = StaticXor.build(h)
+        return pd.DataFrame({
+            "lang": [df["lang"].iloc[0]],
+            "n_urls": [len(df)],
+            "members_found": [int(f.find_hashes(h).sum())],
+            "filter_bytes": [f.size_in_bytes()],
+            "fpp_measured": [round(float(f.find_hashes(probes).mean()), 5)],
+        })
+
+    out = pages.groupby("lang").map_groups(
+        build_group, batch_format="pandas").to_pandas()
+    assert (out["members_found"] == out["n_urls"]).all()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_checkpointed_build_resume(sf_dir: str) -> pd.DataFrame:
+    """Checkpoint/resume demonstration pipeline (north rule: "resumable from
+    checkpoint with per-partition lineage + metrics"): start a per-event_type
+    HLL build, stop it after 2 partitions ("kill"), resume from the
+    checkpoint dir in a fresh job object, and report per-key estimates plus
+    partition lineage counts. Deterministic output — resumed results are
+    byte-identical to a clean run (tests/test_checkpoint.py)."""
+    import shutil
+    import tempfile
+
+    from ..state.checkpoint import CheckpointedBuild
+
+    run_dir = tempfile.mkdtemp(prefix="lfr-ckpt-", dir="/tmp")
+    try:
+        kw = dict(kind="hll", params={"p": 14}, column="user_id",
+                  key="event_type", target_rows=2048)
+        paths = [f"{sf_dir}/events.parquet"]
+        job = CheckpointedBuild(f"{run_dir}/run", paths, **kw)
+        job.run(max_partitions=2)          # interrupted mid-build
+        job2 = CheckpointedBuild(f"{run_dir}/run", paths, **kw)  # resume
+        assert job2.status()["done"] == min(2, len(job2.partitions))
+        out = job2.run()
+        m = job2.metrics()
+        rows = [{"event_type": k,
+                 "distinct_users_est": int(round(sk.estimate())),
+                 "n_partitions": int(m["partition_id"].nunique())}
+                for k, sk in out.items()]
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -329,6 +393,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "top_users_by_events": q_top_users_by_events,
     "sketch_summary_events": q_sketch_summary_events,
+    "static_xor_per_lang": q_static_xor_per_lang,
+    "checkpointed_build_resume": q_checkpointed_build_resume,
 }
 
 ORACLES: dict[str, str] = {

@@ -1,0 +1,322 @@
+"""Checkpointed, resumable sketch builds with per-partition lineage.
+
+The reference serializes filter state as flat byte dumps
+(``c/lib/block.c:20-53``); the engine extends that into a *job* contract the
+north rule requires: "resumable from checkpoint with per-partition lineage +
+metrics".
+
+Design (SURVEY.md §4.2 "checkpoint/resume"):
+
+- The input is split into deterministic **partitions** = contiguous runs of
+  parquet row-groups (row-count balanced, file order). Partition identity is
+  a pure function of the input listing, so a resumed run sees the same split.
+- Each partition is processed by one Ray task (stateless — a pure function of
+  its fragment list, so Ray retries and job resumes are both safe): read the
+  row groups -> optional transform chain -> per-key partial sketches -> write
+  ONE parquet checkpoint file ``partials/part-{pid:05d}.parquet`` atomically
+  (tmp + rename) carrying payload AND lineage:
+  ``partition_id, key, kind, params(json), seed, payload, rows_processed,
+  input_fragments(json), wall_ms, engine_version``.
+- **Resume = list the checkpoint dir, skip completed partition ids.** Only
+  missing partitions are rebuilt; the final merge re-runs idempotently from
+  the checkpoint files alone (a pure function of the directory).
+- The final merge is itself a Ray Data pipeline over the (tiny) checkpoint
+  rows: ``read_parquet(partials/) -> groupby(key) -> map_groups(merge)`` —
+  no driver-side payload concentration; scales to millions of partitions.
+
+At 100 TB: partitions are ~row-group sized (100s of MB), checkpoint rows are
+KBs, and a failed run resumes by re-listing one directory. The partials dir
+doubles as the job's metrics table (rows/sec per partition, stragglers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import __version__ as ENGINE_VERSION
+from ..sketch import registry
+from ..sketch.hashing import DEFAULT_SEED
+
+PARTIALS_DIR = "partials"
+MANIFEST = "manifest.json"
+
+
+@dataclass(frozen=True)
+class Partition:
+    """One resumable unit: a contiguous row range of one parquet file,
+    expressed as (row_group, start_row_within_group, n_rows) fragments so a
+    row group larger than `target_rows` still splits into multiple
+    partitions (and small row groups coalesce)."""
+
+    partition_id: int
+    path: str
+    fragments: tuple[tuple[int, int, int], ...]  # (rg, start, len)
+    rows: int
+
+
+def plan_partitions(paths: list[str], target_rows: int = 1 << 20) -> list[Partition]:
+    """Deterministic split of the input files into row-count-balanced
+    partitions (sorted file order -> stable ids)."""
+    parts: list[Partition] = []
+    pid = 0
+    for path in sorted(paths):
+        md = pq.read_metadata(path)
+        cur: list[tuple[int, int, int]] = []
+        cur_rows = 0
+
+        def flush():
+            nonlocal pid, cur, cur_rows
+            if cur:
+                parts.append(Partition(pid, path, tuple(cur), cur_rows))
+                pid += 1
+                cur, cur_rows = [], 0
+
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            start = 0
+            while start < n:
+                take = min(n - start, target_rows - cur_rows)
+                cur.append((rg, start, take))
+                cur_rows += take
+                start += take
+                if cur_rows >= target_rows:
+                    flush()
+        flush()
+    return parts
+
+
+def _atomic_write_table(table: pa.Table, dest: str) -> None:
+    tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, dest)  # atomic on POSIX: a crash never leaves a partial
+
+
+class _PartitionBuilder:
+    """Stateless per-partition worker: fragment list -> one checkpoint file.
+
+    Pure function of the partition spec (deterministic salt-free build), so
+    both Ray task retries and whole-job resumes produce identical bytes for
+    order-invariant sketches (BlockBloom/TaffyBlock/HLL/CMS/KLL)."""
+
+    def __init__(self, run_dir: str, kind: str, params: dict, column: str,
+                 key: str | None, seed: int,
+                 transform: Callable[[pa.Table], pa.Table] | None,
+                 read_columns: list[str] | None):
+        self.run_dir, self.kind, self.params = run_dir, kind, params
+        self.column, self.key, self.seed = column, key, seed
+        self.transform = transform
+        self.read_columns = read_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.sketch_build import _updates_from
+
+        out_rows = []
+        for row in batch.to_pylist():
+            pid = int(row["partition_id"])
+            dest = os.path.join(self.run_dir, PARTIALS_DIR,
+                                f"part-{pid:05d}.parquet")
+            if os.path.exists(dest):  # resumed + raced: already done
+                continue
+            t0 = time.perf_counter()
+            f = pq.ParquetFile(row["path"])
+            frags = [tuple(fr) for fr in row["fragments"]]
+            pieces = []
+            for rg, start, length in frags:
+                rg_table = f.read_row_group(rg, columns=self.read_columns)
+                pieces.append(rg_table.slice(start, length))
+            t = pa.concat_tables(pieces)
+            if self.transform is not None:
+                t = self.transform(t)
+            keys, payloads, counts = [], [], []
+            if self.key is None:
+                sk = registry.make(self.kind, **self.params)
+                _updates_from(t[self.column], sk, self.seed)
+                keys, payloads, counts = [""], [sk.to_bytes()], [t.num_rows]
+            else:
+                import pyarrow.compute as pc
+                keycol = t[self.key]
+                dict_arr = pc.dictionary_encode(
+                    keycol.combine_chunks()
+                    if isinstance(keycol, pa.ChunkedArray) else keycol)
+                codes = np.asarray(dict_arr.indices)
+                col = t[self.column]
+                col = col.combine_chunks() \
+                    if isinstance(col, pa.ChunkedArray) else col
+                for code in range(len(dict_arr.dictionary)):
+                    mask = codes == code
+                    sk = registry.make(self.kind, **self.params)
+                    _updates_from(col.filter(pa.array(mask)), sk, self.seed)
+                    keys.append(dict_arr.dictionary[code].as_py())
+                    payloads.append(sk.to_bytes())
+                    counts.append(int(mask.sum()))
+            wall_ms = (time.perf_counter() - t0) * 1e3
+            lineage = json.dumps({"path": row["path"],
+                                  "fragments": [list(fr) for fr in frags]})
+            ck = pa.table({
+                "partition_id": pa.array([pid] * len(keys), type=pa.int64()),
+                "key": pa.array(keys, type=pa.string()),
+                "kind": pa.array([self.kind] * len(keys)),
+                "params": pa.array([json.dumps(self.params)] * len(keys)),
+                "seed": pa.array([self.seed] * len(keys), type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+                "rows_processed": pa.array(counts, type=pa.int64()),
+                "input_fragments": pa.array([lineage] * len(keys)),
+                "wall_ms": pa.array([wall_ms] * len(keys), type=pa.float64()),
+                "engine_version": pa.array([ENGINE_VERSION] * len(keys)),
+            })
+            _atomic_write_table(ck, dest)
+            out_rows.append({"partition_id": pid, "rows": t.num_rows,
+                             "wall_ms": wall_ms})
+        if not out_rows:
+            out_rows = []
+        return pa.table({
+            "partition_id": pa.array([r["partition_id"] for r in out_rows],
+                                     type=pa.int64()),
+            "rows": pa.array([r["rows"] for r in out_rows], type=pa.int64()),
+            "wall_ms": pa.array([r["wall_ms"] for r in out_rows],
+                                type=pa.float64()),
+        })
+
+
+class CheckpointedBuild:
+    """A resumable distributed sketch-build job over parquet inputs.
+
+    >>> job = CheckpointedBuild(run_dir, paths, kind="block",
+    ...                         params={"bytes_": 4096}, column="url",
+    ...                         key="lang")
+    >>> job.run()              # builds missing partitions, returns merged
+    >>> job.status()           # {"total": ..., "done": ..., "pending": [...]}
+
+    ``run()`` after a crash (or a deliberate ``max_partitions`` cut) skips
+    finished partitions — the kill-and-resume test asserts byte-identity with
+    a clean single-shot build.
+    """
+
+    def __init__(self, run_dir: str, input_paths: list[str], *, kind: str,
+                 params: dict | None = None, column: str,
+                 key: str | None = None, seed: int = DEFAULT_SEED,
+                 target_rows: int = 1 << 20,
+                 transform: Callable[[pa.Table], pa.Table] | None = None,
+                 read_columns: list[str] | None = None):
+        self.run_dir = run_dir
+        self.kind, self.params = kind, dict(params or {})
+        self.column, self.key, self.seed = column, key, seed
+        self.transform, self.read_columns = transform, read_columns
+        os.makedirs(os.path.join(run_dir, PARTIALS_DIR), exist_ok=True)
+        self.partitions = plan_partitions(input_paths, target_rows)
+        self._write_manifest()
+
+    def _write_manifest(self) -> None:
+        path = os.path.join(self.run_dir, MANIFEST)
+        if os.path.exists(path):
+            return  # resume: manifest is immutable for the run
+        manifest = {
+            "kind": self.kind, "params": self.params, "column": self.column,
+            "key": self.key, "seed": self.seed,
+            "engine_version": ENGINE_VERSION,
+            "partitions": [{"partition_id": p.partition_id, "path": p.path,
+                            "fragments": [list(fr) for fr in p.fragments],
+                            "rows": p.rows}
+                           for p in self.partitions],
+        }
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, path)
+
+    # -- progress ----------------------------------------------------------
+    def done_ids(self) -> set[int]:
+        d = os.path.join(self.run_dir, PARTIALS_DIR)
+        out = set()
+        for name in os.listdir(d):
+            if name.startswith("part-") and name.endswith(".parquet"):
+                out.add(int(name[5:10]))
+        return out
+
+    def status(self) -> dict:
+        done = self.done_ids()
+        pending = [p.partition_id for p in self.partitions
+                   if p.partition_id not in done]
+        return {"total": len(self.partitions), "done": len(done),
+                "pending": pending}
+
+    # -- execution ---------------------------------------------------------
+    def build_partials(self, max_partitions: int | None = None) -> int:
+        """Build (only) the missing partitions; returns how many were built.
+        `max_partitions` deliberately stops early — the test hook for
+        simulating a killed job."""
+        import ray.data
+
+        done = self.done_ids()
+        pending = [p for p in self.partitions if p.partition_id not in done]
+        if max_partitions is not None:
+            pending = pending[:max_partitions]
+        if not pending:
+            return 0
+        items = [{"partition_id": p.partition_id, "path": p.path,
+                  "fragments": [list(fr) for fr in p.fragments]}
+                 for p in pending]
+        builder = _PartitionBuilder(self.run_dir, self.kind, self.params,
+                                    self.column, self.key, self.seed,
+                                    self.transform, self.read_columns)
+        (ray.data.from_items(items, override_num_blocks=len(items))
+         .map_batches(builder, batch_format="pyarrow", batch_size=1)
+         .materialize())
+        return len(pending)
+
+    def merge(self):
+        """Idempotent final merge, pure function of the checkpoint dir:
+        read_parquet(partials/) -> groupby(key) -> map_groups(merge).
+        Returns {key: sketch} (key "" when ungrouped)."""
+        import pandas as pd
+
+        import ray.data
+
+        cls = registry.get(self.kind)
+        ds = ray.data.read_parquet(
+            os.path.join(self.run_dir, PARTIALS_DIR),
+            columns=["key", "payload", "rows_processed"])
+
+        def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+            acc = cls.from_bytes(df["payload"].iloc[0])
+            for p in df["payload"].iloc[1:]:
+                acc = acc.merge(cls.from_bytes(p))
+            return pd.DataFrame({"key": [df["key"].iloc[0]],
+                                 "payload": [acc.to_bytes()],
+                                 "rows": [int(df["rows_processed"].sum())]})
+
+        out = ds.groupby("key").map_groups(
+            merge_group, batch_format="pandas").to_pandas()
+        return {row["key"]: cls.from_bytes(row["payload"])
+                for _, row in out.iterrows()}
+
+    def run(self, max_partitions: int | None = None):
+        self.build_partials(max_partitions)
+        if self.status()["pending"]:
+            return None  # interrupted (test hook) — resume later
+        return self.merge()
+
+    def metrics(self) -> "pd.DataFrame":  # noqa: F821
+        """Per-partition lineage + timing table straight from the checkpoint
+        files (the job's observability surface)."""
+        import pandas as pd
+
+        d = os.path.join(self.run_dir, PARTIALS_DIR)
+        frames = [pq.read_table(os.path.join(d, f),
+                                columns=["partition_id", "key",
+                                         "rows_processed", "wall_ms",
+                                         "input_fragments", "engine_version"])
+                  .to_pandas()
+                  for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)

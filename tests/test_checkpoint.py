@@ -1,0 +1,89 @@
+"""Checkpoint/resume: per-partition lineage, kill-and-resume equivalence
+(north rule: "resumable from checkpoint with per-partition lineage +
+metrics")."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from libfilter_ray.state.checkpoint import (CheckpointedBuild, PARTIALS_DIR,
+                                            plan_partitions)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture()
+def events_parquet():
+    return [f"{SF}/events.parquet"]
+
+
+def test_plan_partitions_deterministic(events_parquet):
+    a = plan_partitions(events_parquet, target_rows=2048)
+    b = plan_partitions(events_parquet, target_rows=2048)
+    assert a == b
+    assert sum(p.rows for p in a) == pq.read_metadata(events_parquet[0]).num_rows
+    assert [p.partition_id for p in a] == list(range(len(a)))
+
+
+def test_build_merge_and_metrics(tmp_path, events_parquet, ray_session):
+    job = CheckpointedBuild(str(tmp_path / "run"), events_parquet,
+                            kind="hll", params={"p": 12}, column="user_id",
+                            key="event_type", target_rows=2048)
+    out = job.run()
+    assert out is not None and len(out) >= 2
+    # estimates within HLL bound vs exact distinct counts
+    import duckdb
+    exact = duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) n FROM "
+        f"read_parquet('{events_parquet[0]}') GROUP BY event_type").df()
+    for _, r in exact.iterrows():
+        est = out[r["event_type"]].estimate()
+        assert abs(est - r["n"]) / r["n"] < 5 * 1.04 / np.sqrt(1 << 12)
+    m = job.metrics()
+    assert {"partition_id", "key", "rows_processed", "wall_ms",
+            "input_fragments", "engine_version"} <= set(m.columns)
+    frag = json.loads(m["input_fragments"].iloc[0])
+    assert frag["path"].endswith("events.parquet")
+
+
+def test_kill_and_resume_byte_identity(tmp_path, events_parquet, ray_session):
+    """Interrupted build + resume == clean single-shot build, byte-for-byte
+    (BlockBloom partial-OR merge is order invariant, SURVEY.md §2.9)."""
+    kw = dict(kind="block", params={"bytes_": 4096}, column="user_id",
+              target_rows=2048)
+    clean = CheckpointedBuild(str(tmp_path / "clean"), events_parquet, **kw)
+    ref = clean.run()[""]
+
+    job = CheckpointedBuild(str(tmp_path / "resume"), events_parquet, **kw)
+    assert len(job.partitions) >= 3
+    assert job.run(max_partitions=2) is None  # "killed" mid-job
+    st = job.status()
+    assert st["done"] == 2 and st["pending"]
+
+    # fresh object, same run dir — as a restarted driver would do
+    job2 = CheckpointedBuild(str(tmp_path / "resume"), events_parquet, **kw)
+    assert job2.status()["done"] == 2  # picked up the checkpoint
+    out = job2.run()[""]
+    assert out.to_bytes() == ref.to_bytes()
+    # completed partitions were not rebuilt: file mtimes of the first two
+    # checkpoint files predate the resume (cheap sanity: ids all present once)
+    files = sorted(os.listdir(tmp_path / "resume" / PARTIALS_DIR))
+    assert len(files) == len(job2.partitions)
+
+
+def test_grouped_resume_matches_clean(tmp_path, events_parquet, ray_session):
+    kw = dict(kind="cms", params={"width": 1024, "depth": 4},
+              column="user_id", key="event_type", target_rows=2048)
+    ref = CheckpointedBuild(str(tmp_path / "c"), events_parquet, **kw).run()
+    job = CheckpointedBuild(str(tmp_path / "r"), events_parquet, **kw)
+    job.run(max_partitions=1)
+    out = CheckpointedBuild(str(tmp_path / "r"), events_parquet, **kw).run()
+    assert set(out) == set(ref)
+    for k in ref:
+        assert out[k].to_bytes() == ref[k].to_bytes()
