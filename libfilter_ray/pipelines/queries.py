@@ -382,6 +382,239 @@ def q_checkpointed_build_resume(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Training-data operators (dedup / ANN / text analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+def q_text_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-lang text analysis (token counting incl. BPE-ish regex, punct) —
+    RE2 patterns evaluated identically by pyarrow and the DuckDB oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import text_stats_stage
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    stats = ds.map_batches(text_stats_stage, batch_format="pyarrow")
+    out = stats.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Sum("n_bpe_tokens", alias_name="sum_bpe_tokens"),
+    ).to_pandas()
+    for c in ("n_docs", "sum_tokens", "sum_bpe_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_TEXT_STATS = r"""
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_extract_all(text, '\S+')) END)::BIGINT
+           AS sum_tokens,
+       sum(len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ÖØ-öø-ÿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ÖØ-öø-ÿ0-9]+')))::BIGINT
+           AS sum_bpe_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup over a corpus with planted duplicates (documents UNION
+    its copy at doc_id+100000): hash-partitioned min-id survivor per distinct
+    text, wide columns filtered by broadcast survivor set (never shuffled)."""
+    from ..stages.dedup import exact_dedup
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def clone_shift(t: pa.Table) -> pa.Table:
+        shifted = t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(np.asarray(t["doc_id"], dtype=np.int64) + 100000,
+                     type=pa.int64()))
+        return pa.concat_tables([t, shifted])
+
+    dup = base.map_batches(clone_shift, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    out = exact_dedup(dup, "text", "doc_id").groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("doc_id", alias_name="sum_ids"),
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_ids"] = out["sum_ids"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_EXACT_DEDUP = """
+WITH u AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang FROM documents
+), keep AS (SELECT min(doc_id) AS keep_id FROM u GROUP BY text)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+FROM u WHERE doc_id IN (SELECT keep_id FROM keep)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_ann_topk_brute(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed cosine top-5: queries = the 3 lowest-vec_id
+    embeddings, broadcast once; per-block partial top-k then exact merge.
+    float64 kernel for bit-parity with the double-precision SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import brute_topk
+
+    emb = _read(sf_dir, "embeddings")
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    Q = np.stack([np.asarray(v) for v in qtab["embedding"].to_pylist()])
+    qids = np.asarray(qtab["vec_id"]).astype(np.int64)
+    out = brute_topk(emb, Q, k=5, dtype=np.float64)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    out = out.drop(columns=["cosine"])  # float tie-breaks live in `rank`
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 3)
+SELECT qid AS query_id, vec_id AS neighbor_id, rnk::BIGINT AS rank
+FROM (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                    e.vec_id ASC) AS rnk
+  FROM embeddings e CROSS JOIN q)
+WHERE rnk <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate top-k (the ANN scale path): driver-trained centroids
+    broadcast, per-batch assignment + masked scoring. No SQL oracle —
+    recall vs brute force is asserted in tests/test_training_ops.py."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import ivf_topk
+
+    emb = _read(sf_dir, "embeddings")
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    Q = np.stack([np.asarray(v) for v in qtab["embedding"].to_pylist()])
+    out = ivf_topk(emb, Q, k=5, num_centroids=16, nprobe=8)
+    out["cosine"] = out["cosine"].round(4)
+    return out.reset_index(drop=True)
+
+
+def q_minhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup detection over documents with planted near
+    duplicates (each doc cloned at +100000 with a token appended). Returns
+    confirmed pairs (exact Jaccard >= 0.6). Approximate recall — bounds
+    asserted in tests, no SQL oracle."""
+    from ..stages.dedup import minhash_near_dup_pairs
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        near = pa.table({
+            "doc_id": pa.array(ids + 100000, type=pa.int64()),
+            "text": pc.binary_join_element_wise(
+                t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+                else t["text"],
+                pa.array([" appended tail token"] * len(ids)), ""),
+        })
+        return pa.concat_tables([t, near])
+
+    dup = base.map_batches(plant, batch_format="pyarrow")
+    pairs = minhash_near_dup_pairs(dup, "text", "doc_id", threshold=0.6)
+    pairs["jaccard"] = pairs["jaccard"].round(3)
+    pairs["id_a"] = pairs["id_a"].astype("int64")
+    pairs["id_b"] = pairs["id_b"].astype("int64")
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_simhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 via 4x16-bit pigeonhole bands)
+    over documents + planted exact copies. No SQL oracle (bit-level op)."""
+    from ..stages.dedup import simhash_near_dup_pairs
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        clone = pa.table({"doc_id": pa.array(ids + 100000, type=pa.int64()),
+                          "text": t["text"]})
+        return pa.concat_tables([t, clone])
+
+    dup = base.map_batches(plant, batch_format="pyarrow")
+    pairs = simhash_near_dup_pairs(dup, "text", "doc_id", max_hamming=3)
+    pairs["id_a"] = pairs["id_a"].astype("int64")
+    pairs["id_b"] = pairs["id_b"].astype("int64")
+    pairs["hamming"] = pairs["hamming"].astype("int64")
+    return pairs.reset_index(drop=True)
+
+
+def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
+    in-bucket exact verification. The raw synthetic embeddings have no true
+    near-dups, so each vector is re-planted at vec_id+100000 with
+    deterministic tiny noise — every planted pair must be recovered (modulo
+    LSH's probabilistic recall). No SQL oracle."""
+    from ..stages.dedup import embedding_near_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        col = t["embedding"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        X = np.asarray(col.values, dtype=np.float32).reshape(len(ids), -1)
+        noise = np.random.default_rng(ids[0] if len(ids) else 0) \
+            .normal(0, 0.002, X.shape).astype(np.float32)
+        near = pa.table({
+            "vec_id": pa.array(ids + 100000, type=pa.int64()),
+            "embedding": pa.array([[float(x) for x in row]
+                                   for row in X + noise],
+                                  type=pa.list_(pa.float32())),
+        })
+        return pa.concat_tables([t.select(["vec_id", "embedding"])
+                                 .cast(near.schema), near])
+
+    dup = emb.map_batches(plant, batch_format="pyarrow")
+    pairs = embedding_near_dup_pairs(dup, "embedding", "vec_id", dim=64,
+                                     threshold=0.98, num_planes=10)
+    pairs["cosine"] = pairs["cosine"].round(3)
+    pairs["id_a"] = pairs["id_a"].astype("int64")
+    pairs["id_b"] = pairs["id_b"].astype("int64")
+    return pairs.reset_index(drop=True)
+
+
+def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing demo: attach deterministic binary image payloads,
+    extract features in an actor-pool stage (decode stubbed — no codecs in
+    this environment), aggregate per lang. Rows-only check (payloads are
+    engine-synthesized)."""
+    from ray.data.aggregate import Count, Mean
+
+    from ..stages.multimodal import ImageFeatureStage, attach_fake_images
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    feats = ds.map_batches(attach_fake_images, batch_format="pyarrow",
+                           batch_size=256) \
+        .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                     batch_size=256, concurrency=2)
+    out = feats.groupby("lang").aggregate(
+        Count(alias_name="n_images"),
+        Mean("image_bytes", alias_name="avg_bytes"),
+    ).to_pandas()
+    out["n_images"] = out["n_images"].astype("int64")
+    out["avg_bytes"] = out["avg_bytes"].round(2)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -395,6 +628,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sketch_summary_events": q_sketch_summary_events,
     "static_xor_per_lang": q_static_xor_per_lang,
     "checkpointed_build_resume": q_checkpointed_build_resume,
+    "text_stats_by_lang": q_text_stats_by_lang,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "ann_topk_brute": q_ann_topk_brute,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -405,4 +646,7 @@ ORACLES: dict[str, str] = {
     "distinct_users_by_type": SQL_DISTINCT_USERS,
     "value_quantiles_by_type": SQL_VALUE_QUANTILES,
     "top_users_by_events": SQL_TOP_USERS,
+    "text_stats_by_lang": SQL_TEXT_STATS,
+    "exact_dedup_docs": SQL_EXACT_DEDUP,
+    "ann_topk_brute": SQL_ANN_TOPK,
 }

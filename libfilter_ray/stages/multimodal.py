@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by actor-pool map_batches stages.
+
+The container has no image/audio codecs, so the *decode* kernels are stubbed
+(deterministic fake features, or NotImplementedError for the real path) —
+but every Ray-side piece is real and tested: schema, small-batch sizing for
+wide binary rows, actor `__init__` setup-once contract, zero-copy buffer
+access via Arrow offsets, and the output layout.
+
+At 100 TB: binary payloads dominate block size — callers must cap
+`batch_size` (here default 256) and drop the payload column immediately
+after feature extraction (`select_columns`), exactly like the html column in
+the extract stage (SURVEY.md §7.4 "wide records").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sketch.hashing import splitmix64
+
+IMAGE_META_TYPE = pa.struct([("width", pa.int32()), ("height", pa.int32()),
+                             ("format", pa.string())])
+
+
+def attach_fake_images(t: pa.Table, *, id_column: str = "doc_id",
+                       min_bytes: int = 256, max_bytes: int = 4096) -> pa.Table:
+    """Deterministic synthetic `image` binary column + `image_meta` struct —
+    stands in for real WARC/JPEG payloads; pure function of the id column so
+    any task/retry produces identical bytes. Vectorized: one RNG stream per
+    batch, sliced by per-row offsets."""
+    ids = np.asarray(t[id_column].combine_chunks()
+                     if isinstance(t[id_column], pa.ChunkedArray)
+                     else t[id_column]).astype(np.int64)
+    n = len(ids)
+    sizes = (splitmix64(ids.view(np.uint64), seed=0x1A6E)
+             % np.uint64(max_bytes - min_bytes)).astype(np.int64) + min_bytes
+    # one deterministic byte stream per row: splitmix64 counter mode keyed by
+    # the row id, expanded 8 bytes at a time, truncated to `sizes`
+    total = int(sizes.sum())
+    row_of = np.repeat(np.arange(n), sizes)
+    pos = np.arange(total) - np.repeat(np.cumsum(sizes) - sizes, sizes)
+    words = splitmix64(ids.view(np.uint64)[row_of] ^ (pos // 8).astype(np.uint64),
+                       seed=0xB17E5)
+    data = (words >> np.uint64(8) * (pos % 8).astype(np.uint64)).astype(np.uint8)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    img = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(offsets.tobytes()),
+                               pa.py_buffer(data.tobytes())])
+    w = (splitmix64(ids.view(np.uint64), seed=3) % np.uint64(1920)).astype(np.int32) + 32
+    h = (splitmix64(ids.view(np.uint64), seed=4) % np.uint64(1080)).astype(np.int32) + 32
+    meta = pa.StructArray.from_arrays(
+        [pa.array(w), pa.array(h),
+         pa.array(np.where(ids % 2 == 0, "jpeg", "png").tolist())],
+        fields=list(IMAGE_META_TYPE))
+    return t.append_column("image", img).append_column("image_meta", meta)
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: binary image column -> fixed-width feature vector.
+
+    Real decode is NOT available in this container — `codec="real"` raises
+    NotImplementedError at actor construction (fail fast, once per actor,
+    not per batch). The default deterministic fake computes a 16-bin byte
+    histogram per payload, fully vectorized via Arrow offsets +
+    np.add.at scatter — the Ray plumbing (setup-once __init__, zero-copy
+    buffer walk, output schema) is exactly what a real decoder needs.
+
+    Use: ds.map_batches(ImageFeatureStage, batch_size=256, concurrency=N)
+    """
+
+    NUM_BINS = 16
+
+    def __init__(self, codec: str = "fake-histogram"):
+        if codec == "real":
+            raise NotImplementedError(
+                "no image codec in this environment; install pillow/opencv "
+                "and implement decode() — the surrounding Ray plumbing is "
+                "complete")
+        self.codec = codec  # a real stage would load the model/codec HERE
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["image"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        buffers = col.buffers()
+        off_dtype = np.int64 if col.type == pa.large_binary() else np.int32
+        offsets = np.frombuffer(buffers[1], dtype=off_dtype,
+                                count=len(col) + col.offset + 1)[col.offset:]
+        data = np.frombuffer(buffers[2], dtype=np.uint8)
+        n = len(col)
+        sizes = np.diff(offsets).astype(np.int64)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        hist = np.zeros((n, self.NUM_BINS), dtype=np.int64)
+        np.add.at(hist, (row_of,
+                         (data[offsets[0]:offsets[-1]] >> 4).astype(np.int64)),
+                  1)
+        feat = hist / np.maximum(sizes, 1)[:, None]
+        flat = pa.array(feat.astype(np.float32).ravel(), type=pa.float32())
+        features = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * self.NUM_BINS, self.NUM_BINS),
+                     type=pa.int64()), flat)
+        out = t.drop_columns(["image"])  # wide payload dies here
+        return out.append_column("image_features", features) \
+            .append_column("image_bytes", pa.array(sizes, type=pa.int64()))
+
+
+def frame_sample_stage(t: pa.Table, *, every: int = 4,
+                       column: str = "image") -> pa.Table:
+    """'Video' frame-sampling stub: treat each binary payload as a sequence
+    of 64-byte frames and keep every `every`-th — demonstrates the
+    offset-arithmetic layout a real frame sampler would use. Output:
+    `frames` large_binary (concatenated kept frames) + `n_frames` int64."""
+    col = t[column]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    frames_out, counts = [], []
+    for i in range(len(col)):  # stub: per-row; real path is a codec call
+        buf = col[i].as_py() or b""
+        kept = b"".join(buf[j:j + 64] for j in range(0, len(buf), 64 * every))
+        frames_out.append(kept)
+        counts.append((len(buf) + 63) // 64)
+    return t.append_column("frames", pa.array(frames_out,
+                                              type=pa.large_binary())) \
+        .append_column("n_frames", pa.array(counts, type=pa.int64()))

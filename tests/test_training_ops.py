@@ -1,0 +1,306 @@
+"""Training-data operators: text analysis, dedup family, ANN, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# shingles / fingerprints (pure kernels)
+# ---------------------------------------------------------------------------
+
+def test_shingle_hashes_match_direct():
+    """Windowed prefix-sum shingle hashes == hashing each shingle substring
+    directly through hash_arrow_array-equivalent machinery."""
+    from libfilter_ray.functions.shingles import shingle_hashes
+    from libfilter_ray.sketch.hashing import _hash_buffer
+
+    texts = ["abcdefg", "xy", "", "hello world"]
+    arr = pa.array(texts)
+    flat, splits = shingle_hashes(arr, k=3, seed=99)
+    # reference: hash every 3-byte substring standalone
+    for i, s in enumerate(texts):
+        b = s.encode()
+        shingles = [b[j:j + 3] for j in range(max(len(b) - 2, 1))] \
+            if b else [b""]
+        got = flat[splits[i]:splits[i + 1]]
+        assert len(got) == len(shingles)
+        for j, sh in enumerate(shingles):
+            data = np.frombuffer(sh, dtype=np.uint8)
+            want = _hash_buffer(data, np.array([0]), np.array([len(sh)]), 99)[0]
+            assert got[j] == want, (i, j, sh)
+
+
+def test_minhash_jaccard_correlation(rng):
+    """MinHash signature agreement estimates Jaccard within ~1/sqrt(perm)."""
+    from libfilter_ray.functions.shingles import (jaccard_pairwise,
+                                                  minhash_signatures)
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    variants = [base, base.replace("quick", "slow"),
+                base[: len(base) // 2], "completely different text entirely"]
+    arr = pa.array(variants)
+    sig = minhash_signatures(arr, k=5, num_perm=256)
+    for i in range(1, 4):
+        est = float((sig[0] == sig[i]).mean())
+        true = float(jaccard_pairwise(arr.slice(0, 1),
+                                      arr.slice(i, 1), k=5)[0])
+        assert abs(est - true) < 3.5 / np.sqrt(256) + 0.02, (i, est, true)
+
+
+def test_simhash_locality():
+    from libfilter_ray.functions.shingles import hamming64, simhash64
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    arr = pa.array([base, base.replace("dog", "cat", 1),
+                    "utterly unrelated content about databases and sketches"])
+    sh = simhash64(arr)
+    near = hamming64(sh[:1], sh[1:2])[0]
+    far = hamming64(sh[:1], sh[2:3])[0]
+    assert near < far
+    assert near <= 10
+    assert far >= 15
+
+
+def test_winnow_fingerprint_stability():
+    from libfilter_ray.functions.shingles import winnow_fingerprints
+
+    a = "identical document body " * 10
+    arr = pa.array([a, a, a + "!"])
+    fp = winnow_fingerprints(arr)
+    assert fp[0] == fp[1]
+    assert fp[0] != 0
+
+
+# ---------------------------------------------------------------------------
+# text stats / language id
+# ---------------------------------------------------------------------------
+
+def test_token_counts_and_quality():
+    from libfilter_ray.functions.textstats import (quality_stats,
+                                                   token_counts)
+
+    arr = pa.array(["one two three", "", "hi!, there: ok."])
+    assert token_counts(arr).tolist() == [3, 0, 3]
+    st = quality_stats(arr)
+    assert st["n_tokens"].tolist() == [3, 0, 3]
+    assert st["punct_ratio"][2] > 0
+    assert 0.0 <= st["quality_score"].min() <= st["quality_score"].max() <= 1.0
+
+
+def test_lang_id_on_real_language_snippets():
+    """The corpus's lang column is synthetic (same vocab for all langs), so
+    accuracy is asserted on genuine-language fixtures instead."""
+    from libfilter_ray.functions.textstats import lang_id
+
+    fixtures = {
+        "en": "the cat sat on the mat and it was happy with the sun",
+        "de": "der Hund ist nicht mit der Katze und das ist ein Problem",
+        "es": "el perro es grande y la casa es pequeña en la ciudad",
+        "fr": "le chien est dans la maison et le chat est pour un ami",
+        "zh": "今天天气很好我们一起去公园散步吧",
+    }
+    pred = lang_id(pa.array(list(fixtures.values()))).to_pylist()
+    assert pred == list(fixtures)
+    assert lang_id(pa.array(["zzz qqq xxx"])).to_pylist() == ["und"]
+
+
+def test_text_stats_stage_over_dataset(ray_session):
+    from libfilter_ray.functions.textstats import text_stats_stage
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(text_stats_stage, batch_format="pyarrow").to_pandas()
+    assert {"n_tokens", "quality_score", "lang_pred", "content_hash",
+            "winnow_fp", "n_bpe_tokens"} <= set(out.columns)
+    assert len(out) == 500
+    assert (out["n_bpe_tokens"] >= out["n_tokens"]).all()
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def dup_docs(ray_session):
+    """documents ++ exact copies (ids +10000) ++ near copies (ids +20000,
+    one word appended)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).slice(0, 120)
+    ids = np.asarray(t["doc_id"]).astype(np.int64)
+    texts = t["text"].to_pylist()
+    exact = pa.table({"doc_id": pa.array(ids + 10000),
+                      "text": pa.array(texts)})
+    near = pa.table({"doc_id": pa.array(ids[:40] + 20000),
+                     "text": pa.array([s + " appended tail token"
+                                       for s in texts[:40]])})
+    full = pa.concat_tables([t, exact, near])
+    return ray.data.from_arrow(full)
+
+
+def test_exact_dedup(dup_docs):
+    from libfilter_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(dup_docs, "text", "doc_id").to_pandas()
+    assert len(out) == 120 + 40  # exact copies gone, near copies kept
+    assert (out["doc_id"] < 10000).sum() == 120  # min-id survivor
+    assert set(out.loc[out["doc_id"] >= 10000, "doc_id"] - 20000) == \
+        set(range(40))
+
+
+def test_minhash_lsh_near_dup(dup_docs):
+    from libfilter_ray.stages.dedup import (minhash_near_dup_pairs,
+                                            near_dup_dedup)
+
+    pairs = minhash_near_dup_pairs(dup_docs, "text", "doc_id",
+                                   threshold=0.6)
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    # every planted pair (i, i+10000) and (i, i+20000) i<40 must be found:
+    # LSH with 16 bands of 8 rows has ~100% recall at jaccard >= 0.9
+    for i in range(40):
+        assert (i, i + 10000) in found, f"exact pair {i} missed"
+        assert (i, i + 20000) in found, f"near pair {i} missed"
+    assert (pairs["jaccard"] >= 0.6).all()
+    deduped = near_dup_dedup(dup_docs, pairs, "doc_id").to_pandas()
+    # all exact copies and all near copies collapse to the base doc
+    assert not set(deduped["doc_id"]) & {i + 20000 for i in range(40)}
+    assert len(deduped) <= 120
+
+
+def test_simhash_near_dup(dup_docs):
+    from libfilter_ray.stages.dedup import simhash_near_dup_pairs
+
+    pairs = simhash_near_dup_pairs(dup_docs, "text", "doc_id",
+                                   max_hamming=3)
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    for i in range(40):
+        assert (i, i + 10000) in found  # identical text => hamming 0
+    hits = sum((i, i + 20000) in found for i in range(40))
+    assert hits >= 20  # near copies: most within hamming<=3
+
+
+def test_embedding_near_dup(ray_session):
+    from libfilter_ray.stages.dedup import embedding_near_dup_pairs
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").slice(0, 200)
+    vecs = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+    ids = np.asarray(t["vec_id"]).astype(np.int64)
+    # plant near-duplicates: rows 0..19 re-appear (ids+5000) with tiny noise
+    noisy = vecs[:20] + np.random.default_rng(3).normal(
+        0, 0.002, vecs[:20].shape).astype(np.float32)
+    allv = np.concatenate([vecs, noisy])
+    allid = np.concatenate([ids, ids[:20] + 5000])
+    tab = pa.table({
+        "vec_id": pa.array(allid),
+        "embedding": pa.array([list(map(float, v)) for v in allv],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tab)
+    pairs = embedding_near_dup_pairs(ds, "embedding", "vec_id", dim=64,
+                                     threshold=0.98, num_planes=10)
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    hits = sum((int(ids[i]), int(ids[i] + 5000)) in found for i in range(20))
+    assert hits >= 16  # probabilistic recall of hyperplane LSH
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+def test_brute_topk_matches_numpy_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    from libfilter_ray.stages.ann import brute_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()]) \
+        .astype(np.float32)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Q = Xn[:3]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    out = brute_topk(ds, Q, k=5)
+    assert len(out) == 15
+    sim = Xn @ Q.T
+    for qi in range(3):
+        order = np.lexsort((np.arange(len(Xn)), -sim[:, qi]))[:5]
+        got = out.loc[out["query_id"] == qi, "neighbor_id"].tolist()
+        assert got == [int(t["vec_id"][i].as_py()) for i in order]
+
+
+def test_ivf_recall_vs_brute(ray_session):
+    from libfilter_ray.stages.ann import brute_topk, ivf_topk
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()]) \
+        .astype(np.float32)
+    Q = X[10:20]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    exact = brute_topk(ds, Q, k=10)
+    approx = ivf_topk(ds, Q, k=10, num_centroids=16, nprobe=8)
+    recalls = []
+    for qi in range(10):
+        e = set(exact.loc[exact["query_id"] == qi, "neighbor_id"])
+        a = set(approx.loc[approx["query_id"] == qi, "neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    # these synthetic embeddings are near-isotropic (worst case for IVF —
+    # true neighbors scatter across lists), so the bar is recall >= 0.7 at
+    # nprobe/num_centroids = 1/2; structured corpora do far better
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_feature_stage(ray_session):
+    from libfilter_ray.stages.multimodal import (ImageFeatureStage,
+                                                 attach_fake_images)
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    pages = ds.map_batches(attach_fake_images, batch_format="pyarrow",
+                           batch_size=256)
+    feats = pages.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                              batch_size=256, concurrency=2).to_pandas()
+    assert len(feats) == 500
+    assert "image" not in feats.columns  # payload dropped after extraction
+    f0 = np.asarray(feats["image_features"].iloc[0])
+    assert f0.shape == (16,) and abs(f0.sum() - 1.0) < 1e-5
+    # determinism: same doc_id -> same features on a rebuilt pipeline
+    feats2 = ds.map_batches(attach_fake_images, batch_format="pyarrow") \
+        .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                     concurrency=2).to_pandas()
+    a = feats.sort_values("doc_id")["image_bytes"].to_numpy()
+    b = feats2.sort_values("doc_id")["image_bytes"].to_numpy()
+    assert np.array_equal(a, b)
+
+
+def test_real_codec_raises():
+    from libfilter_ray.stages.multimodal import ImageFeatureStage
+
+    with pytest.raises(NotImplementedError):
+        ImageFeatureStage(codec="real")
+
+
+def test_frame_sample_stub():
+    from libfilter_ray.stages.multimodal import (attach_fake_images,
+                                                 frame_sample_stage)
+
+    t = pa.table({"doc_id": pa.array(np.arange(8, dtype=np.int64))})
+    t = attach_fake_images(t)
+    out = frame_sample_stage(t, every=4)
+    assert out["n_frames"].to_pylist() == \
+        [(len(b.as_py()) + 63) // 64 for b in t["image"]]
