@@ -39,8 +39,11 @@ def run_bench() -> dict:
     import ray
 
     if not ray.is_initialized():
+        # modest object store: sf0.1 blocks total ~100MB; a default-sized
+        # (tens of GB) plasma mmap pays first-touch page faults at this
+        # microVM's ~10-50 MB/s and dominates wall time with huge variance
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", object_store_memory=4 << 30)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -55,20 +58,34 @@ def run_bench() -> dict:
 
     _warm_cache()
 
-    # untimed warm pipeline: spawns + warms worker processes (imports, heap)
-    # so the timed runs measure compute, not cold-start (see _alloc.py)
-    import numpy as _np
+    # untimed warm pipeline: spawns + warms worker processes (library
+    # imports, heap pages) so timed runs measure compute, not cold-start
+    def _warm(b):
+        import numpy as _np
+
+        from libfilter_ray.sketch import block_bloom, hashing  # noqa: F401
+        from libfilter_ray.sources import webpages  # noqa: F401
+        from libfilter_ray.stages import sketch_build  # noqa: F401
+        return {"x": _np.asarray(b["id"])}
 
     ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
-        lambda b: {"x": _np.asarray(b["id"])}, batch_size=1).materialize()
+        _warm, batch_size=1).materialize()
 
     n_docs = None
     timings: dict[str, float] = {}
 
+    # min-of-N protocol, as the reference's own benchmarks use ("min of 9
+    # runs", doc/taffy/taffy.tex:1591-1604) — this microVM's page-reclaim
+    # background activity adds multi-second noise to single runs
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+
     def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn(SF_DIR)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, out = float("inf"), None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(SF_DIR)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         return out
 
     # headline: flagship per-lang BlockBloom build over synthesized web pages
@@ -78,7 +95,7 @@ def run_bench() -> dict:
     replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "20"))
     flag = timed("flagship_block_bloom",
                  lambda sf: flagship(sf, replicate=replicate,
-                                     parallelism=NUM_CPUS * 4))
+                                     parallelism=NUM_CPUS * 2))
     n_docs = int(flag["rows"].sum())
 
     timed("sketch_summary_events", q.q_sketch_summary_events)
@@ -86,6 +103,9 @@ def run_bench() -> dict:
     timed("bloom_semijoin", q.q_bloom_semijoin)
     timed("distinct_users_by_type", q.q_distinct_users_by_type)
     timed("growable_filters_per_lang", q.q_growable_filters_per_lang)
+    timed("text_stats_by_lang", q.q_text_stats_by_lang)
+    timed("exact_dedup_docs", q.q_exact_dedup_docs)
+    timed("ann_topk_brute", q.q_ann_topk_brute)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)

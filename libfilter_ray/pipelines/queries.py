@@ -288,26 +288,30 @@ def q_growable_filters_per_lang(sf_dir: str) -> pd.DataFrame:
     from ..sketch.taffy_block import TaffyBlock
     from ..sketch.taffy_cuckoo import TaffyCuckoo
     from ..sources.webpages import read_webpages
-    from ..stages.sketch_build import build_grouped_sketches
+    from ..stages.sketch_build import build_grouped_multi
 
-    tbf = build_grouped_sketches(read_webpages(sf_dir), "lang", "url",
-                                 "taffy_block", {"ndv": 256, "fpp": 0.01})
-    tcf = build_grouped_sketches(read_webpages(sf_dir), "lang", "url",
-                                 "taffy_cuckoo", {"bytes_": 1024})
+    # ONE read + ONE shuffle builds both growable filters (multi-spec pass).
+    # Coarse blocks (repartition 8): TCF union cost scales with partial
+    # count, and partials here are per-block per-lang python-merge objects.
+    pages_ds = read_webpages(sf_dir, include_html=False) \
+        .select_columns(["url", "lang"]).repartition(8)
+    grouped = build_grouped_multi(pages_ds, "lang", [
+        ("tbf", "taffy_block", {"ndv": 256, "fpp": 0.01}, "url"),
+        ("tcf", "taffy_cuckoo", {"bytes_": 1024}, "url"),
+    ])
     pages = read_webpages(sf_dir, include_html=False) \
         .select_columns(["url", "lang"]).to_pandas()
     probes = hash_arrow_array(pa.array(
         [f"https://absent.example.net/{i}" for i in range(32768)]))
     rows = []
-    for (_, a), (_, b) in zip(tbf.iterrows(), tcf.iterrows()):
-        assert a["lang"] == b["lang"]
-        urls = pa.array(pages.loc[pages["lang"] == a["lang"], "url"].tolist())
+    for _, r in grouped.iterrows():
+        urls = pa.array(pages.loc[pages["lang"] == r["lang"], "url"].tolist())
         h = hash_arrow_array(urls)
-        f1 = TaffyBlock.from_bytes(a["payload"])
-        f2 = TaffyCuckoo.from_bytes(b["payload"])
+        f1 = TaffyBlock.from_bytes(r["payload_tbf"])
+        f2 = TaffyCuckoo.from_bytes(r["payload_tcf"])
         fz = f2.freeze()
         rows.append({
-            "lang": a["lang"], "n_urls": len(urls),
+            "lang": r["lang"], "n_urls": len(urls),
             "tbf_found": int(f1.find_hashes(h).sum()),
             "tcf_found": int(f2.find_hashes(h).sum()),
             "frozen_found": int(fz.find_hashes(h).sum()),

@@ -12,6 +12,7 @@ Defaults: word_bits=32, bucket_words=8, hash_bits=32 (one 256-bit bucket,
 
 from __future__ import annotations
 
+import functools
 import math
 
 BUCKET_WORDS = 8
@@ -49,12 +50,17 @@ def block_fpp_detail(ndv: float, bytes_: float, word_bits: float = WORD_BITS,
     return min(result, 1.0)
 
 
+@functools.lru_cache(maxsize=65536)
 def block_fpp(ndv: float, bytes_: float) -> float:
     return block_fpp_detail(ndv, bytes_)
 
 
+@functools.lru_cache(maxsize=4096)
 def block_bytes_needed(ndv: float, fpp: float) -> int:
     """Smallest byte size (rounded up to whole buckets) achieving <= fpp.
+    Cached: the model is a pure function and identical (ndv, fpp) pairs
+    recur for every per-block partial of the same build (~90ms per miss —
+    a 10k-term Poisson sum per probe of the search).
 
     Exponential then binary search over the fpp model, as in
     c/lib/util.c:36-58.

@@ -105,8 +105,11 @@ def read_webpages(sf_dir: str, *, include_html: bool = True,
         kwargs["override_num_blocks"] = parallelism
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", **kwargs)
     if replicate > 1:
+        # batch_size=None = one batch per block: a fixed batch_size here
+        # coalesces many small read blocks into few huge tasks and collapses
+        # the parallelism of everything fused downstream
         ds = ds.map_batches(lambda b: _replicate_docs(b, replicate),
-                            batch_format="pyarrow", batch_size=2048)
+                            batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(synthesize_webpages, batch_format="pyarrow")
     if not include_html:
         ds = ds.select_columns(["url", "warc_ts", "text", "lang"])

@@ -2,6 +2,10 @@
 
 Two layers:
 
+(Default batch_size=None everywhere: one partial per BLOCK. A fixed
+batch_size would coalesce small blocks into few huge tasks and collapse
+parallelism; block size is governed upstream by the read/repartition.)
+
 1. **Per-block partials + tree merge** (the scale path, SURVEY.md §2.4):
    a stateless `map_batches` stage turns each input block into ONE small
    serialized partial sketch — a pure function of the block, so Ray task
@@ -80,7 +84,7 @@ def _merge_payload_batch(kind: str):
 
 
 def build_sketch(ds, column: str, kind: str, params: dict | None = None, *,
-                 seed: int = DEFAULT_SEED, batch_size: int = 16384,
+                 seed: int = DEFAULT_SEED, batch_size: int | None = None,
                  merge_fanin: int = 64, driver_fanin: int = 256):
     """Build ONE global sketch of `column` over the whole Dataset.
 
@@ -161,7 +165,8 @@ class _GroupedPartialBuilder:
 
 def build_grouped_sketches(ds, key: str, column: str, kind: str,
                            params: dict | None = None, *,
-                           seed: int = DEFAULT_SEED, batch_size: int = 16384,
+                           seed: int = DEFAULT_SEED,
+                           batch_size: int | None = None,
                            num_salts: int = 8):
     """Per-key sketches via the salted two-stage merge.
 
@@ -237,7 +242,7 @@ class _MultiGroupedPartialBuilder:
 
 
 def build_grouped_multi(ds, key: str, specs, *, seed: int = DEFAULT_SEED,
-                        batch_size: int = 16384):
+                        batch_size: int | None = None):
     """Per-key sketches for several (name, kind, params, column) specs in ONE
     pass over the data + one shuffle of tiny partial rows. Returns pandas
     (key, rows, payload_<name>...)."""
