@@ -386,6 +386,65 @@ def q_checkpointed_build_resume(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 
+def q_hibp_filter_report(sf_dir: str) -> pd.DataFrame:
+    """The reference's HIBP end-to-end run (hibp.cpp:66-129) Ray-Data-first:
+    synthesize an HIBP-format text corpus (keys = content hashes of the
+    documents table), stream-parse it (bit-exact reversed-nibble decode),
+    build TaffyBlock + TaffyCuckoo + frozen TCF over the keys, and compare
+    each against the exact sorted-array ground truth on members (must all be
+    found) and 64k non-member probes (fpp). Rows-only check (the parse is
+    covered by its own bit-exactness pytest)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sketch.hashing import hash_arrow_array
+    from ..sketch.taffy_block import TaffyBlock
+    from ..sketch.taffy_cuckoo import TaffyCuckoo
+    from ..sources.hibp import read_hibp, write_hibp_file
+    from ..stages.sketch_build import build_sketch
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    keys = np.unique(hash_arrow_array(docs["text"].combine_chunks()))
+    path = os.path.join(tempfile.mkdtemp(prefix="lfr-hibp-", dir="/tmp"),
+                        "corpus.txt")
+    write_hibp_file(path, keys)
+    try:
+        parsed = read_hibp(path)
+        # TBF sized for the known corpus ndv (as the reference's own bench
+        # does with --ndv): the level-OR merge is exact while accumulators
+        # stay within the level plan; growth under merge is exercised by the
+        # grouped pipelines + unit tests instead
+        tbf = build_sketch(parsed.select_columns(["key"]), "key",
+                           "taffy_block", {"ndv": max(len(keys), 256),
+                                           "fpp": 0.01},
+                           pre_hashed=True)
+        tcf = build_sketch(parsed.select_columns(["key"]), "key",
+                           "taffy_cuckoo", {"bytes_": 1024},
+                           pre_hashed=True)
+    finally:
+        os.unlink(path)
+    fz = tcf.freeze()
+    sorted_keys = np.sort(keys)
+    rng = np.random.default_rng(99)
+    probes = rng.integers(0, 2**64, 1 << 16, dtype=np.uint64)
+    probes = probes[np.isin(probes, sorted_keys, invert=True)]
+    rows = []
+    for name, f in (("taffy_block", tbf), ("taffy_cuckoo", tcf),
+                    ("frozen_tcf", fz)):
+        rows.append({
+            "filter": name,
+            "n_keys": len(keys),
+            "members_found": int(f.find_hashes(keys).sum()),
+            "fpp_measured": round(float(f.find_hashes(probes).mean()), 5),
+            "bytes": int(f.size_in_bytes()),
+        })
+    out = pd.DataFrame(rows)
+    assert (out["members_found"] == out["n_keys"]).all()
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators (dedup / ANN / text analysis / multimodal)
 # ---------------------------------------------------------------------------
@@ -640,6 +699,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
+    "hibp_filter_report": q_hibp_filter_report,
 }
 
 ORACLES: dict[str, str] = {

@@ -55,6 +55,27 @@ def hash_u64(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
     return splitmix64(values.astype(U64, copy=False), seed=seed)
 
 
+# Reference constant for widening 32-bit hashes to 64
+# (java BlockFilter.java:236, TaffyCuckooFilter.java:241-253).
+REHASH_32 = U64(0xD1012A3A7A1F4A8A)
+
+
+def rehash_32_to_64(h32: np.ndarray) -> np.ndarray:
+    """Widen 32-bit hashes exactly as the reference's BlockFilter does:
+    hash64 = ((REHASH_32 * (long) h) >>> 32) << 32 | h  (vectorized).
+
+    Faithful to the Java semantics including sign extension of `(long) h` —
+    both in the multiply AND in the final `| h` (negative ints saturate the
+    top 32 bits, an intentional reproduction of the reference's behavior).
+    32- and 64-bit inserts must not be mixed in one filter
+    (java Filter.java:10-12). NB TaffyCuckooFilter.java:240-252 uses a
+    DIFFERENT widening; this one follows BlockFilter.java:236-247."""
+    s = np.ascontiguousarray(h32, dtype=np.uint32).astype(np.int32) \
+        .astype(np.int64).view(U64)  # sign-extended, reinterpreted u64
+    with np.errstate(over="ignore"):
+        return (((REHASH_32 * s) >> U64(32)) << U64(32)) | s
+
+
 def _hash_buffer(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                  seed: int) -> np.ndarray:
     """Polynomial hash of variable-length slices [starts, ends) of `data`."""

@@ -39,9 +39,16 @@ def _column_input(sketch) -> str:
     return getattr(sketch, "input", "hashes")
 
 
-def _updates_from(batch_col, sketch, seed: int):
-    """Feed an Arrow column into a sketch (hash it first if hash-consuming)."""
-    if _column_input(sketch) == "hashes":
+def _updates_from(batch_col, sketch, seed: int, pre_hashed: bool = False):
+    """Feed an Arrow column into a sketch (hash it first if hash-consuming).
+
+    pre_hashed=True: the column already holds 64-bit hashes (the reference's
+    own API contract — it only ever sees pre-hashed keys, block.h:43-46);
+    int64 columns are bit-reinterpreted as u64."""
+    if pre_hashed:
+        vals = batch_col.to_numpy(zero_copy_only=False)
+        sketch.update(np.ascontiguousarray(vals, dtype=np.int64).view(np.uint64))
+    elif _column_input(sketch) == "hashes":
         sketch.update(hash_arrow_array(batch_col, seed=seed))
     else:
         vals = batch_col.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -52,12 +59,14 @@ def _updates_from(batch_col, sketch, seed: int):
 class _PartialBuilder:
     """Stateless per-block partial: block -> one serialized sketch row."""
 
-    def __init__(self, kind: str, params: dict, column: str, seed: int):
+    def __init__(self, kind: str, params: dict, column: str, seed: int,
+                 pre_hashed: bool = False):
         self.kind, self.params, self.column, self.seed = kind, params, column, seed
+        self.pre_hashed = pre_hashed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sk = registry.make(self.kind, **self.params)
-        _updates_from(batch[self.column], sk, self.seed)
+        _updates_from(batch[self.column], sk, self.seed, self.pre_hashed)
         return pa.table({
             "kind": pa.array([self.kind]),
             "payload": pa.array([sk.to_bytes()], type=pa.large_binary()),
@@ -85,7 +94,8 @@ def _merge_payload_batch(kind: str):
 
 def build_sketch(ds, column: str, kind: str, params: dict | None = None, *,
                  seed: int = DEFAULT_SEED, batch_size: int | None = None,
-                 merge_fanin: int = 64, driver_fanin: int = 256):
+                 merge_fanin: int = 64, driver_fanin: int = 256,
+                 pre_hashed: bool = False):
     """Build ONE global sketch of `column` over the whole Dataset.
 
     read -> map_batches(partial per block) -> tree merge (map_batches over
@@ -94,7 +104,7 @@ def build_sketch(ds, column: str, kind: str, params: dict | None = None, *,
     """
     params = params or {}
     partials = ds.map_batches(
-        _PartialBuilder(kind, params, column, seed),
+        _PartialBuilder(kind, params, column, seed, pre_hashed),
         batch_format="pyarrow", batch_size=batch_size)
     # Tree merge: each round collapses `merge_fanin` partials into one.
     # Partial counts shrink geometrically; at 100 TB (~1M blocks) this is
@@ -147,17 +157,38 @@ class _GroupedPartialBuilder:
                                            dtype=np.uint64))[0] % self.num_salts)
         else:
             salt = 0
+        fmts = []
+        probe = registry.make(self.kind, **self.params)
+        # raw mode only for hash-consuming sketches (value sketches like
+        # t-digest/KLL must see the raw values, and their partials are small)
+        raw_ok = _column_input(probe) == "hashes"
+        budget = probe.size_in_bytes() // 2 if raw_ok else 0
         for code in range(len(uniq)):
             mask = codes == code
-            sk = registry.make(self.kind, **self.params)
-            _updates_from(col.filter(pa.array(mask)), sk, self.seed)
+            vals = col.filter(pa.array(mask))
+            n_rows = int(mask.sum())
+            # Shuffle-volume guard (the 100 TB lever): a per-block per-key
+            # partial of a FIXED-SIZE sketch (e.g. a corpus-sized BlockBloom)
+            # costs size_in_bytes regardless of how few rows it holds, and
+            # partial count scales with blocks x keys. When the raw 8-byte
+            # hash list is smaller, ship THAT and let the reducer insert —
+            # shuffle bytes become min(8*rows, sketch_bytes) per partial.
+            if raw_ok and n_rows * 8 < budget:
+                h = hash_arrow_array(vals, seed=self.seed)
+                payloads.append(h.tobytes())
+                fmts.append("raw")
+            else:
+                sk = registry.make(self.kind, **self.params)
+                _updates_from(vals, sk, self.seed)
+                payloads.append(sk.to_bytes())
+                fmts.append("sketch")
             keys_out.append(uniq[code].as_py())
             salts_out.append(salt)
-            payloads.append(sk.to_bytes())
-            counts.append(int(mask.sum()))
+            counts.append(n_rows)
         return pa.table({
             self.key: pa.array(keys_out),
             "salt": pa.array(salts_out, type=pa.int32()),
+            "fmt": pa.array(fmts, type=pa.string()),
             "payload": pa.array(payloads, type=pa.large_binary()),
             "rows": pa.array(counts, type=pa.int64()),
         })
@@ -184,18 +215,26 @@ def build_grouped_sketches(ds, key: str, column: str, kind: str,
         batch_format="pyarrow", batch_size=batch_size)
 
     def merge_group(df: pd.DataFrame) -> pd.DataFrame:
-        acc = cls.from_bytes(df["payload"].iloc[0])
-        for p in df["payload"].iloc[1:]:
-            acc = acc.merge(cls.from_bytes(p))
+        acc = None
+        raw = [p for p, f in zip(df["payload"], df["fmt"]) if f == "raw"]
+        for p, f in zip(df["payload"], df["fmt"]):
+            if f == "sketch":
+                sk = cls.from_bytes(p)
+                acc = sk if acc is None else acc.merge(sk)
+        if raw:
+            if acc is None:
+                acc = registry.make(kind, **params)
+            acc.update(np.frombuffer(b"".join(raw), dtype=np.uint64))
         first = df.iloc[:1].copy()
         first["payload"] = [acc.to_bytes()]
+        first["fmt"] = ["sketch"]
         first["rows"] = df["rows"].sum()
         return first
 
     stage1 = partials.groupby([key, "salt"]).map_groups(
         merge_group, batch_format="pandas")
     final = stage1.groupby(key).map_groups(merge_group, batch_format="pandas")
-    out = final.to_pandas().drop(columns=["salt"]).sort_values(key)
+    out = final.to_pandas().drop(columns=["salt", "fmt"]).sort_values(key)
     return out.reset_index(drop=True)
 
 
