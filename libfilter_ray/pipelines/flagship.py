@@ -37,6 +37,57 @@ def _document_count(sf_dir: str) -> int:
     return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
 
+def sketch_build_throughput_job(sf_dir: str, replicate: int = 400,
+                                parallelism: int | None = None,
+                                fpp: float = 0.01) -> pd.DataFrame:
+    """The north-metric job ("documents/sec sketch-build throughput"): one
+    streaming pass over the synthesized web-page corpus building FOUR
+    mergeable sketches per lang — BlockBloom + HLL + CMS over url hashes and
+    KLL over text length — through the salted grouped merge. This is the
+    workload `bench.py --scaling` times at two parallelism levels.
+
+    Returns one row per lang with the sketch summaries (rows, filter bytes,
+    distinct estimate, cms total, p50 length)."""
+    import pyarrow.compute as pc
+
+    from ..sketch.cms import CountMin
+    from ..sketch.hll import HyperLogLog
+    from ..sketch.kll import KLL
+    from ..stages.sketch_build import build_grouped_multi
+
+    total = _document_count(sf_dir) * replicate
+    size = sizing.block_bytes_needed(max(total, 1), fpp)
+
+    pages = read_webpages(sf_dir, replicate=replicate,
+                          parallelism=parallelism).map_batches(
+        verify_extract_stage, batch_format="pyarrow")
+
+    def add_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "text_len", pc.cast(pc.utf8_length(t["text_extracted"]),
+                                pa.float64()))
+
+    pages = pages.map_batches(add_len, batch_format="pyarrow") \
+        .select_columns(["url", "lang", "text_len"])
+    grouped = build_grouped_multi(pages, "lang", [
+        ("bloom", "block", {"bytes_": size}, "url"),
+        ("hll", "hll", {"p": 14}, "url"),
+        ("cms", "cms", {"width": 1 << 14, "depth": 4}, "url"),
+        ("kll", "kll", {"k": 200}, "text_len"),
+    ])
+    rows = []
+    for _, r in grouped.iterrows():
+        rows.append({
+            "lang": r["lang"], "rows": int(r["rows"]),
+            "bloom_bytes": len(r["payload_bloom"]),
+            "distinct_urls_est":
+                round(HyperLogLog.from_bytes(r["payload_hll"]).estimate(), 1),
+            "cms_total": int(CountMin.from_bytes(r["payload_cms"]).total),
+            "len_p50": round(KLL.from_bytes(r["payload_kll"]).quantile(0.5), 1),
+        })
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
 def flagship(sf_dir: str, fpp: float = 0.01, replicate: int = 1,
              parallelism: int | None = None) -> pd.DataFrame:
     """Returns one row per lang: rows, filter bytes, members found, fpp."""

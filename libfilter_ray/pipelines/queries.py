@@ -386,6 +386,206 @@ def q_checkpointed_build_resume(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast dimension-join chain: region->nation->customer (small dims,
+    ray.put once) joined to streaming orders inside map_batches — the
+    scale-correct star-schema pattern (no shuffle join; dims are KBs even at
+    100 TB fact scale)."""
+    import pyarrow.compute as pc
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey") \
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put((
+        np.sort(dim["c_custkey"].to_numpy().astype(np.int64)),
+        dim.sort_values("c_custkey")["n_name"].to_numpy(),
+        dim.sort_values("c_custkey")["r_name"].to_numpy()))
+
+    class AttachNation:
+        def __init__(self):
+            self.keys, self.n_name, self.r_name = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(self.keys, ck)
+            ok = (idx < len(self.keys)) & (self.keys[np.minimum(
+                idx, len(self.keys) - 1)] == ck)
+            t = t.filter(pa.array(ok))
+            idx = idx[ok]
+            return t.append_column("n_name", pa.array(self.n_name[idx])) \
+                .append_column("r_name", pa.array(self.r_name[idx]))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = orders.map_batches(AttachNation, batch_format="pyarrow",
+                             concurrency=2) \
+        .groupby(["r_name", "n_name"]).aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="revenue")).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       count(*)::BIGINT            AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def q_orders_by_month(sf_dir: str) -> pd.DataFrame:
+    """Calendar grouping over a timestamp column (vectorized strftime)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def month_of(t: pa.Table) -> pa.Table:
+        m = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        return pa.table({"month": m, "o_totalprice": t["o_totalprice"]})
+
+    out = ds.map_batches(month_of, batch_format="pyarrow") \
+        .groupby("month").aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="revenue")).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("month").reset_index(drop=True)
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*)::BIGINT               AS n_orders,
+       round(sum(o_totalprice), 2)    AS revenue
+FROM orders GROUP BY month ORDER BY month
+"""
+
+
+def q_events_hourly_windows(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate (1h windows over event time): the windowed
+    aggregation the reference lacks, expressed Ray-Data-first as truncate ->
+    groupby — no per-row state, shuffle only of (window, type) partials."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"window_start": w, "event_type": t["event_type"],
+                         "value": t["value"]})
+
+    out = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]).aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value")).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values(["window_start", "event_type"]) \
+        .reset_index(drop=True)
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts)     AS window_start,
+       event_type,
+       count(*)::BIGINT           AS n_events,
+       round(sum(value), 2)       AS sum_value
+FROM events GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-user ordered-state
+    computation via groupby(user).map_groups — the stateful streaming op
+    expressed with a per-key shuffle + in-group sort (each user's events fit
+    one task; at 100 TB shuffle key = user_id, the natural partition)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    GAP = np.timedelta64(30, "m")
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(df["ts"].to_numpy())
+        gaps = np.diff(ts) > GAP
+        return pd.DataFrame({
+            "user_id": [int(df["user_id"].iloc[0])],
+            "n_events": [len(ts)],
+            "n_sessions": [int(gaps.sum()) + 1],
+        })
+
+    out = ds.groupby("user_id").map_groups(
+        sessions, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_SESSIONS = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id::BIGINT        AS user_id,
+       count(*)::BIGINT       AS n_events,
+       sum(new_session)::BIGINT AS n_sessions
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_top_parts_per_brand(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k (top 3 parts by retail price per brand) via
+    groupby(brand).map_groups — the grouped-window pattern."""
+    ds = _read(sf_dir, "part",
+               columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["p_retailprice", "p_partkey"],
+                           ascending=[False, True]).head(3).copy()
+        d["rank"] = np.arange(1, len(d) + 1)
+        return d
+
+    out = ds.groupby("p_brand").map_groups(
+        topk, batch_format="pandas").to_pandas()
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    out["p_retailprice"] = out["p_retailprice"].round(2)
+    return out.sort_values(["p_brand", "rank"]).reset_index(drop=True)
+
+
+SQL_TOP_PARTS = """
+SELECT p_brand, p_partkey::BIGINT AS p_partkey,
+       round(p_retailprice, 2)    AS p_retailprice,
+       rank::BIGINT               AS rank
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC)
+             AS rank
+  FROM part)
+WHERE rank <= 3 ORDER BY p_brand, rank
+"""
+
+
+def q_sketch_build_throughput(sf_dir: str) -> pd.DataFrame:
+    """The north-metric job at correctness scale (replicate=1): one pass
+    building BlockBloom + HLL + CMS + KLL per lang through the salted
+    grouped merge. `bench.py --scaling` times this same job at 8 vs 32 CPUs.
+    Approximate outputs — accuracy bounds asserted in tests; rows-only."""
+    from .flagship import sketch_build_throughput_job
+
+    return sketch_build_throughput_job(sf_dir, replicate=1)
+
+
 def q_hibp_filter_report(sf_dir: str) -> pd.DataFrame:
     """The reference's HIBP end-to-end run (hibp.cpp:66-129) Ray-Data-first:
     synthesize an HIBP-format text corpus (keys = content hashes of the
@@ -700,6 +900,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "hibp_filter_report": q_hibp_filter_report,
+    "sketch_build_throughput": q_sketch_build_throughput,
+    "revenue_by_nation": q_revenue_by_nation,
+    "orders_by_month": q_orders_by_month,
+    "events_hourly_windows": q_events_hourly_windows,
+    "user_sessions": q_user_sessions,
+    "top_parts_per_brand": q_top_parts_per_brand,
 }
 
 ORACLES: dict[str, str] = {
@@ -713,4 +919,9 @@ ORACLES: dict[str, str] = {
     "text_stats_by_lang": SQL_TEXT_STATS,
     "exact_dedup_docs": SQL_EXACT_DEDUP,
     "ann_topk_brute": SQL_ANN_TOPK,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "orders_by_month": SQL_ORDERS_BY_MONTH,
+    "events_hourly_windows": SQL_EVENTS_HOURLY,
+    "user_sessions": SQL_USER_SESSIONS,
+    "top_parts_per_brand": SQL_TOP_PARTS,
 }

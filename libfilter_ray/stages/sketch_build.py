@@ -162,7 +162,9 @@ class _GroupedPartialBuilder:
         # raw mode only for hash-consuming sketches (value sketches like
         # t-digest/KLL must see the raw values, and their partials are small)
         raw_ok = _column_input(probe) == "hashes"
-        budget = probe.size_in_bytes() // 2 if raw_ok else 0
+        sk_bytes = (probe.size_in_bytes() if hasattr(probe, "size_in_bytes")
+                    else len(probe.to_bytes()))
+        budget = sk_bytes // 2 if raw_ok else 0
         for code in range(len(uniq)):
             mask = codes == code
             vals = col.filter(pa.array(mask))
@@ -241,10 +243,16 @@ def build_grouped_sketches(ds, key: str, column: str, kind: str,
 class _MultiGroupedPartialBuilder:
     """One pass, many sketches: per-block per-key partials for a list of
     (name, kind, params, column) specs. At 100 TB this is the pattern that
-    matters — one read feeds every sketch instead of one pipeline each."""
+    matters — one read feeds every sketch instead of one pipeline each.
 
-    def __init__(self, specs, key: str, seed: int):
+    Same shuffle-volume guard as the single-sketch builder: a hash-consuming
+    spec whose per-key row count is small ships the raw 8-byte hash list
+    ("raw" fmt) instead of a fixed-size sketch; each column is hashed ONCE
+    per block and reused by every spec consuming it."""
+
+    def __init__(self, specs, key: str, seed: int, num_salts: int = 8):
         self.specs, self.key, self.seed = specs, key, seed
+        self.num_salts = num_salts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -255,56 +263,114 @@ class _MultiGroupedPartialBuilder:
             else keycol)
         codes = np.asarray(dict_arr.indices)
         uniq = dict_arr.dictionary
-        cols = {}
+        cols, hashed = {}, {}
         for (_, _, _, column) in self.specs:
             if column not in cols:
                 c = batch[column]
-                cols[column] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-        out: dict[str, list] = {self.key: [], "rows": []}
+                cols[column] = c.combine_chunks() \
+                    if isinstance(c, pa.ChunkedArray) else c
+        probes = {name: registry.make(kind, **params)
+                  for (name, kind, params, _c) in self.specs}
+        budgets = {name: (p.size_in_bytes() // 2
+                          if _column_input(p) == "hashes"
+                          and hasattr(p, "size_in_bytes")
+                          else len(p.to_bytes()) // 2
+                          if _column_input(p) == "hashes" else 0)
+                   for name, p in probes.items()}
+        from ..sketch.hashing import splitmix64
+        if self.num_salts > 1 and batch.num_rows:
+            first_col = cols[self.specs[0][3]]
+            block_fp = int(hash_arrow_array(first_col.slice(0, 1), seed=7)[0])
+            salt = int(splitmix64(np.array([block_fp ^ batch.num_rows],
+                                           dtype=np.uint64))[0] % self.num_salts)
+        else:
+            salt = 0
+        out: dict[str, list] = {self.key: [], "rows": [], "salt": []}
         for (name, *_rest) in self.specs:
             out[f"payload_{name}"] = []
+            out[f"fmt_{name}"] = []
         counts = np.bincount(codes, minlength=len(uniq))
+        # hash each needed column once for the whole block
+        for (name, kind, params, column) in self.specs:
+            if budgets[name] and column not in hashed:
+                hashed[column] = hash_arrow_array(cols[column], seed=self.seed)
         for code in range(len(uniq)):
-            mask = pa.array(codes == code)
+            mask_np = codes == code
+            mask = pa.array(mask_np)
+            n_rows = int(counts[code])
             out[self.key].append(uniq[code].as_py())
-            out["rows"].append(int(counts[code]))
+            out["rows"].append(n_rows)
+            out["salt"].append(salt)
             for (name, kind, params, column) in self.specs:
-                sk = registry.make(kind, **params)
-                _updates_from(cols[column].filter(mask), sk, self.seed)
-                out[f"payload_{name}"].append(sk.to_bytes())
+                if budgets[name] and n_rows * 8 < budgets[name]:
+                    out[f"payload_{name}"].append(
+                        hashed[column][mask_np].tobytes())
+                    out[f"fmt_{name}"].append("raw")
+                else:
+                    sk = registry.make(kind, **params)
+                    _updates_from(cols[column].filter(mask), sk, self.seed)
+                    out[f"payload_{name}"].append(sk.to_bytes())
+                    out[f"fmt_{name}"].append("sketch")
         arrays = {self.key: pa.array(out[self.key]),
+                  "salt": pa.array(out["salt"], type=pa.int32()),
                   "rows": pa.array(out["rows"], type=pa.int64())}
         for (name, *_r) in self.specs:
             arrays[f"payload_{name}"] = pa.array(out[f"payload_{name}"],
                                                  type=pa.large_binary())
+            arrays[f"fmt_{name}"] = pa.array(out[f"fmt_{name}"],
+                                             type=pa.string())
         return pa.table(arrays)
 
 
 def build_grouped_multi(ds, key: str, specs, *, seed: int = DEFAULT_SEED,
-                        batch_size: int | None = None):
+                        batch_size: int | None = None, num_salts: int = 8):
     """Per-key sketches for several (name, kind, params, column) specs in ONE
-    pass over the data + one shuffle of tiny partial rows. Returns pandas
-    (key, rows, payload_<name>...)."""
+    pass over the data + the salted two-stage shuffle of tiny partial rows.
+    Returns pandas (key, rows, payload_<name>...)."""
     import pandas as pd
 
+    specs = list(specs)
     partials = ds.map_batches(
-        _MultiGroupedPartialBuilder(list(specs), key, seed),
+        _MultiGroupedPartialBuilder(specs, key, seed, num_salts),
         batch_format="pyarrow", batch_size=batch_size)
     classes = {name: registry.get(kind) for (name, kind, _p, _c) in specs}
+    paramsby = {name: params for (name, _k, params, _c) in specs}
+    kinds = {name: kind for (name, kind, _p, _c) in specs}
 
     def merge_group(df: pd.DataFrame) -> pd.DataFrame:
         first = df.iloc[:1].copy()
         for name, cls in classes.items():
-            col = f"payload_{name}"
-            acc = cls.from_bytes(df[col].iloc[0])
-            for p in df[col].iloc[1:]:
-                acc = acc.merge(cls.from_bytes(p))
-            first[col] = [acc.finalize().to_bytes()]
+            pcol, fcol = f"payload_{name}", f"fmt_{name}"
+            acc = None
+            raw = [p for p, f in zip(df[pcol], df[fcol]) if f == "raw"]
+            for p, f in zip(df[pcol], df[fcol]):
+                if f == "sketch":
+                    sk = cls.from_bytes(p)
+                    acc = sk if acc is None else acc.merge(sk)
+            if raw:
+                if acc is None:
+                    acc = registry.make(kinds[name], **paramsby[name])
+                acc.update(np.frombuffer(b"".join(raw), dtype=np.uint64))
+            first[pcol] = [acc.to_bytes()]
+            first[fcol] = ["sketch"]
         first["rows"] = df["rows"].sum()
         return first
 
-    final = partials.groupby(key).map_groups(merge_group, batch_format="pandas")
-    return final.to_pandas().sort_values(key).reset_index(drop=True)
+    def finalize_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = merge_group(df)
+        for name, cls in classes.items():
+            pcol = f"payload_{name}"
+            out[pcol] = [cls.from_bytes(out[pcol].iloc[0])
+                         .finalize().to_bytes()]
+        return out
+
+    stage1 = partials.groupby([key, "salt"]).map_groups(
+        merge_group, batch_format="pandas")
+    final = stage1.groupby(key).map_groups(finalize_group,
+                                           batch_format="pandas")
+    drop = ["salt"] + [f"fmt_{name}" for name in classes]
+    return final.to_pandas().drop(columns=drop).sort_values(key) \
+        .reset_index(drop=True)
 
 
 def probe_stage(sketch_bytes_ref, kind: str, column: str, *,
