@@ -576,6 +576,42 @@ WHERE rank <= 3 ORDER BY p_brand, rank
 """
 
 
+def q_json_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Vectorized JSON extraction from the events `props` column (polars
+    str.json_path_match inside map_batches — no per-row Python), aggregated
+    per event_type. The scalar-function pattern for semi-structured cols."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        out = df.with_columns(
+            pl.col("props").str.json_path_match("$.k")
+            .cast(pl.Int64).alias("k")).drop("props")
+        return out.to_arrow()
+
+    out = ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k")).to_pandas()
+    for c in ("n_events", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       count(*)::BIGINT                              AS n_events,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_sketch_build_throughput(sf_dir: str) -> pd.DataFrame:
     """The north-metric job at correctness scale (replicate=1): one pass
     building BlockBloom + HLL + CMS + KLL per lang through the salted
@@ -906,6 +942,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hourly_windows": q_events_hourly_windows,
     "user_sessions": q_user_sessions,
     "top_parts_per_brand": q_top_parts_per_brand,
+    "json_props_stats": q_json_props_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -924,4 +961,5 @@ ORACLES: dict[str, str] = {
     "events_hourly_windows": SQL_EVENTS_HOURLY,
     "user_sessions": SQL_USER_SESSIONS,
     "top_parts_per_brand": SQL_TOP_PARTS,
+    "json_props_stats": SQL_JSON_PROPS,
 }

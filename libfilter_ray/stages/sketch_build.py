@@ -373,6 +373,49 @@ def build_grouped_multi(ds, key: str, specs, *, seed: int = DEFAULT_SEED,
         .reset_index(drop=True)
 
 
+def build_sketch_actor_pool(ds, column: str, kind: str,
+                            params: dict | None = None, *,
+                            seed: int = DEFAULT_SEED, concurrency: int = 4,
+                            pre_hashed: bool = False):
+    """Actor-pool accumulate variant of `build_sketch` (SURVEY.md §7.2):
+    each long-lived actor consumes one `streaming_split` iterator and keeps
+    ONE accumulator across all its batches, flushing a single partial at end
+    — `concurrency` partials total instead of one per block (fewer merges;
+    the high-throughput shape for corpus-sized accumulators).
+
+    This is the one stage expressed with raw Ray actors: Dataset.map_batches
+    offers no end-of-stream flush hook, so the accumulate-then-flush
+    semantics genuinely need `streaming_split` + `@ray.remote` consumers.
+
+    For order-invariant sketches the result is byte-identical to
+    `build_sketch` (asserted in tests). Caveat: actor state is lost on actor
+    failure — for retry-safe checkpointable builds use the per-block partial
+    path or `state/checkpoint.py` (SURVEY.md §4.2).
+    """
+    import ray
+
+    params = params or {}
+
+    @ray.remote
+    def consume(it, kind: str, params: dict, column: str, seed: int,
+                pre_hashed: bool) -> bytes:
+        sk = registry.make(kind, **params)
+        for batch in it.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if batch.num_rows:
+                _updates_from(batch[column], sk, seed, pre_hashed)
+        return sk.to_bytes()
+
+    its = ds.streaming_split(concurrency, equal=False)
+    payloads = ray.get([
+        consume.remote(it, kind, params, column, seed, pre_hashed)
+        for it in its])
+    cls = registry.get(kind)
+    out = cls.from_bytes(payloads[0])
+    for p in payloads[1:]:
+        out = out.merge(cls.from_bytes(p))
+    return out.finalize()
+
+
 def probe_stage(sketch_bytes_ref, kind: str, column: str, *,
                 seed: int = DEFAULT_SEED, out_column: str = "found"):
     """A map_batches callable CLASS probing rows against a broadcast sketch.

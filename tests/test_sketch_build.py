@@ -13,7 +13,7 @@ from libfilter_ray.sketch.hashing import hash_arrow_array
 from libfilter_ray.sketch import registry
 from libfilter_ray.stages import sketch_build as sb
 
-from conftest import SF_DIR
+from conftest import SF_DIR, SF_DIR_01
 
 
 @pytest.fixture()
@@ -87,3 +87,24 @@ def test_probe_stage(docs, ray_session):
     probed = docs.map_batches(prober, batch_format="pyarrow",
                               concurrency=2).to_pandas()
     assert probed["found"].all()
+
+
+def test_actor_pool_variant_identical_bytes(ray_session):
+    """SURVEY.md §7.2: the actor-pool accumulate variant and the per-block
+    partial variant produce IDENTICAL final sketches for order-invariant
+    kinds (BlockBloom OR-merge; HLL register-max)."""
+    import ray
+
+    from libfilter_ray.stages.sketch_build import (build_sketch,
+                                                   build_sketch_actor_pool)
+
+    ds = ray.data.read_parquet(f"{SF_DIR_01}/events.parquet",
+                               columns=["user_id"])
+    a = build_sketch(ds, "user_id", "block", {"bytes_": 8192})
+    b = build_sketch_actor_pool(ds, "user_id", "block", {"bytes_": 8192},
+                                concurrency=3)
+    assert a.to_bytes() == b.to_bytes()
+    h1 = build_sketch(ds, "user_id", "hll", {"p": 12})
+    h2 = build_sketch_actor_pool(ds, "user_id", "hll", {"p": 12},
+                                 concurrency=3)
+    assert h1.to_bytes() == h2.to_bytes()
