@@ -576,6 +576,38 @@ WHERE rank <= 3 ORDER BY p_brand, rank
 """
 
 
+def q_minimal_taffy_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-lang minimal taffy cuckoo (fine-grained growth) — single-writer
+    build per group via groupby(lang).map_groups (the filter has no union,
+    SURVEY.md §2.1 op 22). Reports membership completeness + measured fpp
+    (head=9 => a few percent by design, paths.h:31-41)."""
+    from ..sketch.hashing import hash_arrow_array
+    from ..sketch.minimal_taffy_cuckoo import MinimalTaffyCuckoo
+    from ..sources.webpages import read_webpages
+
+    pages = read_webpages(sf_dir, include_html=False) \
+        .select_columns(["url", "lang"])
+    probes = hash_arrow_array(pa.array(
+        [f"https://absent.example.net/{i}" for i in range(1 << 14)]))
+
+    def build_group(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash_arrow_array(pa.array(df["url"].tolist()))
+        f = MinimalTaffyCuckoo()
+        f.update(h)
+        return pd.DataFrame({
+            "lang": [df["lang"].iloc[0]],
+            "n_urls": [len(df)],
+            "members_found": [int(f.find_hashes(h).sum())],
+            "filter_bytes": [f.size_in_bytes()],
+            "fpp_measured": [round(float(f.find_hashes(probes).mean()), 5)],
+        })
+
+    out = pages.groupby("lang").map_groups(
+        build_group, batch_format="pandas").to_pandas()
+    assert (out["members_found"] == out["n_urls"]).all()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def q_json_props_stats(sf_dir: str) -> pd.DataFrame:
     """Vectorized JSON extraction from the events `props` column (polars
     str.json_path_match inside map_batches — no per-row Python), aggregated
@@ -943,6 +975,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_sessions": q_user_sessions,
     "top_parts_per_brand": q_top_parts_per_brand,
     "json_props_stats": q_json_props_stats,
+    "minimal_taffy_per_lang": q_minimal_taffy_per_lang,
 }
 
 ORACLES: dict[str, str] = {

@@ -61,6 +61,8 @@ def _install_builtins() -> None:
     from . import cms  # noqa: F401
     from . import tdigest  # noqa: F401
     from . import kll  # noqa: F401
+    from . import xor_static  # noqa: F401
+    from . import minimal_taffy_cuckoo  # noqa: F401
 
 
 _install_builtins()
