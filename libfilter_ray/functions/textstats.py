@@ -36,7 +36,11 @@ LANG_MARKERS: dict[str, str] = {
 
 
 def _str(col) -> pa.Array:
-    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # null text counts as empty — RE2 kernels return null for null input,
+    # which would otherwise poison the int casts downstream
+    return pc.fill_null(col, "") if col.null_count else col
 
 
 def token_counts(col, pattern: str = WHITESPACE_TOKEN) -> np.ndarray:

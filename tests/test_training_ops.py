@@ -304,3 +304,25 @@ def test_frame_sample_stub():
     out = frame_sample_stage(t, every=4)
     assert out["n_frames"].to_pylist() == \
         [(len(b.as_py()) + 63) // 64 for b in t["image"]]
+
+
+def test_text_kernels_handle_nulls_and_empty():
+    """Null text counts as empty; empty batches flow through."""
+    from libfilter_ray.functions.shingles import (minhash_signatures,
+                                                  simhash64,
+                                                  winnow_fingerprints)
+    from libfilter_ray.functions.textstats import text_stats_stage
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array(["hello world", None, ""])})
+    out = text_stats_stage(t)
+    assert out["n_tokens"].to_pylist() == [2, 0, 0]
+    assert out["quality_score"].to_pylist()[1] == out["quality_score"].to_pylist()[2]
+    col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) \
+        else t["text"]
+    assert minhash_signatures(col).shape == (3, 128)
+    assert len(simhash64(col)) == 3
+    assert len(winnow_fingerprints(col)) == 3
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    assert text_stats_stage(empty).num_rows == 0
