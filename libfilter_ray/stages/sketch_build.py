@@ -153,8 +153,10 @@ class _GroupedPartialBuilder:
         from ..sketch.hashing import splitmix64
         if self.num_salts > 1 and batch.num_rows:
             block_fp = int(hash_arrow_array(col.slice(0, 1), seed=7)[0])
+            # int() BEFORE the modulo: numpy-u64 % python-int promotes to
+            # float64 and rounds away the low bits (salt was always 0)
             salt = int(splitmix64(np.array([block_fp ^ batch.num_rows],
-                                           dtype=np.uint64))[0] % self.num_salts)
+                                           dtype=np.uint64))[0]) % self.num_salts
         else:
             salt = 0
         fmts = []
@@ -282,7 +284,7 @@ class _MultiGroupedPartialBuilder:
             first_col = cols[self.specs[0][3]]
             block_fp = int(hash_arrow_array(first_col.slice(0, 1), seed=7)[0])
             salt = int(splitmix64(np.array([block_fp ^ batch.num_rows],
-                                           dtype=np.uint64))[0] % self.num_salts)
+                                           dtype=np.uint64))[0]) % self.num_salts
         else:
             salt = 0
         out: dict[str, list] = {self.key: [], "rows": [], "salt": []}

@@ -108,3 +108,46 @@ def test_actor_pool_variant_identical_bytes(ray_session):
     h2 = build_sketch_actor_pool(ds, "user_id", "hll", {"p": 12},
                                  concurrency=3)
     assert h1.to_bytes() == h2.to_bytes()
+
+
+def test_salted_merge_under_extreme_skew(ray_session):
+    """SURVEY.md §7.4: deliberately skewed fixture — 95% of rows share ONE
+    key. The salted two-stage merge must (a) stay correct (byte-identical
+    result to num_salts=1) and (b) actually spread the hot key's partials
+    across multiple stage-1 salt groups."""
+    import pyarrow as pa
+    import ray
+
+    from libfilter_ray.sketch.block_bloom import BlockBloom
+    from libfilter_ray.sketch.hashing import DEFAULT_SEED, hash_arrow_array
+    from libfilter_ray.stages.sketch_build import (_GroupedPartialBuilder,
+                                                   build_grouped_sketches)
+
+    n = 20000
+    keys = ["hot"] * (n * 95 // 100) + ["cold"] * (n - n * 95 // 100)
+    vals = [f"v{i}" for i in range(n)]
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(16)
+
+    salted = build_grouped_sketches(ds, "k", "v", "block",
+                                    {"bytes_": 16384}, num_salts=8)
+    unsalted = build_grouped_sketches(ds, "k", "v", "block",
+                                      {"bytes_": 16384}, num_salts=1)
+    assert list(salted["k"]) == list(unsalted["k"])
+    for a, b in zip(salted["payload"], unsalted["payload"]):
+        assert a == b  # OR-merge is order/stage invariant -> byte identical
+
+    # salting actually spreads: stage-1 partials for the hot key land in >1
+    # salt group across blocks
+    partials = ds.map_batches(
+        _GroupedPartialBuilder("block", {"bytes_": 16384}, "v", "k",
+                               DEFAULT_SEED, 8),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    hot_salts = partials.loc[partials["k"] == "hot", "salt"].nunique()
+    assert hot_salts > 1, "hot key's partials all hit one stage-1 reducer"
+
+    # and the filters are correct: every member found
+    f = BlockBloom.from_bytes(
+        salted.loc[salted["k"] == "hot", "payload"].iloc[0])
+    hot_vals = pa.array([v for k, v in zip(keys, vals) if k == "hot"])
+    assert f.find_hashes(hash_arrow_array(hot_vals)).all()
