@@ -31,6 +31,7 @@ def register(cls: type) -> type:
 
 
 def get(kind: str) -> type:
+    _ensure_builtins()
     try:
         return _REGISTRY[kind]
     except KeyError:
@@ -39,6 +40,7 @@ def get(kind: str) -> type:
 
 
 def kinds() -> list[str]:
+    _ensure_builtins()
     return sorted(_REGISTRY)
 
 
@@ -52,7 +54,17 @@ def factory(kind: str, **params) -> Callable[[], object]:
     return lambda: cls(**params)
 
 
-def _install_builtins() -> None:
+_builtins_installed = False
+
+
+def _ensure_builtins() -> None:
+    """Deferred to first lookup: installing eagerly at registry-import time
+    creates a cycle (sketch modules import `register` from here while their
+    own module bodies are still executing)."""
+    global _builtins_installed
+    if _builtins_installed:
+        return
+    _builtins_installed = True
     from .block_bloom import BlockBloom
     register(BlockBloom)
     from . import taffy_block  # noqa: F401  (self-registers)
@@ -63,6 +75,3 @@ def _install_builtins() -> None:
     from . import kll  # noqa: F401
     from . import xor_static  # noqa: F401
     from . import minimal_taffy_cuckoo  # noqa: F401
-
-
-_install_builtins()
