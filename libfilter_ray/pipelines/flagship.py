@@ -107,12 +107,13 @@ def flagship(sf_dir: str, fpp: float = 0.01, replicate: int = 1,
     # The per-lang filters are small (KBs); a stateless closure avoids actor
     # startup cost. (For GB-scale frozen filters use stages.probe_stage with
     # an actor pool + ray.put instead.)
-    payloads = {row["lang"]: row["payload"] for _, row in grouped.iterrows()}
+    # deserialize ONCE on the driver; the closure ships ready filters to
+    # each task (per-batch from_bytes was pure waste on the hot probe path)
+    filters = {row["lang"]: BlockBloom.from_bytes(row["payload"])
+               for _, row in grouped.iterrows()}
 
     def probe_count(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-
-        filters = {k: BlockBloom.from_bytes(v) for k, v in payloads.items()}
         langs, found, n = [], [], []
         dict_arr = pc.dictionary_encode(t["lang"].combine_chunks()
                                         if isinstance(t["lang"], pa.ChunkedArray)

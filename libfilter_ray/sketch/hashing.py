@@ -135,9 +135,14 @@ def hash_arrow_array(arr: pa.Array | pa.ChunkedArray,
             if arr.num_chunks else np.empty(0, dtype=U64)
     t = arr.type
     if pa.types.is_integer(t):
-        vals = arr.to_numpy(zero_copy_only=False)
         if arr.null_count:
-            vals = np.nan_to_num(vals.astype(np.float64), nan=0.0)
+            # stay in integer space: to_numpy on a null-bearing int column
+            # yields float64, which silently rounds |values| > 2^53
+            import pyarrow.compute as pc
+            arr_filled = pc.fill_null(arr, 0)
+            vals = arr_filled.to_numpy(zero_copy_only=False)
+        else:
+            vals = arr.to_numpy(zero_copy_only=False)
         out = hash_u64(np.asarray(vals).astype(np.int64).view(U64), seed)
     elif (pa.types.is_string(t) or pa.types.is_binary(t)
           or pa.types.is_large_string(t) or pa.types.is_large_binary(t)):
@@ -148,5 +153,8 @@ def hash_arrow_array(arr: pa.Array | pa.ChunkedArray,
     if arr.null_count:
         mask = np.asarray(arr.is_null())
         out = out.copy()
-        out[mask] = splitmix64(np.asarray([U64(0xDEAD)], dtype=U64), seed=seed)[0]
+        # sentinel drawn from a DISTINCT seed stream so NULL can never
+        # collide with any real value's hash under the data seed
+        out[mask] = splitmix64(np.asarray([U64(0xDEAD)], dtype=U64),
+                               seed=(seed ^ 0xA5A5_5A5A_F00D_BEEF))[0]
     return out

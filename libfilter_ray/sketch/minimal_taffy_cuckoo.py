@@ -402,7 +402,7 @@ class MinimalTaffyCuckoo:
             for lvl in side.levels:
                 out.append(struct.pack("<Q", len(lvl)))
                 words = np.array([self._pack_slot(s) for b in lvl for s in b],
-                                 dtype=np.uint16)
+                                 dtype="<u2")  # little-endian pinned
                 out.append(words.tobytes())
             out.append(struct.pack("<Q", len(side.stash)))
             for p in side.stash:
@@ -430,7 +430,7 @@ class MinimalTaffyCuckoo:
             for _ in range(LEVELS):
                 (n,) = struct.unpack_from("<Q", data, off)
                 off += 8
-                words = np.frombuffer(data, dtype=np.uint16,
+                words = np.frombuffer(data, dtype="<u2",
                                       count=n * SLOTS, offset=off)
                 off += 2 * n * SLOTS
                 lvl = [[cls._unpack_slot(int(words[b * SLOTS + s]))

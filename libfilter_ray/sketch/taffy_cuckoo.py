@@ -382,8 +382,15 @@ class TaffyCuckoo:
                                  int(s.fps[bi, si]), int(s.tails[bi, si]))
 
     def merge(self, other: "TaffyCuckoo") -> "TaffyCuckoo":
-        """Union — clone-larger + re-path-smaller (c/lib/taffy-cuckoo.c:336-348)."""
-        big, small = (self, other) if self.occupied > other.occupied else (other, self)
+        """Union — clone-larger + re-path-smaller (c/lib/taffy-cuckoo.c:336-348).
+
+        Base selection is by log_side_size FIRST (the union kernel requires
+        base.log_side_size >= other's; the reference picks by `occupied`,
+        which can disagree after a stash-overflow upsize and would hit the
+        negative-shift path), with occupancy as the tiebreak."""
+        big, small = (self, other) \
+            if (self.log_side_size, self.occupied) >= \
+               (other.log_side_size, other.occupied) else (other, self)
         result = big.clone()
         result._union_one(small)
         # adopt result state

@@ -33,6 +33,7 @@ class TDigest:
         self.weights = np.empty(0, dtype=np.float64)
         self._buf: list[np.ndarray] = []
         self._buf_len = 0
+        self._compressed = False
         self.count = 0.0
         self.min = math.inf
         self.max = -math.inf
@@ -52,6 +53,12 @@ class TDigest:
         return self
 
     def _compress(self) -> None:
+        # idempotence guard: re-running the greedy pass with no new data
+        # shifts q boundaries and would slowly coarsen the digest (and makes
+        # quantiles([...]) O(len) full re-merges)
+        if not self._buf and self._compressed:
+            return
+        self._compressed = True
         if self._buf:
             bm = np.concatenate(self._buf)
             bw = np.ones(len(bm), dtype=np.float64)
@@ -66,7 +73,6 @@ class TDigest:
         means, weights = means[order], weights[order]
         total = weights.sum()
         # greedy merge pass under the k1 size bound
-        q_left = np.concatenate([[0.0], np.cumsum(weights)[:-1]]) / total
         out_means, out_weights = [], []
         cur_m, cur_w, cur_q0 = means[0], weights[0], 0.0
         klim = _k1(np.array([cur_q0]), self.delta)[0] + 1.0
@@ -91,6 +97,7 @@ class TDigest:
     def merge(self, other: "TDigest") -> "TDigest":
         other._compress()
         self._compress()
+        self._compressed = False  # centroid set changes below
         self.means = np.concatenate([self.means, other.means])
         self.weights = np.concatenate([self.weights, other.weights])
         self.count += other.count
@@ -152,4 +159,5 @@ class TDigest:
         off += 8 * n
         t.weights = np.frombuffer(data, dtype="<f8", count=n, offset=off).copy()
         t.count, t.min, t.max = count, mn, mx
+        t._compressed = True  # serialized form is post-compression
         return t

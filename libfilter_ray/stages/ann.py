@@ -47,6 +47,10 @@ def brute_topk(ds, queries: np.ndarray, *, column: str = "embedding",
             self.Q = ray.get(qref)  # once per actor, not per batch
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # np.argpartition rejects empty axes
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 "neighbor_id": pa.array([], type=pa.int64()),
+                                 "cosine": pa.array([], type=pa.float64())})
             X = _normalize(_matrix(t, column, self.Q.dtype))
             ids = np.asarray(t[id_column].combine_chunks()
                              if isinstance(t[id_column], pa.ChunkedArray)
@@ -114,6 +118,10 @@ def ivf_topk(ds, queries: np.ndarray, *, column: str = "embedding",
             self.Q, self.C, self.allowed = ray.get(qref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # np.argpartition rejects empty axes
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 "neighbor_id": pa.array([], type=pa.int64()),
+                                 "cosine": pa.array([], type=pa.float64())})
             X = _normalize(_matrix(t, column))
             ids = np.asarray(t[id_column].combine_chunks()
                              if isinstance(t[id_column], pa.ChunkedArray)

@@ -46,8 +46,10 @@ def exact_dedup_keys(ds, column: str, id_column: str):
     """Dataset of surviving ids: one (min id) per distinct content hash.
 
     map_batches(project to (content_hash, id)) -> groupby(hash) -> min(id).
-    Only 16-byte rows shuffle."""
-    from ray.data.aggregate import Min
+    Only 16-byte rows shuffle. NB the result is keyed on the 64-bit hash —
+    `exact_dedup` adds the exact confirmation pass that makes the overall
+    dedup collision-proof."""
+    from ray.data.aggregate import Count, Min
 
     def project(t: pa.Table) -> pa.Table:
         # int64 bit-view of the u64 hash: Ray group keys round-trip through
@@ -60,16 +62,38 @@ def exact_dedup_keys(ds, column: str, id_column: str):
 
     proj = ds.map_batches(project, batch_format="pyarrow")
     return proj.groupby("content_hash").aggregate(
-        Min(id_column, alias_name="keep_id"))
+        Min(id_column, alias_name="keep_id"),
+        Count(alias_name="n_members"))
 
 
 def exact_dedup(ds, column: str, id_column: str):
     """Full exact dedup: survivors' ids -> broadcast exact-set semi-join of
-    the original dataset (wide columns never shuffle)."""
+    the original dataset (wide columns never shuffle).
+
+    Collision-proof: hash groups with >1 member (the only place a 64-bit
+    collision could silently drop a distinct payload — expected ~50% odds at
+    5e9 rows) are re-verified on the EXACT payload: their rows' payloads are
+    fetched (tiny set relative to the corpus), grouped by true value, and
+    any distinct payload that lost its min-id to a colliding neighbor is
+    added back to the survivor set."""
     import ray
 
     keep = exact_dedup_keys(ds, column, id_column).to_pandas()
-    keep_ids = np.sort(keep["keep_id"].to_numpy().astype(np.int64))
+    multi = keep[keep["n_members"] > 1]
+    extra_ids: list[int] = []
+    if len(multi):
+        cand = _collect_texts(ds, column, id_column,
+                              _ids_in_hash_groups(ds, column, id_column,
+                                                  multi["content_hash"]))
+        by_val: dict[str, int] = {}
+        for i, v in sorted(cand.items()):
+            if v not in by_val:
+                by_val[v] = i
+        confirmed = set(by_val.values())
+        extra_ids = sorted(confirmed - set(multi["keep_id"].astype(int)))
+    keep_ids = np.sort(np.concatenate(
+        [keep["keep_id"].to_numpy().astype(np.int64),
+         np.array(extra_ids, dtype=np.int64)]))
     ref = ray.put(keep_ids)
 
     class KeepFilter:
@@ -82,6 +106,28 @@ def exact_dedup(ds, column: str, id_column: str):
             return t.filter(pa.array(np.isin(ids, self.ids)))
 
     return ds.map_batches(KeepFilter, batch_format="pyarrow", concurrency=2)
+
+
+
+
+def _ids_in_hash_groups(ds, column: str, id_column: str,
+                        hashes) -> np.ndarray:
+    """All row ids whose content hash is in `hashes` (broadcast filter)."""
+    import ray
+
+    hset = ray.put(np.sort(np.asarray(hashes, dtype=np.int64)))
+
+    class Pick:
+        def __init__(self):
+            self.h = ray.get(hset)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            h = hash_arrow_array(t[column]).view(np.int64)
+            return t.select([id_column]).filter(pa.array(np.isin(h, self.h)))
+
+    small = ds.map_batches(Pick, batch_format="pyarrow",
+                           concurrency=2).to_pandas()
+    return small[id_column].to_numpy().astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

@@ -239,7 +239,8 @@ class CheckpointedBuild:
         out = set()
         for name in os.listdir(d):
             if name.startswith("part-") and name.endswith(".parquet"):
-                out.add(int(name[5:10]))
+                # {pid:05d} is a MINIMUM width — parse up to the extension
+                out.add(int(name[5:-len(".parquet")]))
         return out
 
     def status(self) -> dict:

@@ -72,3 +72,31 @@ def test_splitmix64_known_vector():
 def test_unhashable_type_raises():
     with pytest.raises(TypeError):
         hash_arrow_array(pa.array([[1.0, 2.0]]))
+
+
+def test_int_hash_with_nulls_preserves_large_values():
+    """A null in an int64 column must not route non-null values through
+    float64 (which silently rounds |v| > 2^53)."""
+    import pyarrow as pa
+
+    from libfilter_ray.sketch.hashing import hash_arrow_array
+
+    big = 2**62 + 1
+    with_null = pa.array([big, None, 7], type=pa.int64())
+    without = pa.array([big, 7], type=pa.int64())
+    h1 = hash_arrow_array(with_null)
+    h2 = hash_arrow_array(without)
+    assert h1[0] == h2[0]  # would differ if rounded through float64
+    assert h1[2] == h2[1]
+
+
+def test_null_sentinel_distinct_from_any_int():
+    """NULL's hash must not collide with the hash of any literal value —
+    in particular not 0xDEAD (57005), the old sentinel's pre-image."""
+    import pyarrow as pa
+
+    from libfilter_ray.sketch.hashing import hash_arrow_array
+
+    h = hash_arrow_array(pa.array([None, 0xDEAD, 0], type=pa.int64()))
+    assert h[0] != h[1]
+    assert h[0] != h[2]

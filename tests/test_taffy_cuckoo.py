@@ -183,3 +183,19 @@ def test_bad_payload():
         TaffyCuckoo.from_bytes(b"nope")
     with pytest.raises(ValueError):
         FrozenTaffyCuckoo.from_bytes(b"nope")
+
+
+def test_merge_base_picked_by_size_not_occupancy(rng):
+    """An empty-but-larger filter merged with a populated smaller one must
+    not crash (the union kernel requires the base to have the larger
+    log_side_size; occupancy alone can disagree)."""
+    big_empty = TaffyCuckoo(8192)
+    small_full = TaffyCuckoo(512)
+    keys = rand_u64(rng, 300)
+    small_full.update(keys)
+    m = big_empty.merge(small_full)
+    assert m.find_hashes(keys).all()
+    # and the symmetric call works too
+    big_empty2 = TaffyCuckoo(8192)
+    m2 = small_full.merge(big_empty2)
+    assert m2.find_hashes(keys).all()
