@@ -82,11 +82,10 @@ def exact_dedup(ds, column: str, id_column: str):
     multi = keep[keep["n_members"] > 1]
     extra_ids: list[int] = []
     if len(multi):
-        cand = _collect_texts(ds, column, id_column,
-                              _ids_in_hash_groups(ds, column, id_column,
-                                                  multi["content_hash"]))
+        cand = _rows_in_hash_groups(ds, column, id_column,
+                                    multi["content_hash"])
         by_val: dict[str, int] = {}
-        for i, v in sorted(cand.items()):
+        for i, v in sorted(zip(cand[id_column].astype(int), cand[column])):
             if v not in by_val:
                 by_val[v] = i
         confirmed = set(by_val.values())
@@ -110,9 +109,10 @@ def exact_dedup(ds, column: str, id_column: str):
 
 
 
-def _ids_in_hash_groups(ds, column: str, id_column: str,
-                        hashes) -> np.ndarray:
-    """All row ids whose content hash is in `hashes` (broadcast filter)."""
+def _rows_in_hash_groups(ds, column: str, id_column: str, hashes):
+    """(id, value) rows whose content hash is in `hashes` — ONE broadcast
+    filter pass (ids and payloads together; a separate id pass would double
+    the read)."""
     import ray
 
     hset = ray.put(np.sort(np.asarray(hashes, dtype=np.int64)))
@@ -123,11 +123,11 @@ def _ids_in_hash_groups(ds, column: str, id_column: str,
 
         def __call__(self, t: pa.Table) -> pa.Table:
             h = hash_arrow_array(t[column]).view(np.int64)
-            return t.select([id_column]).filter(pa.array(np.isin(h, self.h)))
+            return t.select([id_column, column]) \
+                .filter(pa.array(np.isin(h, self.h)))
 
-    small = ds.map_batches(Pick, batch_format="pyarrow",
-                           concurrency=2).to_pandas()
-    return small[id_column].to_numpy().astype(np.int64)
+    return ds.map_batches(Pick, batch_format="pyarrow",
+                          concurrency=2).to_pandas()
 
 
 # ---------------------------------------------------------------------------
