@@ -163,6 +163,55 @@ def _union_find(pairs: np.ndarray, ids: np.ndarray) -> dict[int, int]:
     return {int(i): find(int(i)) for i in ids}
 
 
+def _candidate_pairs(buckets, key: str, id_column: str, *,
+                     extra_cols: list[str] | None = None,
+                     max_bucket: int = 64) -> pd.DataFrame:
+    """Unordered id pairs within each bucket, computed by a vectorized
+    sorted-run scan over the collected (bucket_key, id) rows.
+
+    The bucket table is 16-24 bytes/row — at this test scale it collects to
+    the driver; the multi-member buckets (the only ones producing pairs) are
+    rare, so the pair loop touches hundreds of runs, not millions of rows.
+    At 10^12-row scale, shard this by `groupby(key)` ranges first (same run
+    scan inside map_groups over RANGES of keys, not one group per bucket —
+    per-bucket map_groups pays Python overhead per tiny group)."""
+    cols = [key, id_column] + list(extra_cols or [])
+    df = buckets.select_columns(cols).to_pandas()
+    df = df.sort_values([key, id_column], kind="stable")
+    kv = df[key].to_numpy()
+    ids = df[id_column].to_numpy()
+    run_starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+    run_ends = np.r_[run_starts[1:], len(kv)]
+    out_a, out_b, out_extra_a, out_extra_b = [], [], [], []
+    extras = {c: df[c].to_numpy() for c in (extra_cols or [])}
+    for s, e in zip(run_starts, run_ends):
+        n = e - s
+        if n < 2:
+            continue
+        n = min(n, max_bucket)
+        uniq_ids = np.unique(ids[s:s + n])
+        if len(uniq_ids) < 2:
+            continue
+        a, b = np.triu_indices(len(uniq_ids), k=1)
+        out_a.append(uniq_ids[a])
+        out_b.append(uniq_ids[b])
+        if extras:
+            # map each unique id back to its first extra value in the run
+            first_idx = s + np.searchsorted(ids[s:s + n], uniq_ids)
+            for c in extras:
+                out_extra_a.append(extras[c][first_idx][a])
+                out_extra_b.append(extras[c][first_idx][b])
+    if not out_a:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    res = pd.DataFrame({"id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b)})
+    if extras:
+        c = list(extras)[0]
+        res["sim_a"] = np.concatenate(out_extra_a)
+        res["sim_b"] = np.concatenate(out_extra_b)
+    return res.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+
+
 def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
                            num_perm: int = 128, bands: int = 16,
                            threshold: float = 0.7,
@@ -190,9 +239,7 @@ def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
 
     buckets = ds.map_batches(sig_stage, batch_format="pyarrow",
                              batch_size=batch_size)
-    cand = buckets.groupby("band_key").map_groups(
-        lambda df: _pairs_from_buckets(df, id_column),
-        batch_format="pandas").to_pandas()
+    cand = _candidate_pairs(buckets, "band_key", id_column)
     if not len(cand):
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     cand = cand.drop_duplicates().reset_index(drop=True)
@@ -254,21 +301,16 @@ def simhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
     buckets = ds.map_batches(sig_stage, batch_format="pyarrow",
                              batch_size=batch_size)
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(subset=[id_column]).sort_values(id_column)
-        ids = df[id_column].to_numpy()[:64]
-        sh = df["simhash"].to_numpy()[:64].astype(np.int64).view(U64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []},
-                                dtype=np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        hd = hamming64(sh[a], sh[b])
-        keep = hd <= max_hamming
-        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep],
-                             "hamming": hd[keep].astype(np.int64)})
-
-    pairs = buckets.groupby("band_key").map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
+    cand = _candidate_pairs(buckets, "band_key", id_column,
+                            extra_cols=["simhash"])
+    if not len(cand):
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    hd = hamming64(cand["sim_a"].to_numpy().astype(np.int64).view(U64),
+                   cand["sim_b"].to_numpy().astype(np.int64).view(U64))
+    keep = hd <= max_hamming
+    pairs = pd.DataFrame({"id_a": cand["id_a"][keep],
+                          "id_b": cand["id_b"][keep],
+                          "hamming": hd[keep].astype(np.int64)})
     return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
