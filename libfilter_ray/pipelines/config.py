@@ -1,0 +1,68 @@
+"""Config-driven sketch pipelines (SURVEY.md §2.10: the engine equivalent of
+the reference's duck-typed filter protocol + factories —
+``java/.../FilterWithBytesFactory.java``, ``cpp/include/filter/block.hpp``
+templates). A pipeline is a plain dict, so jobs can live in JSON/YAML and new
+sketch kinds plug in through the registry without touching driver code.
+
+Spec shape::
+
+    {
+      "table": "documents" | "webpages" | "events" | "<name>",
+      "columns": ["lang", "text"],          # optional read pruning
+      "key": "lang",                        # optional -> grouped build
+      "num_salts": 8,                       # grouped builds only
+      "sketches": [
+        {"name": "bloom", "kind": "block", "params": {"bytes_": 4096},
+         "column": "url"},
+        {"name": "users", "kind": "hll", "params": {"p": 14},
+         "column": "user_id"},
+      ],
+    }
+
+Grouped specs run in ONE pass via build_grouped_multi (single read + salted
+shuffle); ungrouped specs build one global sketch each via build_sketch.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+
+
+def _load_table(spec: dict, sf_dir: str):
+    import ray.data
+
+    table = spec["table"]
+    cols = spec.get("columns")
+    if table == "webpages":
+        from ..sources.webpages import read_webpages
+
+        ds = read_webpages(sf_dir, include_html=False)
+        return ds.select_columns(cols) if cols else ds
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+
+
+def run_config(spec: dict[str, Any], sf_dir: str) -> pd.DataFrame:
+    """Execute a config-described sketch build; returns the payload frame
+    (grouped: one row per key with payload_<name> columns; ungrouped: one
+    row per sketch with its payload)."""
+    from ..sketch import registry
+    from ..stages.sketch_build import build_grouped_multi, build_sketch
+
+    sketches = spec["sketches"]
+    for s in sketches:
+        registry.get(s["kind"])  # fail fast on unknown kinds
+    ds = _load_table(spec, sf_dir)
+    key = spec.get("key")
+    if key:
+        specs = [(s["name"], s["kind"], s.get("params", {}), s["column"])
+                 for s in sketches]
+        return build_grouped_multi(ds, key, specs,
+                                   num_salts=int(spec.get("num_salts", 8)))
+    rows = []
+    for s in sketches:
+        sk = build_sketch(ds, s["column"], s["kind"], s.get("params", {}))
+        rows.append({"name": s["name"], "kind": s["kind"],
+                     "payload": sk.to_bytes()})
+    return pd.DataFrame(rows)
