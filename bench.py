@@ -35,6 +35,38 @@ def _warm_cache() -> None:
             fh.read()
 
 
+def _warm_workers() -> None:
+    """Untimed warm pipeline: a real mini-workload per worker — faults in
+    the numpy/arrow heap paths the timed kernels use. On this microVM fresh
+    page faults run ~100x slower than warm pages; production workers are
+    long-lived and warm, so steady state is the honest measurement. Shared
+    by run_bench and the --scaling children so both warm the SAME paths."""
+    import ray
+
+    def _warm(b):
+        import numpy as _np
+        import pyarrow.parquet as _pq
+
+        from libfilter_ray.sketch.hashing import DEFAULT_SEED
+        from libfilter_ray.sources.webpages import (_replicate_docs,
+                                                    synthesize_webpages)
+        from libfilter_ray.stages.extract import verify_extract_stage
+        from libfilter_ray.stages.sketch_build import _GroupedPartialBuilder
+
+        t = _pq.read_table(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"]) \
+            .slice(0, 80)
+        pages = verify_extract_stage(
+            synthesize_webpages(_replicate_docs(t, 400)))
+        bld = _GroupedPartialBuilder("block", {"bytes_": 2 << 20}, "url",
+                                     "lang", DEFAULT_SEED, 8)
+        bld(pages.select(["url", "lang"]))
+        return {"x": _np.asarray(b["id"])}
+
+    ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        _warm, batch_size=1).materialize()
+
+
 def run_bench() -> dict:
     import ray
 
@@ -58,32 +90,7 @@ def run_bench() -> dict:
 
     _warm_cache()
 
-    # untimed warm pipeline: a real mini-workload per worker — faults in the
-    # numpy/arrow heap paths the timed kernels use. On this microVM fresh
-    # page faults run ~100x slower than warm pages; production workers are
-    # long-lived and warm, so steady state is the honest measurement.
-    def _warm(b):
-        import numpy as _np
-        import pyarrow.parquet as _pq
-
-        from libfilter_ray.sketch.hashing import DEFAULT_SEED
-        from libfilter_ray.sources.webpages import (_replicate_docs,
-                                                    synthesize_webpages)
-        from libfilter_ray.stages.extract import verify_extract_stage
-        from libfilter_ray.stages.sketch_build import _GroupedPartialBuilder
-
-        t = _pq.read_table(f"{SF_DIR}/documents.parquet",
-                           columns=["doc_id", "text", "lang", "source"]) \
-            .slice(0, 80)
-        pages = verify_extract_stage(
-            synthesize_webpages(_replicate_docs(t, 400)))
-        bld = _GroupedPartialBuilder("block", {"bytes_": 2 << 20}, "url",
-                                     "lang", DEFAULT_SEED, 8)
-        bld(pages.select(["url", "lang"]))
-        return {"x": _np.asarray(b["id"])}
-
-    ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
-        _warm, batch_size=1).materialize()
+    _warm_workers()
 
     n_docs = None
     timings: dict[str, float] = {}
@@ -188,32 +195,7 @@ def run_headline_only() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    # untimed warm pipeline: a real mini-workload per worker — faults in the
-    # numpy/arrow heap paths the timed kernels use. On this microVM fresh
-    # page faults run ~100x slower than warm pages; production workers are
-    # long-lived and warm, so steady state is the honest measurement.
-    def _warm(b):
-        import numpy as _np
-        import pyarrow.parquet as _pq
-
-        from libfilter_ray.sketch.hashing import DEFAULT_SEED
-        from libfilter_ray.sources.webpages import (_replicate_docs,
-                                                    synthesize_webpages)
-        from libfilter_ray.stages.extract import verify_extract_stage
-        from libfilter_ray.stages.sketch_build import _GroupedPartialBuilder
-
-        t = _pq.read_table(f"{SF_DIR}/documents.parquet",
-                           columns=["doc_id", "text", "lang", "source"]) \
-            .slice(0, 80)
-        pages = verify_extract_stage(
-            synthesize_webpages(_replicate_docs(t, 400)))
-        bld = _GroupedPartialBuilder("block", {"bytes_": 2 << 20}, "url",
-                                     "lang", DEFAULT_SEED, 8)
-        bld(pages.select(["url", "lang"]))
-        return {"x": _np.asarray(b["id"])}
-
-    ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
-        _warm, batch_size=1).materialize()
+    _warm_workers()
     _warm_cache()
     from libfilter_ray.pipelines.flagship import sketch_build_throughput_job
 

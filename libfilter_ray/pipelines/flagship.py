@@ -128,7 +128,7 @@ def flagship(sf_dir: str, fpp: float = 0.01, replicate: int = 1,
             langs.append(lang)
             found.append(int(filters[lang].find_hashes(h).sum()))
             n.append(int(mask.sum()))
-        return pa.table({"lang": pa.array(langs),
+        return pa.table({"lang": pa.array(langs, type=pa.string()),
                          "found": pa.array(found, type=pa.int64()),
                          "n": pa.array(n, type=pa.int64())})
 

@@ -675,8 +675,8 @@ def q_hibp_filter_report(sf_dir: str) -> pd.DataFrame:
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
     keys = np.unique(hash_arrow_array(docs["text"].combine_chunks()))
-    path = os.path.join(tempfile.mkdtemp(prefix="lfr-hibp-", dir="/tmp"),
-                        "corpus.txt")
+    tmpdir = tempfile.mkdtemp(prefix="lfr-hibp-", dir="/tmp")
+    path = os.path.join(tmpdir, "corpus.txt")
     write_hibp_file(path, keys)
     try:
         parsed = read_hibp(path)
@@ -692,7 +692,9 @@ def q_hibp_filter_report(sf_dir: str) -> pd.DataFrame:
                            "taffy_cuckoo", {"bytes_": 1024},
                            pre_hashed=True)
     finally:
-        os.unlink(path)
+        import shutil
+
+        shutil.rmtree(tmpdir, ignore_errors=True)
     fz = tcf.freeze()
     sorted_keys = np.sort(keys)
     rng = np.random.default_rng(99)
@@ -797,7 +799,10 @@ def q_ann_topk_brute(sf_dir: str) -> pd.DataFrame:
     from ..stages.ann import brute_topk
 
     emb = _read(sf_dir, "embeddings")
-    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    # queries = 3 LOWEST vec_ids (sorted explicitly — the oracle's ORDER BY
+    # must not depend on the file's physical row order)
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+        .sort_by("vec_id").slice(0, 3)
     Q = np.stack([np.asarray(v) for v in qtab["embedding"].to_pylist()])
     qids = np.asarray(qtab["vec_id"]).astype(np.int64)
     out = brute_topk(emb, Q, k=5, dtype=np.float64)
@@ -831,7 +836,8 @@ def q_ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
     from ..stages.ann import ivf_topk
 
     emb = _read(sf_dir, "embeddings")
-    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+        .sort_by("vec_id").slice(0, 3)
     Q = np.stack([np.asarray(v) for v in qtab["embedding"].to_pylist()])
     out = ivf_topk(emb, Q, k=5, num_centroids=16, nprobe=8)
     out["cosine"] = out["cosine"].round(4)
@@ -900,6 +906,8 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
 
     def plant(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["vec_id"], dtype=np.int64)
+        if not len(ids):  # reshape(0, -1) cannot infer the second dim
+            return t.select(["vec_id", "embedding"])
         col = t["embedding"]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         X = np.asarray(col.values, dtype=np.float32).reshape(len(ids), -1)

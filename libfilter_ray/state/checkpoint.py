@@ -65,7 +65,15 @@ class Partition:
 
 def plan_partitions(paths: list[str], target_rows: int = 1 << 20) -> list[Partition]:
     """Deterministic split of the input files into row-count-balanced
-    partitions (sorted file order -> stable ids)."""
+    partitions (sorted file order -> stable ids).
+
+    NB: parquet row groups are the I/O unit — a row group larger than
+    `target_rows` is split into row-range partitions, and each such
+    partition decodes the WHOLE row group before slicing (k-fold read
+    amplification for k-way splits). At production scale keep row groups
+    <= target_rows (the normal ~128 MB layout) so splits land on row-group
+    boundaries; sub-row-group splitting exists for pathological inputs and
+    small test files."""
     parts: list[Partition] = []
     pid = 0
     for path in sorted(paths):
@@ -176,8 +184,6 @@ class _PartitionBuilder:
             _atomic_write_table(ck, dest)
             out_rows.append({"partition_id": pid, "rows": t.num_rows,
                              "wall_ms": wall_ms})
-        if not out_rows:
-            out_rows = []
         return pa.table({
             "partition_id": pa.array([r["partition_id"] for r in out_rows],
                                      type=pa.int64()),
@@ -212,13 +218,41 @@ class CheckpointedBuild:
         self.column, self.key, self.seed = column, key, seed
         self.transform, self.read_columns = transform, read_columns
         os.makedirs(os.path.join(run_dir, PARTIALS_DIR), exist_ok=True)
+        self._sweep_tmps()
         self.partitions = plan_partitions(input_paths, target_rows)
         self._write_manifest()
+
+    def _sweep_tmps(self) -> None:
+        d = os.path.join(self.run_dir, PARTIALS_DIR)
+        for name in os.listdir(d):
+            if ".tmp-" in name:  # abandoned atomic-write attempt
+                os.unlink(os.path.join(d, name))
 
     def _write_manifest(self) -> None:
         path = os.path.join(self.run_dir, MANIFEST)
         if os.path.exists(path):
-            return  # resume: manifest is immutable for the run
+            # resume: the manifest is immutable for the run — verify this
+            # job's config matches it, otherwise partials from run 1 would
+            # silently merge into differently-parameterized sketches
+            with open(path) as f:
+                old = json.load(f)
+            mine = {"kind": self.kind, "params": self.params,
+                    "column": self.column, "key": self.key, "seed": self.seed}
+            theirs = {k: old.get(k) for k in mine}
+            if mine != theirs:
+                raise ValueError(
+                    f"resume config mismatch vs manifest at {path}: "
+                    f"{theirs} != {mine}")
+            old_plan = [(p["partition_id"], p["path"],
+                         tuple(tuple(fr) for fr in p["fragments"]))
+                        for p in old["partitions"]]
+            new_plan = [(p.partition_id, p.path, p.fragments)
+                        for p in self.partitions]
+            if old_plan != new_plan:
+                raise ValueError(
+                    "resume partition-plan mismatch (inputs or target_rows "
+                    "changed since the original run)")
+            return
         manifest = {
             "kind": self.kind, "params": self.params, "column": self.column,
             "key": self.key, "seed": self.seed,
@@ -283,9 +317,13 @@ class CheckpointedBuild:
         import ray.data
 
         cls = registry.get(self.kind)
+        # file_extensions guard: without it, orphan part-*.parquet.tmp-* files
+        # from a crash inside _atomic_write_table would be ingested too,
+        # double-counting partitions on resume
         ds = ray.data.read_parquet(
             os.path.join(self.run_dir, PARTIALS_DIR),
-            columns=["key", "payload", "rows_processed"])
+            columns=["key", "payload", "rows_processed"],
+            file_extensions=["parquet"])
 
         def merge_group(df: pd.DataFrame) -> pd.DataFrame:
             acc = cls.from_bytes(df["payload"].iloc[0])

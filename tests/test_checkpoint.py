@@ -87,3 +87,34 @@ def test_grouped_resume_matches_clean(tmp_path, events_parquet, ray_session):
     assert set(out) == set(ref)
     for k in ref:
         assert out[k].to_bytes() == ref[k].to_bytes()
+
+
+def test_resume_config_mismatch_rejected(tmp_path, events_parquet, ray_session):
+    """Resuming with different params/plan must fail loudly — mixing
+    incompatible partials would silently corrupt the merged sketch."""
+    kw = dict(kind="hll", params={"p": 14}, column="user_id",
+              target_rows=2048)
+    CheckpointedBuild(str(tmp_path / "r"), events_parquet, **kw)
+    with pytest.raises(ValueError, match="config mismatch"):
+        CheckpointedBuild(str(tmp_path / "r"), events_parquet,
+                          kind="hll", params={"p": 12}, column="user_id",
+                          target_rows=2048)
+    with pytest.raises(ValueError, match="partition-plan mismatch"):
+        CheckpointedBuild(str(tmp_path / "r"), events_parquet, **{
+            **kw, "target_rows": 4096})
+
+
+def test_orphan_tmp_files_ignored(tmp_path, events_parquet, ray_session):
+    """A crash inside the atomic write leaves part-*.parquet.tmp-* — resume
+    must sweep it and merge() must never ingest it."""
+    kw = dict(kind="block", params={"bytes_": 4096}, column="user_id",
+              target_rows=2048)
+    job = CheckpointedBuild(str(tmp_path / "r"), events_parquet, **kw)
+    ref = job.run()[""]
+    orphan = os.path.join(str(tmp_path / "r"), PARTIALS_DIR,
+                          "part-00000.parquet.tmp-deadbeef")
+    with open(orphan, "wb") as f:
+        f.write(b"truncated garbage")
+    job2 = CheckpointedBuild(str(tmp_path / "r"), events_parquet, **kw)
+    assert not os.path.exists(orphan)  # swept at init
+    assert job2.run()[""].to_bytes() == ref.to_bytes()
