@@ -382,23 +382,31 @@ def embedding_near_dup_pairs(ds, column: str, id_column: str, *,
     buckets = ds.map_batches(bucket_stage, batch_format="pyarrow",
                              batch_size=batch_size)
 
+    # collect + sorted run scan (see _candidate_pairs: per-bucket map_groups
+    # pays Python overhead per tiny group); pair cosines computed in ONE
+    # gathered matmul over all candidate pairs
     ecols = [f"e{j}" for j in range(dim)]
-
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_column).head(256)
-        ids = df[id_column].to_numpy()
-        X = df[ecols].to_numpy(dtype=np.float32)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        sim = X @ X.T
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = sim[a, b] >= threshold
-        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep],
-                             "cosine": sim[a, b][keep].astype(np.float64)})
-
-    pairs = buckets.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
-    if not len(pairs):
+    df = buckets.to_pandas().sort_values(["bucket", id_column], kind="stable")
+    kv = df["bucket"].to_numpy()
+    ids = df[id_column].to_numpy()
+    X = df[ecols].to_numpy(dtype=np.float32)
+    run_starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+    run_ends = np.r_[run_starts[1:], len(kv)]
+    ia, ib = [], []
+    for s, e in zip(run_starts, run_ends):
+        n = min(e - s, 256)
+        if n < 2:
+            continue
+        a, b = np.triu_indices(n, k=1)
+        ia.append(s + a)
+        ib.append(s + b)
+    if not ia:
         return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    ia = np.concatenate(ia)
+    ib = np.concatenate(ib)
+    cos = np.einsum("ij,ij->i", X[ia], X[ib])
+    keep = cos >= threshold
+    pairs = pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                          "cosine": cos[keep].astype(np.float64)})
     return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
