@@ -127,6 +127,8 @@ def run_bench() -> dict:
     timed("text_stats_by_lang", q.q_text_stats_by_lang)
     timed("exact_dedup_docs", q.q_exact_dedup_docs)
     timed("ann_topk_brute", q.q_ann_topk_brute)
+    # high-cardinality grouped build (~2000 domain keys, sort-split partials)
+    timed("domain_doc_counts", q.q_domain_doc_counts)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)

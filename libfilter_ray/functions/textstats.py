@@ -119,6 +119,19 @@ def lang_id(col) -> pa.Array:
     return pa.array(out.tolist(), type=pa.string())
 
 
+def token_count_stage(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Lean map_batches stage: ONLY whitespace + BPE-ish token counts (two
+    RE2 passes). Use when the consumer aggregates token counts alone — the
+    full `text_stats_stage` pays ~13 regex/hash passes for columns a
+    count-only pipeline never reads."""
+    col = batch[column]
+    return batch.drop_columns([column]) \
+        .append_column("n_tokens", pa.array(token_counts(col),
+                                            type=pa.int64())) \
+        .append_column("n_bpe_tokens", pa.array(bpe_ish_token_counts(col),
+                                                type=pa.int64()))
+
+
 def text_stats_stage(batch: pa.Table, column: str = "text") -> pa.Table:
     """map_batches stage: append token counts, quality signals, predicted
     lang, and two content fingerprints (exact-hash + winnowing)."""

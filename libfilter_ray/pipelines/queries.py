@@ -299,22 +299,62 @@ def q_growable_filters_per_lang(sf_dir: str) -> pd.DataFrame:
         ("tbf", "taffy_block", {"ndv": 256, "fpp": 0.01}, "url"),
         ("tcf", "taffy_cuckoo", {"bytes_": 1024}, "url"),
     ])
-    pages = read_webpages(sf_dir, include_html=False) \
-        .select_columns(["url", "lang"]).to_pandas()
+    # probe = a SECOND STREAMING pass with the (KB-sized) filters shipped in
+    # the task closure — same shape as the flagship probe (flagship.py) —
+    # never a driver-side corpus collect
+    filters = {r["lang"]: (TaffyBlock.from_bytes(r["payload_tbf"]),
+                           TaffyCuckoo.from_bytes(r["payload_tcf"]),
+                           TaffyCuckoo.from_bytes(r["payload_tcf"]).freeze())
+               for _, r in grouped.iterrows()}
+
+    def probe_count(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        langs, n, f1c, f2c, fzc = [], [], [], [], []
+        dict_arr = pc.dictionary_encode(t["lang"].combine_chunks()
+                                        if isinstance(t["lang"], pa.ChunkedArray)
+                                        else t["lang"])
+        codes = np.asarray(dict_arr.indices)
+        urls = t["url"].combine_chunks() \
+            if isinstance(t["url"], pa.ChunkedArray) else t["url"]
+        for code in range(len(dict_arr.dictionary)):
+            lang = dict_arr.dictionary[code].as_py()
+            mask = codes == code
+            h = hash_arrow_array(urls.filter(pa.array(mask)))
+            f1, f2, fz = filters[lang]
+            langs.append(lang)
+            n.append(int(mask.sum()))
+            f1c.append(int(f1.find_hashes(h).sum()))
+            f2c.append(int(f2.find_hashes(h).sum()))
+            fzc.append(int(fz.find_hashes(h).sum()))
+        return pa.table({"lang": pa.array(langs, type=pa.string()),
+                         "n": pa.array(n, type=pa.int64()),
+                         "tbf": pa.array(f1c, type=pa.int64()),
+                         "tcf": pa.array(f2c, type=pa.int64()),
+                         "fz": pa.array(fzc, type=pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    found = read_webpages(sf_dir, include_html=False) \
+        .select_columns(["url", "lang"]) \
+        .map_batches(probe_count, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            _Sum("n", alias_name="n_urls"),
+            _Sum("tbf", alias_name="tbf_found"),
+            _Sum("tcf", alias_name="tcf_found"),
+            _Sum("fz", alias_name="frozen_found")).to_pandas() \
+        .set_index("lang")
+
     probes = hash_arrow_array(pa.array(
         [f"https://absent.example.net/{i}" for i in range(32768)]))
     rows = []
     for _, r in grouped.iterrows():
-        urls = pa.array(pages.loc[pages["lang"] == r["lang"], "url"].tolist())
-        h = hash_arrow_array(urls)
-        f1 = TaffyBlock.from_bytes(r["payload_tbf"])
-        f2 = TaffyCuckoo.from_bytes(r["payload_tcf"])
-        fz = f2.freeze()
+        lang = r["lang"]
+        f1, f2, _fz = filters[lang]
         rows.append({
-            "lang": r["lang"], "n_urls": len(urls),
-            "tbf_found": int(f1.find_hashes(h).sum()),
-            "tcf_found": int(f2.find_hashes(h).sum()),
-            "frozen_found": int(fz.find_hashes(h).sum()),
+            "lang": lang, "n_urls": int(found.loc[lang, "n_urls"]),
+            "tbf_found": int(found.loc[lang, "tbf_found"]),
+            "tcf_found": int(found.loc[lang, "tcf_found"]),
+            "frozen_found": int(found.loc[lang, "frozen_found"]),
             "tbf_fpp": round(float(f1.find_hashes(probes).mean()), 5),
             "tcf_fpp": round(float(f2.find_hashes(probes).mean()), 5),
             "tbf_bytes": f1.size_in_bytes(), "tcf_bytes": f2.size_in_bytes(),
@@ -387,10 +427,13 @@ def q_checkpointed_build_resume(sf_dir: str) -> pd.DataFrame:
 
 
 def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """Broadcast dimension-join chain: region->nation->customer (small dims,
-    ray.put once) joined to streaming orders inside map_batches — the
-    scale-correct star-schema pattern (no shuffle join; dims are KBs even at
-    100 TB fact scale)."""
+    """Broadcast dimension-join chain: region->nation->customer joined to
+    streaming orders inside map_batches (no shuffle join). Honest scale
+    note: nation/region stay KBs forever, but CUSTOMER grows with the fact
+    table — the broadcast is O(customers x ~20 B) (sorted key + two name
+    arrays), fine to ~10^8 customers / node-heap; beyond that switch the
+    customer leg to a bloom-guarded hash-shuffle semi-join (the engine's
+    exact_dedup filter shape, stages/dedup.py)."""
     import pyarrow.compute as pc
 
     nation = _read(sf_dir, "nation").to_pandas()
@@ -502,25 +545,40 @@ ORDER BY window_start, event_type
 
 
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
-    """Gap-based sessionization (30-min inactivity): per-user ordered-state
-    computation via groupby(user).map_groups — the stateful streaming op
-    expressed with a per-key shuffle + in-group sort (each user's events fit
-    one task; at 100 TB shuffle key = user_id, the natural partition)."""
+    """Gap-based sessionization (30-min inactivity), fully vectorized: shard
+    by user-hash (a user never splits across shards), sort each shard once by
+    (user, ts), then a np.diff run scan marks session starts — ONE Python
+    call per shard, not per user (at 10^8 users the per-group map_groups
+    variant pays Python overhead per tiny group; shuffle key stays user_id,
+    the natural partition)."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     GAP = np.timedelta64(30, "m")
+    NSHARDS = 32
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(df["ts"].to_numpy())
-        gaps = np.diff(ts) > GAP
+    def add_shard(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard = (uid % np.uint64(NSHARDS)).astype(np.int64)
+        return t.append_column("shard", pa.array(shard, type=pa.int64()))
+
+    def sessions_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_session = new_user | np.r_[True, (ts[1:] - ts[:-1]) > GAP]
+        starts = np.flatnonzero(new_user)
+        ends = np.r_[starts[1:], len(uid)]
         return pd.DataFrame({
-            "user_id": [int(df["user_id"].iloc[0])],
-            "n_events": [len(ts)],
-            "n_sessions": [int(gaps.sum()) + 1],
+            "user_id": uid[starts],
+            "n_events": (ends - starts).astype(np.int64),
+            "n_sessions": np.add.reduceat(
+                new_session.astype(np.int64), starts),
         })
 
-    out = ds.groupby("user_id").map_groups(
-        sessions, batch_format="pandas").to_pandas()
+    out = ds.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("shard").map_groups(sessions_shard, batch_format="pandas") \
+        .to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     out["n_sessions"] = out["n_sessions"].astype("int64")
@@ -543,19 +601,34 @@ FROM d GROUP BY user_id ORDER BY user_id
 
 
 def q_top_parts_per_brand(sf_dir: str) -> pd.DataFrame:
-    """Per-group top-k (top 3 parts by retail price per brand) via
-    groupby(brand).map_groups — the grouped-window pattern."""
+    """Per-group top-k (top 3 parts by retail price per brand), vectorized:
+    per-block partial top-k (pre-aggregation — at most 3 rows per brand
+    leave each block), then brand-hash shards each do a single pandas
+    sort + groupby-cumcount pass — one Python call per SHARD, not per brand
+    (the grouped-window pattern at high key cardinality)."""
     ds = _read(sf_dir, "part",
                columns=["p_brand", "p_partkey", "p_retailprice"])
 
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(["p_retailprice", "p_partkey"],
-                           ascending=[False, True]).head(3).copy()
-        d["rank"] = np.arange(1, len(d) + 1)
-        return d
+    NSHARDS = 16
 
-    out = ds.groupby("p_brand").map_groups(
-        topk, batch_format="pandas").to_pandas()
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner: per-block top-3 per brand, so the shuffle moves at most
+        # 3 rows x brands per block no matter how big the block is
+        d = df.sort_values(["p_retailprice", "p_partkey"],
+                           ascending=[False, True], kind="stable")
+        d = d[d.groupby("p_brand").cumcount() < 3]
+        h = pd.util.hash_array(d["p_brand"].to_numpy(dtype=object))
+        return d.assign(shard=(h % NSHARDS).astype(np.int64))
+
+    def topk_shard(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["p_retailprice", "p_partkey"],
+                           ascending=[False, True], kind="stable")
+        d = d.assign(rank=d.groupby("p_brand").cumcount() + 1)
+        return d[d["rank"] <= 3].drop(columns=["shard"])
+
+    out = ds.map_batches(partial_topk, batch_format="pandas") \
+        .groupby("shard").map_groups(topk_shard, batch_format="pandas") \
+        .to_pandas()
     out["p_partkey"] = out["p_partkey"].astype("int64")
     out["rank"] = out["rank"].astype("int64")
     out["p_retailprice"] = out["p_retailprice"].round(2)
@@ -720,14 +793,18 @@ def q_hibp_filter_report(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_text_stats_by_lang(sf_dir: str) -> pd.DataFrame:
-    """Per-lang text analysis (token counting incl. BPE-ish regex, punct) —
-    RE2 patterns evaluated identically by pyarrow and the DuckDB oracle."""
+    """Per-lang text analysis (token counting incl. BPE-ish regex) —
+    RE2 patterns evaluated identically by pyarrow and the DuckDB oracle.
+
+    Uses the LEAN projection stage (2 regex passes; the full
+    `text_stats_stage` runs ~13 column passes this aggregate never reads —
+    prune compute like you prune columns)."""
     from ray.data.aggregate import Count, Sum
 
-    from ..functions.textstats import text_stats_stage
+    from ..functions.textstats import token_count_stage
 
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
-    stats = ds.map_batches(text_stats_stage, batch_format="pyarrow")
+    stats = ds.map_batches(token_count_stage, batch_format="pyarrow")
     out = stats.groupby("lang").aggregate(
         Count(alias_name="n_docs"),
         Sum("n_tokens", alias_name="sum_tokens"),
@@ -899,7 +976,10 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
     in-bucket exact verification. The raw synthetic embeddings have no true
     near-dups, so each vector is re-planted at vec_id+100000 with
     deterministic tiny noise — every planted pair must be recovered (modulo
-    LSH's probabilistic recall). No SQL oracle."""
+    LSH's probabilistic recall). Noise is a pure per-ROW function of vec_id
+    (splitmix64 counter stream), so the planted corpus is identical under
+    ANY block partitioning / parallelism. No SQL oracle."""
+    from ..sketch.hashing import splitmix64
     from ..stages.dedup import embedding_near_dup_pairs
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -911,8 +991,13 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
         col = t["embedding"]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         X = np.asarray(col.values, dtype=np.float32).reshape(len(ids), -1)
-        noise = np.random.default_rng(ids[0] if len(ids) else 0) \
-            .normal(0, 0.002, X.shape).astype(np.float32)
+        # deterministic uniform noise in [-0.004, 0.004): counter-based on
+        # (vec_id, dim) so it does not depend on batch boundaries
+        ctr = (ids[:, None].astype(np.uint64) * np.uint64(X.shape[1])
+               + np.arange(X.shape[1], dtype=np.uint64)[None, :])
+        u = splitmix64(ctr.ravel(), seed=0x4015E)
+        noise = ((u.astype(np.float64) / 2.0**64 - 0.5) * 0.008) \
+            .astype(np.float32).reshape(X.shape)
         near = pa.table({
             "vec_id": pa.array(ids + 100000, type=pa.int64()),
             "embedding": pa.array([[float(x) for x in row]
@@ -954,6 +1039,162 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_domain_doc_counts(sf_dir: str) -> pd.DataFrame:
+    """High-cardinality grouped build — the north star's per-DOMAIN case
+    (thousands of keys, not 5 langs): a synthetic domain key (source x
+    doc_id%97, ~2000 values) derived deterministically per row, then
+    per-domain HLL through the salted two-stage merge with sort-split
+    partials (one argsort per block, zero-copy per-key slices). The exact
+    per-domain row counts ride the same shuffle and are DuckDB-oracled;
+    the HLL estimates are bound-asserted in-query."""
+    import pyarrow.compute as pc
+
+    from ..sketch.hll import HyperLogLog
+    from ..stages.sketch_build import build_grouped_sketches
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def with_domain(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        src = t["source"].combine_chunks() \
+            if isinstance(t["source"], pa.ChunkedArray) else t["source"]
+        dom = pc.binary_join_element_wise(
+            src, "-d", pc.cast(pa.array(ids % 97), pa.string()), "")
+        return pa.table({"domain": dom, "text": t["text"]})
+
+    grouped = build_grouped_sketches(
+        ds.map_batches(with_domain, batch_format="pyarrow"),
+        "domain", "text", "hll", {"p": 12})
+    rows = grouped["rows"].to_numpy().astype(np.int64)
+    est = np.array([HyperLogLog.from_bytes(p).estimate()
+                    for p in grouped["payload"]])
+    # per-domain counts are tiny (1-10 docs): HLL with small-range
+    # correction is near-exact there — a loose 15% mean bound catches
+    # a broken merge path without flaking on estimator bias
+    assert float(np.mean(np.abs(est - rows) / np.maximum(rows, 1))) < 0.15
+    out = pd.DataFrame({"domain": grouped["domain"], "n_docs": rows})
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+SQL_DOMAIN_COUNTS = """
+SELECT source || '-d' || CAST(doc_id % 97 AS VARCHAR) AS domain,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY domain ORDER BY domain
+"""
+
+
+def q_tbf_exact_membership(sf_dir: str) -> pd.DataFrame:
+    """Partition-invariant exact TaffyBlock build (raw-hash canonicalized
+    single-writer finalize, stages/sketch_build.py:build_sketch_exact) over
+    document texts, verified by a broadcast streaming probe: every document
+    must be found (no false negatives regardless of partitioning)."""
+    from ray.data.aggregate import Sum
+
+    from ..sketch.hashing import hash_arrow_array as _hash
+    from ..sketch.taffy_block import TaffyBlock
+    from ..stages.sketch_build import build_sketch_exact
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    tbf = build_sketch_exact(ds, "text", "taffy_block",
+                             {"ndv": 256, "fpp": 0.01})
+    payload = tbf.to_bytes()
+    ref = ray.put(payload)
+
+    class Probe:
+        def __init__(self):
+            self.f = TaffyBlock.from_bytes(ray.get(ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            h = _hash(t["text"])
+            return pa.table({
+                "n": pa.array([t.num_rows], type=pa.int64()),
+                "found": pa.array([int(self.f.find_hashes(h).sum())],
+                                  type=pa.int64())})
+
+    agg = ds.map_batches(Probe, batch_format="pyarrow", concurrency=2) \
+        .aggregate(Sum("n", alias_name="n_docs"),
+                   Sum("found", alias_name="members_found"))
+    return pd.DataFrame([{
+        "n_docs": int(agg["n_docs"]),
+        "members_found": int(agg["members_found"]),
+    }])
+
+
+SQL_TBF_EXACT = """
+SELECT count(*)::BIGINT AS n_docs, count(*)::BIGINT AS members_found
+FROM documents
+"""
+
+
+def q_block_bloom_membership(sf_dir: str) -> pd.DataFrame:
+    """Deterministic (oracled) face of the flagship BlockBloom pipeline:
+    per-lang page counts + membership completeness — no false negatives
+    means members_found == n_pages exactly, which DuckDB can state as
+    count(*). The fpp columns stay in `block_bloom_per_lang`."""
+    from .flagship import flagship
+
+    out = flagship(sf_dir)
+    return pd.DataFrame({
+        "lang": out["lang"],
+        "n_pages": out["rows"].astype("int64"),
+        "members_found": out["members_found"].astype("int64"),
+    }).sort_values("lang").reset_index(drop=True)
+
+
+SQL_BLOCK_BLOOM_MEMBERSHIP = """
+SELECT lang, count(*)::BIGINT AS n_pages, count(*)::BIGINT AS members_found
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_growable_membership(sf_dir: str) -> pd.DataFrame:
+    """Oracled deterministic columns of the growable-filter pipeline
+    (taffy-block + taffy-cuckoo + frozen TCF membership completeness)."""
+    out = q_growable_filters_per_lang(sf_dir)
+    cols = ["n_urls", "tbf_found", "tcf_found", "frozen_found"]
+    res = out[["lang"] + cols].copy()
+    for c in cols:
+        res[c] = res[c].astype("int64")
+    return res.sort_values("lang").reset_index(drop=True)
+
+
+SQL_GROWABLE_MEMBERSHIP = """
+SELECT lang,
+       count(*)::BIGINT AS n_urls,
+       count(*)::BIGINT AS tbf_found,
+       count(*)::BIGINT AS tcf_found,
+       count(*)::BIGINT AS frozen_found
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_static_xor_membership(sf_dir: str) -> pd.DataFrame:
+    """Oracled deterministic columns of the static-xor per-lang build."""
+    out = q_static_xor_per_lang(sf_dir)
+    res = out[["lang", "n_urls", "members_found"]].copy()
+    res["n_urls"] = res["n_urls"].astype("int64")
+    res["members_found"] = res["members_found"].astype("int64")
+    return res.sort_values("lang").reset_index(drop=True)
+
+
+SQL_STATIC_XOR_MEMBERSHIP = """
+SELECT lang, count(*)::BIGINT AS n_urls, count(*)::BIGINT AS members_found
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_minimal_taffy_membership(sf_dir: str) -> pd.DataFrame:
+    """Oracled deterministic columns of the minimal-taffy-cuckoo build."""
+    out = q_minimal_taffy_per_lang(sf_dir)
+    res = out[["lang", "n_urls", "members_found"]].copy()
+    res["n_urls"] = res["n_urls"].astype("int64")
+    res["members_found"] = res["members_found"].astype("int64")
+    return res.sort_values("lang").reset_index(drop=True)
+
+
+SQL_MINIMAL_TAFFY_MEMBERSHIP = SQL_STATIC_XOR_MEMBERSHIP
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -984,6 +1225,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_parts_per_brand": q_top_parts_per_brand,
     "json_props_stats": q_json_props_stats,
     "minimal_taffy_per_lang": q_minimal_taffy_per_lang,
+    "domain_doc_counts": q_domain_doc_counts,
+    "tbf_exact_membership": q_tbf_exact_membership,
+    "block_bloom_membership": q_block_bloom_membership,
+    "growable_membership": q_growable_membership,
+    "static_xor_membership": q_static_xor_membership,
+    "minimal_taffy_membership": q_minimal_taffy_membership,
 }
 
 ORACLES: dict[str, str] = {
@@ -1003,4 +1250,10 @@ ORACLES: dict[str, str] = {
     "user_sessions": SQL_USER_SESSIONS,
     "top_parts_per_brand": SQL_TOP_PARTS,
     "json_props_stats": SQL_JSON_PROPS,
+    "domain_doc_counts": SQL_DOMAIN_COUNTS,
+    "tbf_exact_membership": SQL_TBF_EXACT,
+    "block_bloom_membership": SQL_BLOCK_BLOOM_MEMBERSHIP,
+    "growable_membership": SQL_GROWABLE_MEMBERSHIP,
+    "static_xor_membership": SQL_STATIC_XOR_MEMBERSHIP,
+    "minimal_taffy_membership": SQL_MINIMAL_TAFFY_MEMBERSHIP,
 }

@@ -8,17 +8,24 @@ Engine additions beyond the reference (training-data family). Shapes:
   (hash, id) rows move through the groupby; survivors then filter the full
   table via the broadcast-Bloom semi-join pattern (SURVEY.md §2.5), so the
   wide columns (html!) never shuffle. At 100 TB the all-to-all moves 16
-  bytes/row.
+  bytes/row. Driver/broadcast state is O(#duplicated hash groups), NOT
+  O(distinct rows): singleton groups (the overwhelming majority of a real
+  corpus) never leave the cluster — a row survives by *missing* the
+  broadcast dup-group Bloom.
 - **minhash_lsh / simhash near-dup**: vectorized signatures in map_batches ->
-  flat_map to (band, band_key, id) candidate rows -> groupby(band_key) emits
-  candidate pairs (only buckets with >1 member — rare) -> exact verification
-  (true Jaccard / Hamming) on the candidates only -> union-find clustering
-  of the (tiny) confirmed pair list -> keep min id per cluster.
+  (band_key, id) bucket rows -> DISTRIBUTED candidate pairing: shard by
+  hash(band_key) (a bucket never splits across shards), per-shard vectorized
+  sorted-run scan inside groupby(shard).map_groups — only the (rare) PAIR
+  rows ever reach the driver -> exact verification (true Jaccard / Hamming)
+  on the candidates only -> union-find clustering of the (tiny) confirmed
+  pair list -> keep min id per cluster.
   Partitioning assumption: bucket sizes are small (hash-random); a
   pathological bucket (all-identical corpus) degrades to one group —
   cap `max_bucket` and sample within it.
-- **embedding near-dup**: random-hyperplane LSH bucket key per row ->
-  groupby(bucket) -> in-bucket pairwise cosine >= threshold.
+- **embedding near-dup**: random-hyperplane LSH bucket key per row -> the
+  same sharded candidate pairing over the NARROW (bucket, id) table ->
+  embeddings gathered only for candidate ids (broadcast id set) -> exact
+  cosine verification on the candidate pairs.
 """
 
 from __future__ import annotations
@@ -66,68 +73,100 @@ def exact_dedup_keys(ds, column: str, id_column: str):
         Count(alias_name="n_members"))
 
 
-def exact_dedup(ds, column: str, id_column: str):
-    """Full exact dedup: survivors' ids -> broadcast exact-set semi-join of
-    the original dataset (wide columns never shuffle).
+def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64):
+    """Full exact dedup: keep exactly the min-id row of every DISTINCT
+    payload, with driver/broadcast memory O(#duplicated hash groups) —
+    independent of corpus size for realistic duplication rates.
 
-    Collision-proof: hash groups with >1 member (the only place a 64-bit
-    collision could silently drop a distinct payload — expected ~50% odds at
-    5e9 rows) are re-verified on the EXACT payload: their rows' payloads are
-    fetched (tiny set relative to the corpus), grouped by true value, and
-    any distinct payload that lost its min-id to a colliding neighbor is
-    added back to the survivor set."""
+    1. groupby(content_hash) -> collect ONLY the hashes with >1 member
+       (singleton groups, the overwhelming majority, stay distributed).
+    2. Broadcast a BlockBloom of the dup-group hashes + the exact sorted
+       hash array (the engine's own §2.5 bloom-prune/exact-confirm shape).
+    3. Distributed survivor confirm over ONLY the multi-group rows:
+       (hash, id, payload) sharded by hash, per-shard vectorized
+       min-id-per-(hash, payload) via sort + drop_duplicates. Collision-
+       proof: two distinct payloads sharing a 64-bit hash each keep their
+       own min id. Shuffle volume = the duplicate rows' payloads only.
+    4. Final streaming filter: a row survives iff its hash misses the
+       dup-group set, or its id is a confirmed multi-group survivor.
+    """
     import ray
 
-    keep = exact_dedup_keys(ds, column, id_column).to_pandas()
-    multi = keep[keep["n_members"] > 1]
-    extra_ids: list[int] = []
-    if len(multi):
-        cand = _rows_in_hash_groups(ds, column, id_column,
-                                    multi["content_hash"])
-        by_val: dict[str, int] = {}
-        for i, v in sorted(zip(cand[id_column].astype(int), cand[column])):
-            if v not in by_val:
-                by_val[v] = i
-        confirmed = set(by_val.values())
-        extra_ids = sorted(confirmed - set(multi["keep_id"].astype(int)))
-    keep_ids = np.sort(np.concatenate(
-        [keep["keep_id"].to_numpy().astype(np.int64),
-         np.array(extra_ids, dtype=np.int64)]))
-    ref = ray.put(keep_ids)
+    from ..sketch import sizing
+    from ..sketch.block_bloom import BlockBloom
 
-    class KeepFilter:
+    agg = exact_dedup_keys(ds, column, id_column)
+    multi = agg.filter(expr="n_members > 1") \
+        .select_columns(["content_hash"]).to_pandas()
+    if not len(multi):
+        return ds  # every payload unique — nothing to drop
+    multi_hashes = np.sort(multi["content_hash"].to_numpy()
+                           .astype(np.int64))
+    bloom = BlockBloom(sizing.block_bytes_needed(len(multi_hashes), 0.001))
+    bloom.add_hashes(multi_hashes.view(np.uint64))
+    bloom_ref = ray.put(bloom.to_bytes())
+    multi_ref = ray.put(multi_hashes)
+
+    class PickMulti:
+        """Select rows in duplicated hash groups (bloom prune -> exact
+        confirm), tagged with a hash-shard for the confirm groupby."""
+
         def __init__(self):
-            self.ids = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            return t.filter(pa.array(np.isin(ids, self.ids)))
-
-    return ds.map_batches(KeepFilter, batch_format="pyarrow", concurrency=2)
-
-
-
-
-def _rows_in_hash_groups(ds, column: str, id_column: str, hashes):
-    """(id, value) rows whose content hash is in `hashes` — ONE broadcast
-    filter pass (ids and payloads together; a separate id pass would double
-    the read)."""
-    import ray
-
-    hset = ray.put(np.sort(np.asarray(hashes, dtype=np.int64)))
-
-    class Pick:
-        def __init__(self):
-            self.h = ray.get(hset)
+            self.bloom = BlockBloom.from_bytes(ray.get(bloom_ref))
+            self.multi = ray.get(multi_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             h = hash_arrow_array(t[column]).view(np.int64)
-            return t.select([id_column, column]) \
-                .filter(pa.array(np.isin(h, self.h)))
+            maybe = self.bloom.find_hashes(h.view(np.uint64))
+            t2 = t.select([id_column, column]).filter(pa.array(maybe))
+            h2 = h[maybe]
+            idx = np.searchsorted(self.multi, h2)
+            hit = (idx < len(self.multi)) & (
+                self.multi[np.minimum(idx, len(self.multi) - 1)] == h2)
+            t2 = t2.filter(pa.array(hit))
+            h2 = h2[hit]
+            shard = (h2.view(np.uint64) % np.uint64(num_shards)) \
+                .astype(np.int64)
+            return t2.append_column(
+                "content_hash", pa.array(h2, type=pa.int64())) \
+                .append_column("shard", pa.array(shard, type=pa.int64()))
 
-    return ds.map_batches(Pick, batch_format="pyarrow",
-                          concurrency=2).to_pandas()
+    def confirm(df: pd.DataFrame) -> pd.DataFrame:
+        # min id per (hash, exact payload): stable sort then first-row keep
+        df = df.sort_values(["content_hash", column, id_column],
+                            kind="stable")
+        keep = df.drop_duplicates(subset=["content_hash", column])
+        return pd.DataFrame({
+            "survivor_id": keep[id_column].to_numpy().astype(np.int64)})
+
+    surv = ds.map_batches(PickMulti, batch_format="pyarrow", concurrency=2) \
+        .groupby("shard").map_groups(confirm, batch_format="pandas") \
+        .to_pandas()
+    surv_ids = np.sort(surv["survivor_id"].to_numpy().astype(np.int64))
+    surv_ref = ray.put(surv_ids)
+
+    class KeepFilter:
+        def __init__(self):
+            self.bloom = BlockBloom.from_bytes(ray.get(bloom_ref))
+            self.multi = ray.get(multi_ref)
+            self.surv = ray.get(surv_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            h = hash_arrow_array(t[column]).view(np.int64)
+            maybe = self.bloom.find_hashes(h.view(np.uint64))
+            keep = ~maybe  # bloom miss -> singleton group -> survivor
+            if maybe.any():
+                hm = h[maybe]
+                idx = np.searchsorted(self.multi, hm)
+                in_multi = (idx < len(self.multi)) & (
+                    self.multi[np.minimum(idx, len(self.multi) - 1)] == hm)
+                ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)[maybe]
+                keep[np.flatnonzero(maybe)] = \
+                    ~in_multi | np.isin(ids, self.surv)
+            return t.filter(pa.array(keep))
+
+    return ds.map_batches(KeepFilter, batch_format="pyarrow", concurrency=2)
 
 
 # ---------------------------------------------------------------------------
@@ -163,27 +202,19 @@ def _union_find(pairs: np.ndarray, ids: np.ndarray) -> dict[int, int]:
     return {int(i): find(int(i)) for i in ids}
 
 
-def _candidate_pairs(buckets, key: str, id_column: str, *,
-                     extra_cols: list[str] | None = None,
-                     max_bucket: int = 64) -> pd.DataFrame:
-    """Unordered id pairs within each bucket, computed by a vectorized
-    sorted-run scan over the collected (bucket_key, id) rows.
-
-    The bucket table is 16-24 bytes/row — at this test scale it collects to
-    the driver; the multi-member buckets (the only ones producing pairs) are
-    rare, so the pair loop touches hundreds of runs, not millions of rows.
-    At 10^12-row scale, shard this by `groupby(key)` ranges first (same run
-    scan inside map_groups over RANGES of keys, not one group per bucket —
-    per-bucket map_groups pays Python overhead per tiny group)."""
-    cols = [key, id_column] + list(extra_cols or [])
-    df = buckets.select_columns(cols).to_pandas()
+def _scan_pairs_df(df: pd.DataFrame, key: str, id_column: str,
+                   extra_cols: list[str], max_bucket: int) -> pd.DataFrame:
+    """Vectorized sorted-run scan over a (bucket_key, id, extras...) frame:
+    unordered id pairs within each bucket (capped at `max_bucket` rows per
+    bucket against pathological all-identical corpora). Pure function —
+    runs identically per shard (distributed) or over a whole table."""
     df = df.sort_values([key, id_column], kind="stable")
     kv = df[key].to_numpy()
     ids = df[id_column].to_numpy()
     run_starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
     run_ends = np.r_[run_starts[1:], len(kv)]
     out_a, out_b, out_extra_a, out_extra_b = [], [], [], []
-    extras = {c: df[c].to_numpy() for c in (extra_cols or [])}
+    extras = {c: df[c].to_numpy() for c in extra_cols}
     for s, e in zip(run_starts, run_ends):
         n = e - s
         if n < 2:
@@ -202,14 +233,56 @@ def _candidate_pairs(buckets, key: str, id_column: str, *,
                 out_extra_a.append(extras[c][first_idx][a])
                 out_extra_b.append(extras[c][first_idx][b])
     if not out_a:
-        return pd.DataFrame({"id_a": [], "id_b": []})
+        res = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                            "id_b": np.array([], dtype=np.int64)})
+        if extra_cols:
+            res["sim_a"] = np.array([], dtype=np.int64)
+            res["sim_b"] = np.array([], dtype=np.int64)
+        return res
     res = pd.DataFrame({"id_a": np.concatenate(out_a),
                         "id_b": np.concatenate(out_b)})
     if extras:
-        c = list(extras)[0]
         res["sim_a"] = np.concatenate(out_extra_a)
         res["sim_b"] = np.concatenate(out_extra_b)
     return res.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _candidate_pairs(buckets, key: str, id_column: str, *,
+                     extra_cols: list[str] | None = None,
+                     max_bucket: int = 64,
+                     num_shards: int = 64) -> pd.DataFrame:
+    """DISTRIBUTED candidate pairing: shard the bucket table by
+    hash(bucket_key) — a bucket never splits across shards — then run the
+    vectorized sorted-run scan per shard inside groupby(shard).map_groups.
+    Only the (rare) PAIR rows return to the driver; the O(rows x bands)
+    bucket table itself never materializes anywhere but the shuffle.
+
+    Sharding by key-hash RANGE (not one group per bucket) amortizes the
+    per-group Python overhead over millions of tiny buckets — the same fix
+    shape as the salted grouped sketch merge (SURVEY.md §2.6)."""
+    from ..sketch.hashing import splitmix64
+
+    extra = list(extra_cols or [])
+    cols = [key, id_column] + extra
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        k = np.ascontiguousarray(
+            _str(t[key]).to_numpy(zero_copy_only=False),
+            dtype=np.int64).view(np.uint64)
+        shard = (splitmix64(k, seed=0xD15C) % np.uint64(num_shards)) \
+            .astype(np.int64)
+        return t.select(cols).append_column(
+            "shard", pa.array(shard, type=pa.int64()))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        return _scan_pairs_df(df, key, id_column, extra, max_bucket)
+
+    pairs = buckets.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("shard").map_groups(scan, batch_format="pandas") \
+        .to_pandas()
+    # same (id_a, id_b) pair can surface from several bands/shards
+    return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
@@ -351,15 +424,48 @@ def _embedding_matrix(t: pa.Table, column: str) -> np.ndarray:
     return flat.reshape(len(col), -1)
 
 
+def _gather_embeddings(ds, column: str, id_column: str,
+                       ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted ids, L2-normalized float32 matrix) for the given (few) ids:
+    broadcast the id set, filter per batch, collect the small result."""
+    import ray
+
+    ref = ray.put(np.sort(ids.astype(np.int64)))
+
+    class Pick:
+        def __init__(self):
+            self.ids = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rid = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return t.select([id_column, column]) \
+                .filter(pa.array(np.isin(rid, self.ids)))
+
+    small = ds.map_batches(Pick, batch_format="pyarrow",
+                           concurrency=2).to_pandas()
+    got = small[id_column].to_numpy().astype(np.int64)
+    order = np.argsort(got, kind="stable")
+    X = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in small[column]])[order]
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return got[order], Xn
+
+
 def embedding_near_dup_pairs(ds, column: str, id_column: str, *,
                              dim: int, threshold: float = 0.95,
                              num_planes: int = 12, seed: int = 7,
                              batch_size: int = 4096) -> pd.DataFrame:
     """Near-dup pairs by cosine >= threshold via random-hyperplane LSH:
     bucket key = sign bits against `num_planes` fixed hyperplanes (seeded,
-    identical in every task); exact cosine verification inside buckets.
+    identical in every task); exact cosine verification on candidate pairs.
     Recall is probabilistic (collision prob = (1 - theta/pi)^planes);
-    for exact-recall small data use brute force in stages/ann.py."""
+    for exact-recall small data use brute force in stages/ann.py.
+
+    Scale shape: the bucket table is the NARROW (bucket, id) projection —
+    16 B/row — pair-scanned by the sharded distributed `_candidate_pairs`;
+    embeddings are then gathered ONLY for the candidate ids (broadcast id
+    set, O(candidates) driver memory — never the corpus)."""
     planes = np.random.default_rng(seed).standard_normal(
         (dim, num_planes)).astype(np.float32)
 
@@ -371,42 +477,25 @@ def embedding_near_dup_pairs(ds, column: str, id_column: str, *,
         key = np.pad(key, ((0, 0), (0, 8 - key.shape[1])))[:, :8] \
             .copy().view(np.uint64).ravel()
         ids = _str(t[id_column]).to_numpy(zero_copy_only=False)
-        out = pa.table({
+        return pa.table({
             "bucket": pa.array(key.view(np.int64), type=pa.int64()),
             id_column: pa.array(ids),
         })
-        for j in range(Xn.shape[1]):
-            out = out.append_column(f"e{j}", pa.array(Xn[:, j]))
-        return out
 
     buckets = ds.map_batches(bucket_stage, batch_format="pyarrow",
                              batch_size=batch_size)
-
-    # collect + sorted run scan (see _candidate_pairs: per-bucket map_groups
-    # pays Python overhead per tiny group); pair cosines computed in ONE
-    # gathered matmul over all candidate pairs
-    ecols = [f"e{j}" for j in range(dim)]
-    df = buckets.to_pandas().sort_values(["bucket", id_column], kind="stable")
-    kv = df["bucket"].to_numpy()
-    ids = df[id_column].to_numpy()
-    X = df[ecols].to_numpy(dtype=np.float32)
-    run_starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
-    run_ends = np.r_[run_starts[1:], len(kv)]
-    ia, ib = [], []
-    for s, e in zip(run_starts, run_ends):
-        n = min(e - s, 256)
-        if n < 2:
-            continue
-        a, b = np.triu_indices(n, k=1)
-        ia.append(s + a)
-        ib.append(s + b)
-    if not ia:
+    cand = _candidate_pairs(buckets, "bucket", id_column, max_bucket=256)
+    if not len(cand):
         return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    ia = np.concatenate(ia)
-    ib = np.concatenate(ib)
-    cos = np.einsum("ij,ij->i", X[ia], X[ib])
+
+    need = np.unique(np.concatenate([cand["id_a"], cand["id_b"]]))
+    got, Xn = _gather_embeddings(ds, column, id_column, need)
+    ia = np.searchsorted(got, cand["id_a"].to_numpy().astype(np.int64))
+    ib = np.searchsorted(got, cand["id_b"].to_numpy().astype(np.int64))
+    cos = np.einsum("ij,ij->i", Xn[ia], Xn[ib])
     keep = cos >= threshold
-    pairs = pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+    pairs = pd.DataFrame({"id_a": cand["id_a"][keep].astype(np.int64),
+                          "id_b": cand["id_b"][keep].astype(np.int64),
                           "cosine": cos[keep].astype(np.float64)})
     return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)

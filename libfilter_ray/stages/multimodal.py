@@ -114,12 +114,27 @@ def frame_sample_stage(t: pa.Table, *, every: int = 4,
     `frames` large_binary (concatenated kept frames) + `n_frames` int64."""
     col = t[column]
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    frames_out, counts = [], []
-    for i in range(len(col)):  # stub: per-row; real path is a codec call
-        buf = col[i].as_py() or b""
-        kept = b"".join(buf[j:j + 64] for j in range(0, len(buf), 64 * every))
-        frames_out.append(kept)
-        counts.append((len(buf) + 63) // 64)
-    return t.append_column("frames", pa.array(frames_out,
-                                              type=pa.large_binary())) \
-        .append_column("n_frames", pa.array(counts, type=pa.int64()))
+    buffers = col.buffers()
+    off_dtype = np.int64 if col.type == pa.large_binary() else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype,
+                            count=len(col) + col.offset + 1)[col.offset:] \
+        .astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
+    n = len(col)
+    sizes = np.diff(offsets)
+    # vectorized frame keep-mask over the FLAT byte stream: byte position
+    # within its row -> frame index -> keep iff frame_idx % every == 0
+    row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    pos = np.arange(len(data), dtype=np.int64) \
+        - np.repeat(offsets[:-1] - offsets[0], sizes)
+    keep = ((pos >> 6) % every) == 0
+    kept = np.ascontiguousarray(data[keep])
+    kept_sizes = np.bincount(row_of[keep], minlength=n).astype(np.int64)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(kept_sizes, out=out_offsets[1:])
+    frames = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(out_offsets.tobytes()),
+                               pa.py_buffer(kept.tobytes())])
+    n_frames = ((sizes + 63) // 64).astype(np.int64)
+    return t.append_column("frames", frames) \
+        .append_column("n_frames", pa.array(n_frames, type=pa.int64()))

@@ -167,10 +167,18 @@ class _GroupedPartialBuilder:
         sk_bytes = (probe.size_in_bytes() if hasattr(probe, "size_in_bytes")
                     else len(probe.to_bytes()))
         budget = sk_bytes // 2 if raw_ok else 0
+        # Sort-split, NOT per-key filter: one argsort of the key codes, one
+        # column take/hash pass, then every key's rows are a ZERO-COPY slice
+        # — per-key cost is O(its rows), so thousands of keys (per-domain
+        # builds) stay linear instead of keys x column-scan quadratic.
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+        col_sorted = col.take(pa.array(order)) if len(uniq) > 1 else col
+        hashed_sorted = (hash_arrow_array(col_sorted, seed=self.seed)
+                         if raw_ok else None)
         for code in range(len(uniq)):
-            mask = codes == code
-            vals = col.filter(pa.array(mask))
-            n_rows = int(mask.sum())
+            b0, b1 = int(bounds[code]), int(bounds[code + 1])
+            n_rows = b1 - b0
             # Shuffle-volume guard (the 100 TB lever): a per-block per-key
             # partial of a FIXED-SIZE sketch (e.g. a corpus-sized BlockBloom)
             # costs size_in_bytes regardless of how few rows it holds, and
@@ -178,12 +186,14 @@ class _GroupedPartialBuilder:
             # hash list is smaller, ship THAT and let the reducer insert —
             # shuffle bytes become min(8*rows, sketch_bytes) per partial.
             if raw_ok and n_rows * 8 < budget:
-                h = hash_arrow_array(vals, seed=self.seed)
-                payloads.append(h.tobytes())
+                payloads.append(hashed_sorted[b0:b1].tobytes())
                 fmts.append("raw")
             else:
                 sk = registry.make(self.kind, **self.params)
-                _updates_from(vals, sk, self.seed)
+                if raw_ok:
+                    sk.update(hashed_sorted[b0:b1])
+                else:
+                    _updates_from(col_sorted.slice(b0, n_rows), sk, self.seed)
                 payloads.append(sk.to_bytes())
                 fmts.append("sketch")
             keys_out.append(uniq[code].as_py())
@@ -291,26 +301,42 @@ class _MultiGroupedPartialBuilder:
         for (name, *_rest) in self.specs:
             out[f"payload_{name}"] = []
             out[f"fmt_{name}"] = []
-        counts = np.bincount(codes, minlength=len(uniq))
-        # hash each needed column once for the whole block
+        # Sort-split (see _GroupedPartialBuilder): one stable argsort of the
+        # key codes, one take + one hash pass per column, then every key's
+        # rows are a zero-copy slice — linear in rows even at thousands of
+        # keys. Stable order preserves within-key row order, so
+        # order-sensitive value sketches (t-digest) stay byte-identical.
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+        take_needed = len(uniq) > 1
+        sorted_cols = {c: (v.take(pa.array(order)) if take_needed else v)
+                       for c, v in cols.items()}
+        # hash each needed column once for the whole block (sorted order)
         for (name, kind, params, column) in self.specs:
             if budgets[name] and column not in hashed:
-                hashed[column] = hash_arrow_array(cols[column], seed=self.seed)
+                hashed[column] = hash_arrow_array(sorted_cols[column],
+                                                  seed=self.seed)
         for code in range(len(uniq)):
-            mask_np = codes == code
-            mask = pa.array(mask_np)
-            n_rows = int(counts[code])
+            b0, b1 = int(bounds[code]), int(bounds[code + 1])
+            n_rows = b1 - b0
             out[self.key].append(uniq[code].as_py())
             out["rows"].append(n_rows)
             out["salt"].append(salt)
             for (name, kind, params, column) in self.specs:
                 if budgets[name] and n_rows * 8 < budgets[name]:
                     out[f"payload_{name}"].append(
-                        hashed[column][mask_np].tobytes())
+                        hashed[column][b0:b1].tobytes())
                     out[f"fmt_{name}"].append("raw")
                 else:
                     sk = registry.make(kind, **params)
-                    _updates_from(cols[column].filter(mask), sk, self.seed)
+                    # reuse the block-level hash pass ONLY for
+                    # hash-consuming specs (budgets>0); value sketches
+                    # (t-digest/KLL) must see the raw values
+                    if budgets[name] and column in hashed:
+                        sk.update(hashed[column][b0:b1])
+                    else:
+                        _updates_from(sorted_cols[column].slice(b0, n_rows),
+                                      sk, self.seed)
                     out[f"payload_{name}"].append(sk.to_bytes())
                     out[f"fmt_{name}"].append("sketch")
         arrays = {self.key: pa.array(out[self.key]),
@@ -373,6 +399,62 @@ def build_grouped_multi(ds, key: str, specs, *, seed: int = DEFAULT_SEED,
     drop = ["salt"] + [f"fmt_{name}" for name in classes]
     return final.to_pandas().drop(columns=drop).sort_values(key) \
         .reset_index(drop=True)
+
+
+def build_sketch_exact(ds, column: str, kind: str = "taffy_block",
+                       params: dict | None = None, *,
+                       seed: int = DEFAULT_SEED,
+                       batch_size: int | None = None,
+                       pre_hashed: bool = False):
+    """Partition-INVARIANT exact build for growth-order-sensitive sketches.
+
+    TaffyBlock's distributed level-OR merge is exact only while both sides
+    share one level plan (taffy_block.py docstring) — growth under merge
+    degrades the fpp plan. This path sidesteps merge entirely: the partial
+    for each block is the RAW 8-byte hash list (concatenation-mergeable
+    under ANY partitioning — the grouped builder's own "raw" fmt,
+    `_GroupedPartialBuilder`), and finalize canonicalizes the multiset by
+    sorting before a single-writer insert inside ONE remote task. The
+    result is byte-identical to a sequential build over the sorted hash
+    stream no matter how the input was partitioned (property-tested).
+
+    Scale shape: hashing runs distributed in map_batches; only the 8 B/row
+    hash stream funnels into the finalize worker (never the driver) via
+    streaming_split. The single-writer finalize is inherent: byte-exact
+    growable-filter construction is sequential in the reference too
+    (c/lib/taffy-block.c:9-32)."""
+    import ray
+
+    params = params or {}
+
+    def to_hashes(t: pa.Table) -> pa.Table:
+        if pre_hashed:
+            h = np.ascontiguousarray(
+                t[column].to_numpy(zero_copy_only=False),
+                dtype=np.int64).view(np.uint64)
+        else:
+            h = hash_arrow_array(t[column], seed=seed)
+        return pa.table({"h": pa.array(h.view(np.int64), type=pa.int64())})
+
+    hashed = ds.map_batches(to_hashes, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+    @ray.remote
+    def finalize(it) -> bytes:
+        chunks = [np.ascontiguousarray(
+            b["h"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            .view(np.uint64)
+            for b in it.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows]
+        h = (np.sort(np.concatenate(chunks), kind="stable")
+             if chunks else np.empty(0, dtype=np.uint64))
+        sk = registry.make(kind, **params)
+        sk.update(h)
+        return sk.to_bytes()
+
+    it, = hashed.streaming_split(1)
+    out = ray.get(finalize.remote(it))
+    return registry.get(kind).from_bytes(out).finalize()
 
 
 def build_sketch_actor_pool(ds, column: str, kind: str,

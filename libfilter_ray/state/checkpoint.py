@@ -205,6 +205,13 @@ class CheckpointedBuild:
     ``run()`` after a crash (or a deliberate ``max_partitions`` cut) skips
     finished partitions — the kill-and-resume test asserts byte-identity with
     a clean single-shot build.
+
+    **Single-writer-per-run_dir contract**: at most one CheckpointedBuild
+    instance may be live per ``run_dir`` at a time. ``__init__`` sweeps
+    orphan ``.tmp-*`` files from the partials dir (crash debris from a
+    previous PROCESS), which would delete a concurrent instance's in-flight
+    atomic write. Resume = sequential re-instantiation, never concurrent
+    sharing; run concurrent builds in distinct run_dirs.
     """
 
     def __init__(self, run_dir: str, input_paths: list[str], *, kind: str,

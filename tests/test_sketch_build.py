@@ -151,3 +151,36 @@ def test_salted_merge_under_extreme_skew(ray_session):
         salted.loc[salted["k"] == "hot", "payload"].iloc[0])
     hot_vals = pa.array([v for k, v in zip(keys, vals) if k == "hot"])
     assert f.find_hashes(hash_arrow_array(hot_vals)).all()
+
+
+def test_build_sketch_exact_partition_invariant(ray_session, rng):
+    """build_sketch_exact: ANY partitioning of the same rows yields a
+    byte-identical TaffyBlock, equal to a sequential single-writer build
+    over the SORTED hash multiset (the canonical order)."""
+    import pyarrow as pa
+
+    import ray
+    from libfilter_ray.sketch.hashing import DEFAULT_SEED, hash_arrow_array
+    from libfilter_ray.sketch.taffy_block import TaffyBlock
+    from libfilter_ray.stages.sketch_build import build_sketch_exact
+
+    vals = [f"key-{i}" for i in rng.integers(0, 3000, 2500)]  # dups included
+    params = {"ndv": 64, "fpp": 0.02}
+    h = np.sort(hash_arrow_array(pa.array(vals), seed=DEFAULT_SEED),
+                kind="stable")
+    want = TaffyBlock(**params).add_hashes(h).to_bytes()
+
+    outs = []
+    for blocks in (1, 3, 17):
+        ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})) \
+            .repartition(blocks)
+        sk = build_sketch_exact(ds, "v", "taffy_block", params)
+        outs.append(sk.to_bytes())
+    assert outs[0] == want
+    assert all(o == want for o in outs)
+    # shuffled row order too: same multiset => same canonical build
+    perm = rng.permutation(len(vals))
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array([vals[i] for i in perm])})).repartition(5)
+    assert build_sketch_exact(ds, "v", "taffy_block", params) \
+        .to_bytes() == want

@@ -214,6 +214,43 @@ def test_embedding_near_dup(ray_session):
     assert hits >= 16  # probabilistic recall of hyperplane LSH
 
 
+def test_dedup_never_collects_bucket_table(dup_docs, monkeypatch):
+    """Scale guard: the LSH/dedup pipelines must never materialize the
+    O(rows x bands) bucket table — or any frame carrying bucket/shard/payload
+    columns — on the driver. Every Dataset.to_pandas() during the pipelines
+    is spied on; only narrow pair/survivor/candidate frames may collect."""
+    import ray.data
+
+    from libfilter_ray.stages.dedup import (exact_dedup,
+                                            minhash_near_dup_pairs,
+                                            simhash_near_dup_pairs)
+
+    collected: list[tuple[list, int]] = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        df = orig(self, *a, **k)
+        collected.append((list(df.columns), len(df)))
+        return df
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    minhash_near_dup_pairs(dup_docs, "text", "doc_id", threshold=0.6)
+    simhash_near_dup_pairs(dup_docs, "text", "doc_id", max_hamming=3)
+    exact_dedup(dup_docs, "text", "doc_id").count()
+
+    assert collected, "spy did not observe any collect"
+    banned = {"band_key", "bucket", "shard"}
+    n_corpus = 280  # 120 + 120 + 40 rows in dup_docs
+    for cols, rows in collected:
+        assert not banned & set(cols), \
+            f"bucket/shard table collected to driver: {cols} ({rows} rows)"
+        # collected frames are O(pairs x bands) / O(duplicates) — pair
+        # frames may repeat a pair once per matching band (16 bands x ~150
+        # candidate pairs here); nothing may approach corpus x bands
+        bound = 16 * 160 if "id_a" in cols else 6 * n_corpus
+        assert rows <= bound, (cols, rows)
+
+
 # ---------------------------------------------------------------------------
 # ANN
 # ---------------------------------------------------------------------------
