@@ -307,6 +307,24 @@ def q_growable_filters_per_lang(sf_dir: str) -> pd.DataFrame:
                            TaffyCuckoo.from_bytes(r["payload_tcf"]).freeze())
                for _, r in grouped.iterrows()}
 
+    # fpp measurement fans out as one Ray task per lang (the serial driver
+    # loop was 2 x 32k TCF probes per lang — the pipeline's longest pole);
+    # submitted BEFORE the membership pass so both run concurrently
+    probes = hash_arrow_array(pa.array(
+        [f"https://absent.example.net/{i}" for i in range(32768)]))
+    probes_ref = ray.put(probes)
+
+    @ray.remote
+    def fpp_task(tbf_bytes: bytes, tcf_bytes: bytes, pr) -> tuple:
+        f1 = TaffyBlock.from_bytes(tbf_bytes)
+        f2 = TaffyCuckoo.from_bytes(tcf_bytes)
+        return (float(f1.find_hashes(pr).mean()),
+                float(f2.find_hashes(pr).mean()))
+
+    fpp_refs = {r["lang"]: fpp_task.remote(r["payload_tbf"],
+                                           r["payload_tcf"], probes_ref)
+                for _, r in grouped.iterrows()}
+
     def probe_count(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         langs, n, f1c, f2c, fzc = [], [], [], [], []
@@ -334,9 +352,13 @@ def q_growable_filters_per_lang(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum as _Sum
 
+    # explicit batch_size here: probing pays a fixed multi-level cost per
+    # (batch, lang, filter) — coalescing the many tiny synth blocks beats
+    # per-block batches for this light, probe-only stage
     found = read_webpages(sf_dir, include_html=False) \
         .select_columns(["url", "lang"]) \
-        .map_batches(probe_count, batch_format="pyarrow") \
+        .map_batches(probe_count, batch_format="pyarrow",
+                     batch_size=16384) \
         .groupby("lang").aggregate(
             _Sum("n", alias_name="n_urls"),
             _Sum("tbf", alias_name="tbf_found"),
@@ -344,19 +366,18 @@ def q_growable_filters_per_lang(sf_dir: str) -> pd.DataFrame:
             _Sum("fz", alias_name="frozen_found")).to_pandas() \
         .set_index("lang")
 
-    probes = hash_arrow_array(pa.array(
-        [f"https://absent.example.net/{i}" for i in range(32768)]))
     rows = []
     for _, r in grouped.iterrows():
         lang = r["lang"]
         f1, f2, _fz = filters[lang]
+        tbf_fpp, tcf_fpp = ray.get(fpp_refs[lang])
         rows.append({
             "lang": lang, "n_urls": int(found.loc[lang, "n_urls"]),
             "tbf_found": int(found.loc[lang, "tbf_found"]),
             "tcf_found": int(found.loc[lang, "tcf_found"]),
             "frozen_found": int(found.loc[lang, "frozen_found"]),
-            "tbf_fpp": round(float(f1.find_hashes(probes).mean()), 5),
-            "tcf_fpp": round(float(f2.find_hashes(probes).mean()), 5),
+            "tbf_fpp": round(tbf_fpp, 5),
+            "tcf_fpp": round(tcf_fpp, 5),
             "tbf_bytes": f1.size_in_bytes(), "tcf_bytes": f2.size_in_bytes(),
         })
     return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)

@@ -208,17 +208,37 @@ class _GroupedPartialBuilder:
         })
 
 
+def _add_merge_shard(key: str, num_shards: int, with_salt: bool):
+    """map_batches callable tagging partial rows with a merge shard: a pure
+    hash of (key[, salt]) so one (key, salt) group never splits across
+    shards. Sharded merges run ONE Ray task per shard with a pandas groupby
+    inside — at thousands of keys (per-domain builds) this replaces
+    keys x salts Ray map_groups calls with `num_shards` tasks."""
+    from ..sketch.hashing import splitmix64
+
+    def add(t: pa.Table) -> pa.Table:
+        kh = hash_arrow_array(t[key], seed=0x5AAD)
+        if with_salt:
+            kh = kh ^ (np.asarray(t["salt"], dtype=np.int64).view(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15))
+        shard = (splitmix64(kh) % np.uint64(num_shards)).astype(np.int64)
+        return t.append_column("mshard", pa.array(shard, type=pa.int64()))
+
+    return add
+
+
 def build_grouped_sketches(ds, key: str, column: str, kind: str,
                            params: dict | None = None, *,
                            seed: int = DEFAULT_SEED,
                            batch_size: int | None = None,
-                           num_salts: int = 8):
+                           num_salts: int = 8, num_shards: int = 32):
     """Per-key sketches via the salted two-stage merge.
 
-    map_batches(per-key partials) -> groupby(key, salt).map_groups(merge)
-    -> groupby(key).map_groups(merge). Returns a pandas DataFrame
+    map_batches(per-key partials) -> sharded groupby merge on (key, salt)
+    -> sharded groupby merge on key. Returns a pandas DataFrame
     (key, payload, rows). Hot keys (Zipfian lang/domain) spread over
-    `num_salts` first-stage reducers.
+    `num_salts` first-stage reducers; merge tasks are per SHARD (hash range
+    of keys), not per key, so high-cardinality keys stay cheap.
     """
     import pandas as pd
 
@@ -228,26 +248,40 @@ def build_grouped_sketches(ds, key: str, column: str, kind: str,
         _GroupedPartialBuilder(kind, params, column, key, seed, num_salts),
         batch_format="pyarrow", batch_size=batch_size)
 
-    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
-        acc = None
-        raw = [p for p, f in zip(df["payload"], df["fmt"]) if f == "raw"]
-        for p, f in zip(df["payload"], df["fmt"]):
-            if f == "sketch":
-                sk = cls.from_bytes(p)
-                acc = sk if acc is None else acc.merge(sk)
-        if raw:
-            if acc is None:
-                acc = registry.make(kind, **params)
-            acc.update(np.frombuffer(b"".join(raw), dtype=np.uint64))
-        first = df.iloc[:1].copy()
-        first["payload"] = [acc.to_bytes()]
-        first["fmt"] = ["sketch"]
-        first["rows"] = df["rows"].sum()
-        return first
+    def merge_frame(by):
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            for _, g in df.groupby(by, sort=False):
+                acc = None
+                raw = [p for p, f in zip(g["payload"], g["fmt"])
+                       if f == "raw"]
+                for p, f in zip(g["payload"], g["fmt"]):
+                    if f == "sketch":
+                        sk = cls.from_bytes(p)
+                        acc = sk if acc is None else acc.merge(sk)
+                if raw:
+                    if acc is None:
+                        acc = registry.make(kind, **params)
+                    acc.update(np.frombuffer(b"".join(raw), dtype=np.uint64))
+                first = g.iloc[:1].copy()
+                first["payload"] = [acc.to_bytes()]
+                first["fmt"] = ["sketch"]
+                first["rows"] = g["rows"].sum()
+                parts.append(first)
+            return pd.concat(parts, ignore_index=True) \
+                .drop(columns=["mshard"])
+        return merge
 
-    stage1 = partials.groupby([key, "salt"]).map_groups(
-        merge_group, batch_format="pandas")
-    final = stage1.groupby(key).map_groups(merge_group, batch_format="pandas")
+    stage1 = partials \
+        .map_batches(_add_merge_shard(key, num_shards, True),
+                     batch_format="pyarrow") \
+        .groupby("mshard").map_groups(merge_frame([key, "salt"]),
+                                      batch_format="pandas")
+    final = stage1 \
+        .map_batches(_add_merge_shard(key, num_shards, False),
+                     batch_format="pyarrow") \
+        .groupby("mshard").map_groups(merge_frame([key]),
+                                      batch_format="pandas")
     out = final.to_pandas().drop(columns=["salt", "fmt"]).sort_values(key)
     return out.reset_index(drop=True)
 
@@ -351,9 +385,11 @@ class _MultiGroupedPartialBuilder:
 
 
 def build_grouped_multi(ds, key: str, specs, *, seed: int = DEFAULT_SEED,
-                        batch_size: int | None = None, num_salts: int = 8):
+                        batch_size: int | None = None, num_salts: int = 8,
+                        num_shards: int = 32):
     """Per-key sketches for several (name, kind, params, column) specs in ONE
     pass over the data + the salted two-stage shuffle of tiny partial rows.
+    Merge tasks are sharded by key-hash (see _add_merge_shard), not per key.
     Returns pandas (key, rows, payload_<name>...)."""
     import pandas as pd
 
@@ -365,7 +401,7 @@ def build_grouped_multi(ds, key: str, specs, *, seed: int = DEFAULT_SEED,
     paramsby = {name: params for (name, _k, params, _c) in specs}
     kinds = {name: kind for (name, kind, _p, _c) in specs}
 
-    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(df: pd.DataFrame, finalize: bool) -> pd.DataFrame:
         first = df.iloc[:1].copy()
         for name, cls in classes.items():
             pcol, fcol = f"payload_{name}", f"fmt_{name}"
@@ -379,23 +415,31 @@ def build_grouped_multi(ds, key: str, specs, *, seed: int = DEFAULT_SEED,
                 if acc is None:
                     acc = registry.make(kinds[name], **paramsby[name])
                 acc.update(np.frombuffer(b"".join(raw), dtype=np.uint64))
+            if finalize:
+                acc = acc.finalize()
             first[pcol] = [acc.to_bytes()]
             first[fcol] = ["sketch"]
         first["rows"] = df["rows"].sum()
         return first
 
-    def finalize_group(df: pd.DataFrame) -> pd.DataFrame:
-        out = merge_group(df)
-        for name, cls in classes.items():
-            pcol = f"payload_{name}"
-            out[pcol] = [cls.from_bytes(out[pcol].iloc[0])
-                         .finalize().to_bytes()]
-        return out
+    def merge_frame(by, finalize: bool):
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            parts = [merge_group(g, finalize)
+                     for _, g in df.groupby(by, sort=False)]
+            return pd.concat(parts, ignore_index=True) \
+                .drop(columns=["mshard"])
+        return merge
 
-    stage1 = partials.groupby([key, "salt"]).map_groups(
-        merge_group, batch_format="pandas")
-    final = stage1.groupby(key).map_groups(finalize_group,
-                                           batch_format="pandas")
+    stage1 = partials \
+        .map_batches(_add_merge_shard(key, num_shards, True),
+                     batch_format="pyarrow") \
+        .groupby("mshard").map_groups(merge_frame([key, "salt"], False),
+                                      batch_format="pandas")
+    final = stage1 \
+        .map_batches(_add_merge_shard(key, num_shards, False),
+                     batch_format="pyarrow") \
+        .groupby("mshard").map_groups(merge_frame([key], True),
+                                      batch_format="pandas")
     drop = ["salt"] + [f"fmt_{name}" for name in classes]
     return final.to_pandas().drop(columns=drop).sort_values(key) \
         .reset_index(drop=True)
