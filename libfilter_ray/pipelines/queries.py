@@ -1216,6 +1216,140 @@ def q_minimal_taffy_membership(sf_dir: str) -> pd.DataFrame:
 SQL_MINIMAL_TAFFY_MEMBERSHIP = SQL_STATIC_XOR_MEMBERSHIP
 
 
+def q_events_asof_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed AS-OF join (stages/joins.py — the ordered join Ray Data
+    lacks): each event picks its user's most recent order at-or-before the
+    event timestamp via key-hash co-partitioned shards + one
+    pandas.merge_asof scan per shard. The right side is pre-deduplicated to
+    one row per (custkey, orderdate) so the as-of pick is deterministic;
+    oracled against DuckDB ASOF LEFT JOIN."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages.joins import asof_join
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    dedup = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        Max("o_totalprice", alias_name="best_price"))
+
+    def rename_key(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "o_orderdate", "best_price"])
+
+    joined = asof_join(events, dedup.map_batches(rename_key,
+                                                 batch_format="pyarrow"),
+                       on="user_id", left_ts="ts", right_ts="o_orderdate",
+                       left_cols=["event_type"], right_cols=["best_price"])
+
+    def add_matched(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "matched", pc.cast(pc.is_valid(t["best_price"]), pa.int64()))
+
+    out = joined.map_batches(add_matched, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n_events"),
+            Sum("matched", alias_name="n_matched"),
+            Sum("best_price", alias_name="sum_price")).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_matched"] = out["n_matched"].astype("int64")
+    out["sum_price"] = out["sum_price"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_ASOF = """
+WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+                  max(o_totalprice) AS best_price
+           FROM orders GROUP BY 1, 2)
+SELECT event_type,
+       count(*)::BIGINT            AS n_events,
+       count(best_price)::BIGINT   AS n_matched,
+       round(sum(best_price), 2)   AS sum_price
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_value_band_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range join (overlapping intervals) of events.value against a small
+    broadcast band table — the non-equi join Ray Data lacks, expressed as
+    K vectorized masks per batch (stages/joins.py:broadcast_range_join);
+    a row can land in several bands. Oracled against a DuckDB non-equi
+    JOIN over the same inline interval table."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import broadcast_range_join
+
+    # 12 overlapping [lo, lo+40) bands over the events value range
+    bands = [(i, i * 25.0, i * 25.0 + 40.0) for i in range(12)]
+    ds = _read(sf_dir, "events", columns=["value"])
+    joined = broadcast_range_join(ds, "value", bands)
+    out = joined.groupby("band_id").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value")).to_pandas()
+    out["band_id"] = out["band_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("band_id").reset_index(drop=True)
+
+
+SQL_VALUE_BAND_RANGE_JOIN = """
+WITH bands(band_id, lo, hi) AS (
+  SELECT i, i * 25.0, i * 25.0 + 40.0 FROM range(12) t(i))
+SELECT band_id::BIGINT        AS band_id,
+       count(*)::BIGINT       AS n_events,
+       round(sum(value), 2)   AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id ORDER BY band_id
+"""
+
+
+def q_punct_stopword_stats(sf_dir: str) -> pd.DataFrame:
+    """Quality-signal counting kernels under the oracle gate: per-lang sums
+    of punctuation marks and English stopword hits — the same RE2 patterns
+    `quality_stats` uses for its composite score, evaluated identically by
+    pyarrow's re2 and DuckDB's re2."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import LANG_MARKERS, PUNCT, _str
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        arr = _str(t["text"])
+        return pa.table({
+            "lang": t["lang"],
+            "n_punct": pa.array(
+                np.asarray(pc.count_substring_regex(arr, PUNCT),
+                           dtype=np.int64)),
+            "n_stop_en": pa.array(
+                np.asarray(pc.count_substring_regex(arr, LANG_MARKERS["en"]),
+                           dtype=np.int64)),
+        })
+
+    out = ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_punct", alias_name="sum_punct"),
+            Sum("n_stop_en", alias_name="sum_stop_en")).to_pandas()
+    for c in ("n_docs", "sum_punct", "sum_stop_en"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_PUNCT_STOPWORD = r"""
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(text, '[.,!?;:]')))::BIGINT AS sum_punct,
+       sum(len(regexp_extract_all(text,
+           '(?i)\b(the|and|of|to|is|in|that|for|with|was)\b')))::BIGINT
+           AS sum_stop_en
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -1252,6 +1386,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "growable_membership": q_growable_membership,
     "static_xor_membership": q_static_xor_membership,
     "minimal_taffy_membership": q_minimal_taffy_membership,
+    "events_asof_orders": q_events_asof_orders,
+    "value_band_range_join": q_value_band_range_join,
+    "punct_stopword_stats": q_punct_stopword_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1277,4 +1414,7 @@ ORACLES: dict[str, str] = {
     "growable_membership": SQL_GROWABLE_MEMBERSHIP,
     "static_xor_membership": SQL_STATIC_XOR_MEMBERSHIP,
     "minimal_taffy_membership": SQL_MINIMAL_TAFFY_MEMBERSHIP,
+    "events_asof_orders": SQL_EVENTS_ASOF,
+    "value_band_range_join": SQL_VALUE_BAND_RANGE_JOIN,
+    "punct_stopword_stats": SQL_PUNCT_STOPWORD,
 }

@@ -1,0 +1,70 @@
+"""Distributed as-of join: semantics vs a single-process pandas merge_asof."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+def _mk(left, right):
+    lt = pa.table({
+        "k": pa.array(left["k"], type=pa.int64()),
+        "ts": pa.array(pd.to_datetime(left["ts"])),
+        "tag": pa.array(left["tag"]),
+    })
+    rt = pa.table({
+        "k": pa.array(right["k"], type=pa.int64()),
+        "rts": pa.array(pd.to_datetime(right["rts"])),
+        "val": pa.array(right["val"], type=pa.float64()),
+    })
+    return ray.data.from_arrow(lt), ray.data.from_arrow(rt)
+
+
+def test_asof_join_matches_pandas(ray_session, rng):
+    from libfilter_ray.stages.joins import asof_join
+
+    n, m = 500, 300
+    base = np.datetime64("2024-01-01T00:00:00")
+    left = {
+        "k": rng.integers(0, 40, n),          # keys 0..39
+        "ts": base + rng.integers(0, 10**6, n).astype("timedelta64[s]"),
+        "tag": [f"t{i % 7}" for i in range(n)],
+    }
+    right = {
+        "k": rng.integers(20, 60, m),         # keys 20..59 (partial overlap)
+        "rts": base + rng.integers(0, 10**6, m).astype("timedelta64[s]"),
+        "val": rng.normal(0, 1, m),
+    }
+    # dedupe right on (k, rts) for deterministic as-of picks
+    rdf = pd.DataFrame(right).groupby(["k", "rts"], as_index=False) \
+        .agg(val=("val", "max"))
+    lds, rds = _mk(left, {"k": rdf["k"].to_numpy(),
+                          "rts": rdf["rts"], "val": rdf["val"].to_numpy()})
+
+    out = asof_join(lds, rds, on="k", left_ts="ts", right_ts="rts",
+                    left_cols=["tag"], right_cols=["val"],
+                    num_shards=8).to_pandas()
+
+    want = pd.merge_asof(
+        pd.DataFrame(left)
+        .assign(ts=pd.to_datetime(left["ts"]).astype("datetime64[us]"))
+        .sort_values("ts", kind="stable"),
+        rdf.rename(columns={"rts": "ts"})
+        .assign(ts=lambda d: d["ts"].astype("datetime64[us]"))
+        .sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward")
+
+    key = ["k", "ts", "tag"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = want.sort_values(key).reset_index(drop=True)[a.columns.tolist()]
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-12)
+    # keys outside the right side's range must survive with null val
+    assert a.loc[a["k"] < 20, "val"].isna().all()
+    # inclusive boundary: a left ts equal to a right ts matches it
+    assert (a["val"].notna() == (a["k"] >= 20) &
+            a.apply(lambda r: ((rdf["k"] == r["k"])
+                               & (rdf["rts"] <= r["ts"])).any(), axis=1)).all()
