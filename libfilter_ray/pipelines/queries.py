@@ -702,6 +702,48 @@ def q_minimal_taffy_per_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_vector_quotient_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-lang taffy vector-quotient filter (SURVEY §2.1 op 26) —
+    single-writer build per group via groupby(lang).map_groups (the filter
+    has no union, like the minimal taffy cuckoo). Reports membership
+    completeness (asserted — no false negatives across growth) + measured
+    fpp + size."""
+    from ..sketch.hashing import hash_arrow_array
+    from ..sketch.vector_quotient import TaffyVectorQuotient
+    from ..sources.webpages import read_webpages
+
+    pages = read_webpages(sf_dir, include_html=False) \
+        .select_columns(["url", "lang"])
+    probes = hash_arrow_array(pa.array(
+        [f"https://absent.example.net/{i}" for i in range(1 << 13)]))
+
+    def build_group(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash_arrow_array(pa.array(df["url"].tolist()))
+        f = TaffyVectorQuotient()
+        f.update(h)
+        return pd.DataFrame({
+            "lang": [df["lang"].iloc[0]],
+            "n_urls": [len(df)],
+            "members_found": [int(f.find_hashes(h).sum())],
+            "filter_bytes": [f.size_in_bytes()],
+            "fpp_measured": [round(float(f.find_hashes(probes).mean()), 5)],
+        })
+
+    out = pages.groupby("lang").map_groups(
+        build_group, batch_format="pandas").to_pandas()
+    assert (out["members_found"] == out["n_urls"]).all()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_vector_quotient_membership(sf_dir: str) -> pd.DataFrame:
+    """Oracled deterministic columns of the vector-quotient build."""
+    out = q_vector_quotient_per_lang(sf_dir)
+    res = out[["lang", "n_urls", "members_found"]].copy()
+    res["n_urls"] = res["n_urls"].astype("int64")
+    res["members_found"] = res["members_found"].astype("int64")
+    return res.sort_values("lang").reset_index(drop=True)
+
+
 def q_json_props_stats(sf_dir: str) -> pd.DataFrame:
     """Vectorized JSON extraction from the events `props` column (polars
     str.json_path_match inside map_batches — no per-row Python), aggregated
@@ -1389,6 +1431,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_asof_orders": q_events_asof_orders,
     "value_band_range_join": q_value_band_range_join,
     "punct_stopword_stats": q_punct_stopword_stats,
+    "vector_quotient_per_lang": q_vector_quotient_per_lang,
+    "vector_quotient_membership": q_vector_quotient_membership,
 }
 
 ORACLES: dict[str, str] = {
@@ -1417,4 +1461,5 @@ ORACLES: dict[str, str] = {
     "events_asof_orders": SQL_EVENTS_ASOF,
     "value_band_range_join": SQL_VALUE_BAND_RANGE_JOIN,
     "punct_stopword_stats": SQL_PUNCT_STOPWORD,
+    "vector_quotient_membership": SQL_STATIC_XOR_MEMBERSHIP,
 }

@@ -69,17 +69,22 @@ class BlockBloom:
         self.buckets = np.zeros((num_buckets, 8), dtype=U32)
 
     # -- core ops ---------------------------------------------------------
+    # The scatter/gather run on a u64 view of the bucket matrix (4 lanes of
+    # u64 instead of 8 of u32): identical bits, half the unbuffered
+    # bitwise_or.at / compare work (~1.5x measured) — serde stays the
+    # reference's little-endian u32 layout.
     def add_hashes(self, hashes: np.ndarray) -> "BlockBloom":
         hashes = np.ascontiguousarray(hashes, dtype=U64)
         idx = _bucket_index(hashes, self.num_buckets)
-        np.bitwise_or.at(self.buckets, idx, _masks(hashes))
+        np.bitwise_or.at(self.buckets.view(U64), idx,
+                         _masks(hashes).view(U64))
         return self
 
     def find_hashes(self, hashes: np.ndarray) -> np.ndarray:
         hashes = np.ascontiguousarray(hashes, dtype=U64)
         idx = _bucket_index(hashes, self.num_buckets)
-        rows = self.buckets[idx]            # (n, 8) gather
-        m = _masks(hashes)
+        rows = self.buckets.view(U64)[idx]  # (n, 4) u64 gather
+        m = _masks(hashes).view(U64)
         return ((rows & m) == m).all(axis=1)
 
     def update(self, hashes: np.ndarray) -> "BlockBloom":
