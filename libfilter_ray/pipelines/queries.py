@@ -1392,6 +1392,105 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_quality_filter_counts(sf_dir: str) -> pd.DataFrame:
+    """C4/Gopher-style quality filtering end-to-end: compute the composite
+    quality_score per document (functions/textstats.py:quality_stats) in a
+    streaming stage, keep docs with score >= 0.5, report per-lang kept
+    counts. The WHOLE scoring formula (length/stopword/punct/word-length
+    terms) is mirrored in the DuckDB oracle — identical IEEE arithmetic per
+    row, so the keep decision matches exactly. Counts only (no float
+    accumulation) keep the comparison order-independent."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import quality_stats
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        s = quality_stats(t["text"])
+        return pa.table({
+            "lang": t["lang"],
+            "kept": pa.array((s["quality_score"] >= 0.5).astype(np.int64)),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("kept", alias_name="n_kept")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_QUALITY_FILTER = r"""
+WITH c AS (
+  SELECT lang,
+         len(text)::DOUBLE                                    AS n_chars,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_extract_all(text, '\S+')) END)::DOUBLE
+             AS n_tokens,
+         len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE    AS n_punct,
+         (len(regexp_extract_all(text,
+              '(?i)\b(the|and|of|to|is|in|that|for|with|was)\b'))
+        + len(regexp_extract_all(text,
+              '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|von|zu)\b'))
+        + len(regexp_extract_all(text,
+              '(?i)\b(el|la|los|las|es|y|en|que|de|un|una|por)\b'))
+        + len(regexp_extract_all(text,
+              '(?i)\b(le|la|les|est|et|en|que|de|un|une|pour|dans)\b')))::DOUBLE
+             AS n_stop,
+         (len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0)
+             AS has_cjk
+  FROM documents),
+s AS (
+  SELECT lang,
+         least(greatest(n_tokens / 50.0, 0.0), 1.0) AS length_term,
+         least(greatest(CASE WHEN has_cjk THEN 1.0
+                             ELSE (n_stop / greatest(n_tokens, 1.0)) / 0.2
+                        END, 0.0), 1.0)             AS stop_term,
+         least(greatest(1.0 - (CASE WHEN n_chars > 0
+                                    THEN n_punct / greatest(n_chars, 1.0)
+                                    ELSE 0.0 END) / 0.3, 0.0), 1.0)
+                                                    AS punct_term,
+         least(greatest(1.0 - abs((CASE WHEN n_tokens > 0
+                                        THEN n_chars / greatest(n_tokens, 1.0)
+                                        ELSE 0.0 END) - 5.5) / 10.0,
+                        0.0), 1.0)                  AS wordlen_term
+  FROM c)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN 0.35 * length_term + 0.30 * stop_term
+                   + 0.20 * punct_term + 0.15 * wordlen_term >= 0.5
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+
+def q_stratified_sample_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling (stages/sample.py): 20 docs per
+    lang by hash-rank — identical output under any partitioning (asserted
+    in tests). Per-lang sampled counts are oracled (min(n, 20)); the
+    sampled id sum is a determinism witness computable in SQL only via the
+    count, so counts are the gate and determinism is pytest-verified."""
+    from ray.data.aggregate import Count
+
+    from ..stages.sample import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    sampled = stratified_sample(ds, "lang", "doc_id", 20)
+    out = sampled.groupby("lang").aggregate(
+        Count(alias_name="n_sampled")).to_pandas()
+    out["n_sampled"] = out["n_sampled"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, least(count(*), 20)::BIGINT AS n_sampled
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -1433,6 +1532,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "punct_stopword_stats": q_punct_stopword_stats,
     "vector_quotient_per_lang": q_vector_quotient_per_lang,
     "vector_quotient_membership": q_vector_quotient_membership,
+    "quality_filter_counts": q_quality_filter_counts,
+    "stratified_sample_counts": q_stratified_sample_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -1462,4 +1563,6 @@ ORACLES: dict[str, str] = {
     "value_band_range_join": SQL_VALUE_BAND_RANGE_JOIN,
     "punct_stopword_stats": SQL_PUNCT_STOPWORD,
     "vector_quotient_membership": SQL_STATIC_XOR_MEMBERSHIP,
+    "quality_filter_counts": SQL_QUALITY_FILTER,
+    "stratified_sample_counts": SQL_STRATIFIED_SAMPLE,
 }

@@ -1,0 +1,45 @@
+"""Deterministic distributed sampling for training-data pipelines.
+
+Hash-rank sampling: each row's rank is a pure function of its id
+(splitmix64), so the sample is uniform, reproducible, and identical under
+ANY partitioning — a Bernoulli/top-k sampler with none of the coordination
+a true reservoir needs. The stratified variant keeps the `n` smallest
+ranks per key.
+
+Scale shape: a per-block combiner keeps at most `n` rows per key per
+block before the shuffle (same pre-aggregation idea as the grouped sketch
+partials), then key-hash shards finish the top-n per key — one Ray task
+per shard, vectorized pandas inside.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sketch.hashing import splitmix64
+
+
+def stratified_sample(ds, key: str, id_column: str, n_per_key: int, *,
+                      seed: int = 0x5A3D1E, num_shards: int = 32):
+    """Dataset of at most `n_per_key` rows per `key` value: the rows whose
+    hash-rank splitmix64(id ^ seed) is smallest within the key (ties on
+    rank broken by id — fully deterministic)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_column].to_numpy().astype(np.int64).view(np.uint64)
+        rank = splitmix64(ids, seed=seed).view(np.int64)
+        d = df.assign(__rank=rank).sort_values(
+            ["__rank", id_column], kind="stable")
+        d = d[d.groupby(key, sort=False).cumcount() < n_per_key]
+        h = pd.util.hash_array(d[key].to_numpy(dtype=object))
+        return d.assign(__shard=(h % num_shards).astype(np.int64))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["__rank", id_column], kind="stable")
+        d = d[d.groupby(key, sort=False).cumcount() < n_per_key]
+        return d.drop(columns=["__rank", "__shard"])
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("__shard").map_groups(finish, batch_format="pandas")

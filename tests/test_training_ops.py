@@ -363,3 +363,33 @@ def test_text_kernels_handle_nulls_and_empty():
     empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
                       "text": pa.array([], type=pa.string())})
     assert text_stats_stage(empty).num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_partition_invariant(ray_session):
+    """Hash-rank stratified sample: same ids under ANY partitioning, at
+    most n per key, uniform-deterministic."""
+    import pyarrow.parquet as pq
+
+    from libfilter_ray.stages.sample import stratified_sample
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    picks = []
+    for blocks in (1, 4, 13):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = stratified_sample(ds, "lang", "doc_id", 20).to_pandas()
+        assert (out.groupby("lang").size() <= 20).all()
+        picks.append(set(out["doc_id"].astype(int)))
+    assert picks[0] == picks[1] == picks[2]
+    # every lang with >= 20 docs contributes exactly 20
+    import pandas as pd
+    full = t.to_pandas().groupby("lang").size()
+    got = pd.Series(sorted(picks[0]))
+    sampled = stratified_sample(
+        ray.data.from_arrow(t), "lang", "doc_id", 20).to_pandas()
+    cnt = sampled.groupby("lang").size()
+    for lang, n in full.items():
+        assert cnt.get(lang, 0) == min(n, 20)
