@@ -302,10 +302,11 @@ def q_growable_filters_per_lang(sf_dir: str) -> pd.DataFrame:
     # probe = a SECOND STREAMING pass with the (KB-sized) filters shipped in
     # the task closure — same shape as the flagship probe (flagship.py) —
     # never a driver-side corpus collect
-    filters = {r["lang"]: (TaffyBlock.from_bytes(r["payload_tbf"]),
-                           TaffyCuckoo.from_bytes(r["payload_tcf"]),
-                           TaffyCuckoo.from_bytes(r["payload_tcf"]).freeze())
-               for _, r in grouped.iterrows()}
+    def _mk(r):
+        f2 = TaffyCuckoo.from_bytes(r["payload_tcf"])
+        return (TaffyBlock.from_bytes(r["payload_tbf"]), f2, f2.freeze())
+
+    filters = {r["lang"]: _mk(r) for _, r in grouped.iterrows()}
 
     # fpp measurement fans out as one Ray task per lang (the serial driver
     # loop was 2 x 32k TCF probes per lang — the pipeline's longest pole);
@@ -633,13 +634,14 @@ def q_top_parts_per_brand(sf_dir: str) -> pd.DataFrame:
     NSHARDS = 16
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        from ..sketch.hashing import shard_of_values
+
         # combiner: per-block top-3 per brand, so the shuffle moves at most
         # 3 rows x brands per block no matter how big the block is
         d = df.sort_values(["p_retailprice", "p_partkey"],
                            ascending=[False, True], kind="stable")
         d = d[d.groupby("p_brand").cumcount() < 3]
-        h = pd.util.hash_array(d["p_brand"].to_numpy(dtype=object))
-        return d.assign(shard=(h % NSHARDS).astype(np.int64))
+        return d.assign(shard=shard_of_values(d["p_brand"], NSHARDS))
 
     def topk_shard(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["p_retailprice", "p_partkey"],

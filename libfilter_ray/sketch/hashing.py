@@ -158,3 +158,14 @@ def hash_arrow_array(arr: pa.Array | pa.ChunkedArray,
         out[mask] = splitmix64(np.asarray([U64(0xDEAD)], dtype=U64),
                                seed=(seed ^ 0xA5A5_5A5A_F00D_BEEF))[0]
     return out
+
+
+def shard_of_values(values, num_shards: int, seed: int = 0x5AAD) -> np.ndarray:
+    """int64 shard ids for a column of key values (pandas Series, numpy
+    array, python list, or Arrow array): hash_arrow_array % num_shards —
+    the ONE vectorized shard tagger shared by sharded merges, joins, pair
+    scans and samplers (equal keys always land in one shard)."""
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(values)
+    h = hash_arrow_array(values, seed=seed)
+    return (h % np.uint64(num_shards)).astype(np.int64)

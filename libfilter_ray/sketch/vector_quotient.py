@@ -152,11 +152,6 @@ class TaffyVectorQuotient:
             self.occupancy += 1
         return ok
 
-    def _insert_raw_ttl(self, raw: int, tail: int, t=None) -> None:
-        target = t if t is not None else self
-        while not target._try_insert_raw(raw, tail):
-            target._upsize()
-
     # -- public API --------------------------------------------------------
     def add_hash(self, k: int) -> None:
         while True:
@@ -194,16 +189,34 @@ class TaffyVectorQuotient:
         return out
 
     # -- growth ------------------------------------------------------------
-    def _upsize(self) -> None:
+    @staticmethod
+    def _extend(raw: int, tail: int, w: int, target_w: int):
+        """All (raw', tail') widenings of `raw` from `w` to `target_w`
+        significant bits, consuming one tail bit per extra address bit
+        (taffy-cuckoo's path-extension scheme, c/lib/taffy-cuckoo.c:208-237);
+        an exhausted tail (EMPTY mark) forks into BOTH one-bit extensions."""
+        stack = [(raw, tail, w)]
+        while stack:
+            r, tl, ww = stack.pop()
+            if ww >= target_w:
+                yield r, tl
+                continue
+            ext = 1 << (64 - ww - 1)
+            if tl == EMPTY_TAIL_MARK:
+                stack.append((r, EMPTY_TAIL_MARK, ww + 1))
+                stack.append((r | ext, EMPTY_TAIL_MARK, ww + 1))
+            else:
+                stack.append((r | (tl >> TAIL) * ext,
+                              (tl << 1) & TAIL_MASK, ww + 1))
+
+    def _migrate_into(self, t: "TaffyVectorQuotient") -> bool:
         """Decode every entry through the inverse permutation and reinsert
-        one tail bit deeper (hpp:172-200 with fixes 1-3; the tail-extension
-        scheme is taffy-cuckoo's, c/lib/taffy-cuckoo.c:208-237)."""
-        t = TaffyVectorQuotient.__new__(TaffyVectorQuotient)
-        t._init_arrays(self.log_size + 1)
-        t.f = self.f
-        t.occupancy = 0
+        into `t`, widened to t's address width. Returns False the moment an
+        insert fails — the caller restarts with a bigger target (the
+        reference's `goto start`, hpp:175-194) so `t` itself NEVER upsizes
+        mid-migration (a nested upsize would re-read phantom raw bits and
+        mass-produce false negatives)."""
         w = self._w
-        ext_bit = 1 << (64 - w - 1)
         for li in range(1 << self.log_size):
             meta = int(self.meta[li])
             p, q = 0, 0
@@ -216,14 +229,25 @@ class TaffyVectorQuotient:
                 tail = int(self.tailarr[li, p])
                 hashed = ((li << LOG_QUOTIENTS) | q) << HEAD | fp
                 raw = (self.f[lean].backward(w, hashed) << (64 - w)) & _M64
-                if tail == EMPTY_TAIL_MARK:
-                    # out of tail bits: insert both one-bit extensions
-                    self._insert_raw_ttl(raw, EMPTY_TAIL_MARK, t)
-                    self._insert_raw_ttl(raw | ext_bit, EMPTY_TAIL_MARK, t)
-                else:
-                    raw |= (tail >> TAIL) * ext_bit
-                    self._insert_raw_ttl(raw, (tail << 1) & TAIL_MASK, t)
+                for r2, t2 in self._extend(raw, tail, w, t._w):
+                    if not t._try_insert_raw(r2, t2):
+                        return False
                 p += 1
+        return True
+
+    def _upsize(self) -> None:
+        """Grow by decode-and-reinsert (hpp:172-200 with fixes 1-3): try a
+        target one level up; if migration overflows any line, discard the
+        target and retry one level bigger (the reference's size_up++)."""
+        size_up = 1
+        while True:
+            t = TaffyVectorQuotient.__new__(TaffyVectorQuotient)
+            t._init_arrays(self.log_size + size_up)
+            t.f = self.f
+            t.occupancy = 0
+            if self._migrate_into(t):
+                break
+            size_up += 1
         self.log_size = t.log_size
         self.meta, self.lean, self.fp, self.tailarr = \
             t.meta, t.lean, t.fp, t.tailarr

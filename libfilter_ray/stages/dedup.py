@@ -315,7 +315,6 @@ def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
     cand = _candidate_pairs(buckets, "band_key", id_column)
     if not len(cand):
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    cand = cand.drop_duplicates().reset_index(drop=True)
 
     # verification: fetch candidate texts once (ids are rare), broadcast
     need = np.unique(np.concatenate([cand["id_a"], cand["id_b"]]))
@@ -327,10 +326,12 @@ def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
-def _collect_texts(ds, column: str, id_column: str,
-                   ids: np.ndarray) -> dict[int, str]:
-    """Pull `column` for the given (few) ids: broadcast the id set, filter
-    per batch, collect the small result."""
+def _broadcast_pick(ds, id_column: str, columns: list[str],
+                    ids: np.ndarray) -> pd.DataFrame:
+    """Rows (id + `columns`) for the given (few) ids: broadcast the sorted
+    id set once, np.isin-filter per batch, collect the small result —
+    the shared gather behind candidate-text and candidate-embedding
+    verification (O(candidates) driver memory)."""
     import ray
 
     ref = ray.put(np.sort(ids.astype(np.int64)))
@@ -342,11 +343,16 @@ def _collect_texts(ds, column: str, id_column: str,
         def __call__(self, t: pa.Table) -> pa.Table:
             rid = _str(t[id_column]).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-            return t.select([id_column, column]) \
+            return t.select([id_column] + columns) \
                 .filter(pa.array(np.isin(rid, self.ids)))
 
-    small = ds.map_batches(Pick, batch_format="pyarrow",
-                           concurrency=2).to_pandas()
+    return ds.map_batches(Pick, batch_format="pyarrow",
+                          concurrency=2).to_pandas()
+
+
+def _collect_texts(ds, column: str, id_column: str,
+                   ids: np.ndarray) -> dict[int, str]:
+    small = _broadcast_pick(ds, id_column, [column], ids)
     return dict(zip(small[id_column].astype(int), small[column]))
 
 
@@ -426,24 +432,9 @@ def _embedding_matrix(t: pa.Table, column: str) -> np.ndarray:
 
 def _gather_embeddings(ds, column: str, id_column: str,
                        ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(sorted ids, L2-normalized float32 matrix) for the given (few) ids:
-    broadcast the id set, filter per batch, collect the small result."""
-    import ray
-
-    ref = ray.put(np.sort(ids.astype(np.int64)))
-
-    class Pick:
-        def __init__(self):
-            self.ids = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            rid = _str(t[id_column]).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            return t.select([id_column, column]) \
-                .filter(pa.array(np.isin(rid, self.ids)))
-
-    small = ds.map_batches(Pick, batch_format="pyarrow",
-                           concurrency=2).to_pandas()
+    """(sorted ids, L2-normalized float32 matrix) for the given (few) ids
+    via the shared broadcast-pick gather."""
+    small = _broadcast_pick(ds, id_column, [column], ids)
     got = small[id_column].to_numpy().astype(np.int64)
     order = np.argsort(got, kind="stable")
     X = np.stack([np.asarray(v, dtype=np.float32)

@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..sketch.hashing import splitmix64
+from ..sketch.hashing import shard_of_values, splitmix64
 
 
 def stratified_sample(ds, key: str, id_column: str, n_per_key: int, *,
@@ -33,8 +33,7 @@ def stratified_sample(ds, key: str, id_column: str, n_per_key: int, *,
         d = df.assign(__rank=rank).sort_values(
             ["__rank", id_column], kind="stable")
         d = d[d.groupby(key, sort=False).cumcount() < n_per_key]
-        h = pd.util.hash_array(d[key].to_numpy(dtype=object))
-        return d.assign(__shard=(h % num_shards).astype(np.int64))
+        return d.assign(__shard=shard_of_values(d[key], num_shards))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["__rank", id_column], kind="stable")

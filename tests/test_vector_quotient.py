@@ -59,3 +59,38 @@ def test_tvqf_registry():
     f = registry.make("taffy_vector_quotient")
     f.update(np.array([1, 2, 3], dtype=np.uint64))
     assert f.find_hashes(np.array([1, 2, 3], dtype=np.uint64)).all()
+
+
+def test_tvqf_upsize_restart_keeps_all_keys(rng, monkeypatch):
+    """If migration overflows the one-level-up target, upsize must RESTART
+    with a bigger target (reference's size_up++), never let the target
+    upsize mid-migration — a nested upsize reads phantom raw bits and used
+    to mass-produce false negatives."""
+    from libfilter_ray.sketch import vector_quotient as vq
+
+    keys = rand_u64(rng, 800)
+    f = vq.TaffyVectorQuotient()
+    f.add_hashes(keys[:700])
+    assert f.find_hashes(keys[:700]).all()
+
+    # force the next migration's first attempt to fail once: the first
+    # call into a FRESH target returns False, so _upsize must discard it
+    # and retry at log_size + 2
+    orig_try = vq.TaffyVectorQuotient._try_insert_raw
+    state = {"armed": True, "failed_once": False}
+
+    def flaky(self, raw, tail):
+        if state["armed"] and self.occupancy == 0 and not state["failed_once"]:
+            state["failed_once"] = True
+            return False
+        return orig_try(self, raw, tail)
+
+    monkeypatch.setattr(vq.TaffyVectorQuotient, "_try_insert_raw", flaky)
+    before = f.log_size
+    f._upsize()
+    state["armed"] = False
+    assert state["failed_once"]
+    assert f.log_size >= before + 2  # restarted bigger, not nested
+    assert f.find_hashes(keys[:700]).all()  # zero false negatives
+    f.add_hashes(keys[700:])
+    assert f.find_hashes(keys).all()
