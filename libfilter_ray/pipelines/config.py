@@ -16,11 +16,15 @@ Spec shape::
          "column": "url"},
         {"name": "users", "kind": "hll", "params": {"p": 14},
          "column": "user_id"},
+        {"name": "tbf", "kind": "taffy_block", "params": {"ndv": 256},
+         "column": "url", "exact": true},   # partition-invariant build
       ],
     }
 
 Grouped specs run in ONE pass via build_grouped_multi (single read + salted
-shuffle); ungrouped specs build one global sketch each via build_sketch.
+shuffle); ungrouped specs build one global sketch each via build_sketch —
+or via build_sketch_exact when the spec carries ``"exact": true`` (the
+raw-hash canonicalized path for growth-order-sensitive sketches).
 """
 
 from __future__ import annotations
@@ -48,7 +52,8 @@ def run_config(spec: dict[str, Any], sf_dir: str) -> pd.DataFrame:
     (grouped: one row per key with payload_<name> columns; ungrouped: one
     row per sketch with its payload)."""
     from ..sketch import registry
-    from ..stages.sketch_build import build_grouped_multi, build_sketch
+    from ..stages.sketch_build import (build_grouped_multi, build_sketch,
+                                       build_sketch_exact)
 
     sketches = spec["sketches"]
     for s in sketches:
@@ -62,7 +67,8 @@ def run_config(spec: dict[str, Any], sf_dir: str) -> pd.DataFrame:
                                    num_salts=int(spec.get("num_salts", 8)))
     rows = []
     for s in sketches:
-        sk = build_sketch(ds, s["column"], s["kind"], s.get("params", {}))
+        build = build_sketch_exact if s.get("exact") else build_sketch
+        sk = build(ds, s["column"], s["kind"], s.get("params", {}))
         rows.append({"name": s["name"], "kind": s["kind"],
                      "payload": sk.to_bytes()})
     return pd.DataFrame(rows)

@@ -1493,6 +1493,32 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
+    """Audio leg of the multimodal plumbing: attach deterministic PCM16
+    payloads, extract rms / zero-crossing / duration features in an
+    actor-pool stage (vectorized reduceat over Arrow offsets; payload
+    dropped in-stage), aggregate per lang. Rows-only check (payloads are
+    engine-synthesized)."""
+    from ray.data.aggregate import Count, Mean
+
+    from ..stages.multimodal import AudioFeatureStage, attach_fake_audio
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    feats = ds.map_batches(attach_fake_audio, batch_format="pyarrow",
+                           batch_size=256) \
+        .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                     batch_size=256, concurrency=2)
+    out = feats.groupby("lang").aggregate(
+        Count(alias_name="n_clips"),
+        Mean("duration_ms", alias_name="avg_ms"),
+        Mean("audio_zcr", alias_name="avg_zcr"),
+    ).to_pandas()
+    out["n_clips"] = out["n_clips"].astype("int64")
+    out["avg_ms"] = out["avg_ms"].round(2)
+    out["avg_zcr"] = out["avg_zcr"].round(5)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -1536,6 +1562,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "vector_quotient_membership": q_vector_quotient_membership,
     "quality_filter_counts": q_quality_filter_counts,
     "stratified_sample_counts": q_stratified_sample_counts,
+    "multimodal_audio": q_multimodal_audio,
 }
 
 ORACLES: dict[str, str] = {

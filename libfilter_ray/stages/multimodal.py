@@ -106,6 +106,100 @@ class ImageFeatureStage:
             .append_column("image_bytes", pa.array(sizes, type=pa.int64()))
 
 
+AUDIO_META_TYPE = pa.struct([("sample_rate", pa.int32()),
+                             ("n_samples", pa.int32()),
+                             ("format", pa.string())])
+
+
+def attach_fake_audio(t: pa.Table, *, id_column: str = "doc_id",
+                      sample_rate: int = 16000, min_ms: int = 40,
+                      max_ms: int = 320) -> pa.Table:
+    """Deterministic synthetic PCM16 `audio` binary column + `audio_meta`
+    struct — stands in for real audio payloads; pure function of the id
+    column (retry-safe). Waveform = per-row sine whose frequency/length
+    derive from splitmix64(id); fully vectorized over the flat sample
+    stream."""
+    ids = np.asarray(t[id_column].combine_chunks()
+                     if isinstance(t[id_column], pa.ChunkedArray)
+                     else t[id_column]).astype(np.int64)
+    n = len(ids)
+    u = ids.view(np.uint64)
+    span_ms = max_ms - min_ms
+    n_samp = ((splitmix64(u, seed=0xA0D10) % np.uint64(span_ms))
+              .astype(np.int64) + min_ms) * sample_rate // 1000
+    freq = (splitmix64(u, seed=0xF2E0) % np.uint64(3800)).astype(np.int64) + 100
+    total = int(n_samp.sum())
+    row_of = np.repeat(np.arange(n, dtype=np.int64), n_samp)
+    pos = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(n_samp) - n_samp, n_samp)
+    wave = (np.sin(2 * np.pi * freq[row_of] * pos / sample_rate)
+            * 12000).astype(np.int16)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_samp * 2, out=offsets[1:])
+    audio = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(offsets.tobytes()),
+                               pa.py_buffer(wave.tobytes())])
+    meta = pa.StructArray.from_arrays(
+        [pa.array(np.full(n, sample_rate, dtype=np.int32)),
+         pa.array(n_samp.astype(np.int32)),
+         pa.array(["pcm_s16le"] * n)],
+        fields=list(AUDIO_META_TYPE))
+    return t.append_column("audio", audio).append_column("audio_meta", meta)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: PCM16 audio column -> per-row features (rms,
+    zero-crossing rate, duration_ms). A real decoder (ffmpeg/librosa —
+    absent in this container) would slot into __init__/decode; the feature
+    math itself is the real thing, vectorized over Arrow offsets with
+    np.add.reduceat. Drops the wide audio column in-stage."""
+
+    def __init__(self, codec: str = "pcm_s16le", sample_rate: int = 16000):
+        if codec != "pcm_s16le":
+            raise NotImplementedError(
+                "no audio codec in this environment; raw PCM16 only")
+        self.sample_rate = sample_rate
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["audio"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        buffers = col.buffers()
+        off_dtype = np.int64 if col.type == pa.large_binary() else np.int32
+        offsets = np.frombuffer(buffers[1], dtype=off_dtype,
+                                count=len(col) + col.offset + 1)[col.offset:] \
+            .astype(np.int64)
+        data = np.frombuffer(buffers[2], dtype=np.uint8)[
+            offsets[0]:offsets[-1]]
+        pcm = data.view(np.int16).astype(np.float64)
+        n = len(col)
+        n_samp = (np.diff(offsets) // 2).astype(np.int64)
+        starts = (np.cumsum(n_samp) - n_samp)
+        rms = np.sqrt(np.add.reduceat(pcm * pcm, np.minimum(
+            starts, max(len(pcm) - 1, 0))) / np.maximum(n_samp, 1)) \
+            if len(pcm) else np.zeros(n)
+        # zero crossings: sign products across sample boundaries, row
+        # boundaries masked out, per-row sums via reduceat
+        if len(pcm) > 1:
+            cross = (pcm[:-1] * pcm[1:] < 0).astype(np.int64)
+            cross[np.minimum(starts[1:] - 1, len(cross) - 1)] = 0
+            zc = np.add.reduceat(
+                np.r_[cross, 0], np.minimum(starts, len(cross)))
+        else:
+            zc = np.zeros(n, dtype=np.int64)
+        # reduceat on a clamped start of an EMPTY row yields a neighbor's
+        # value, not 0 — mask empties explicitly
+        rms = np.where(n_samp > 0, rms, 0.0)
+        zc = np.where(n_samp > 1, zc, 0)
+        zcr = zc / np.maximum(n_samp - 1, 1)
+        out = t.drop_columns(["audio"])
+        return out.append_column("audio_rms",
+                                 pa.array(np.round(rms, 3))) \
+            .append_column("audio_zcr", pa.array(np.round(zcr, 5))) \
+            .append_column("duration_ms",
+                           pa.array(n_samp * 1000 // self.sample_rate,
+                                    type=pa.int64()))
+
+
 def frame_sample_stage(t: pa.Table, *, every: int = 4,
                        column: str = "image") -> pa.Table:
     """'Video' frame-sampling stub: treat each binary payload as a sequence

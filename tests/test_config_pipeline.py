@@ -53,3 +53,26 @@ def test_unknown_kind_fails_fast(ray_session):
     with pytest.raises(KeyError, match="unknown sketch kind"):
         run_config({"table": "events", "sketches": [
             {"name": "x", "kind": "nope", "column": "user_id"}]}, SF_DIR_01)
+
+
+def test_exact_flag_routes_to_canonical_build(ray_session):
+    """'exact': true on an ungrouped spec uses the partition-invariant
+    raw-hash build — byte-identical to a sorted sequential build."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from libfilter_ray.pipelines.config import run_config
+    from libfilter_ray.sketch.hashing import DEFAULT_SEED, hash_arrow_array
+    from libfilter_ray.sketch.taffy_block import TaffyBlock
+
+    SF = "/root/testdata/sf0.001"
+    spec = {"table": "documents", "columns": ["text"],
+            "sketches": [{"name": "tbf", "kind": "taffy_block",
+                          "params": {"ndv": 128, "fpp": 0.02},
+                          "column": "text", "exact": True}]}
+    out = run_config(spec, SF)
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].combine_chunks()
+    h = np.sort(hash_arrow_array(texts, seed=DEFAULT_SEED), kind="stable")
+    want = TaffyBlock(ndv=128, fpp=0.02).add_hashes(h).to_bytes()
+    assert out["payload"].iloc[0] == want

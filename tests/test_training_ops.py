@@ -393,3 +393,25 @@ def test_stratified_sample_partition_invariant(ray_session):
     cnt = sampled.groupby("lang").size()
     for lang, n in full.items():
         assert cnt.get(lang, 0) == min(n, 20)
+
+
+def test_audio_features_match_direct_computation(ray_session):
+    """AudioFeatureStage's reduceat kernels == per-row numpy reference."""
+    from libfilter_ray.stages.multimodal import (AudioFeatureStage,
+                                                 attach_fake_audio)
+
+    t = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                  "lang": pa.array(["en"] * 40)})
+    full = attach_fake_audio(t)
+    out = AudioFeatureStage()(full)
+    assert "audio" not in out.column_names  # payload dies in-stage
+    audio = full["audio"]
+    for i in range(40):
+        pcm = np.frombuffer(audio[i].as_py(), dtype=np.int16) \
+            .astype(np.float64)
+        want_rms = round(float(np.sqrt(np.mean(pcm ** 2))), 3)
+        want_zcr = round(float((pcm[:-1] * pcm[1:] < 0).sum()
+                               / max(len(pcm) - 1, 1)), 5)
+        assert abs(out["audio_rms"][i].as_py() - want_rms) < 1e-9, i
+        assert abs(out["audio_zcr"][i].as_py() - want_zcr) < 1e-9, i
+        assert out["duration_ms"][i].as_py() == len(pcm) * 1000 // 16000
