@@ -1519,6 +1519,48 @@ def q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_partitioned_sink_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Resumable-output path under the oracle gate: filter documents to
+    quality tokens >= 10, write hive-partitioned parquet (one dir per
+    lang, _SUCCESS marker), then RE-READ the partitioned output and
+    aggregate — the write->resume->read cycle a 100 TB run depends on.
+    A second write call must no-op (resume), asserted in-query."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sink import read_partitioned, write_partitioned
+
+    out_dir = tempfile.mkdtemp(prefix="lfr-sink-", dir="/tmp") + "/out"
+    try:
+        ds = _read(sf_dir, "documents",
+                   columns=["doc_id", "lang", "n_chars"])
+        kept = ds.filter(expr="n_chars >= 150")
+        assert write_partitioned(kept, out_dir, partition_cols=["lang"])
+        # resume: completed output is reused, not rewritten
+        assert not write_partitioned(kept, out_dir, partition_cols=["lang"])
+        back = read_partitioned(out_dir)
+        res = back.groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars")).to_pandas()
+    finally:
+        shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
+    res["lang"] = res["lang"].astype(str)
+    res["n_docs"] = res["n_docs"].astype("int64")
+    res["sum_chars"] = res["sum_chars"].astype("int64")
+    return res.sort_values("lang").reset_index(drop=True)
+
+
+SQL_SINK_ROUNDTRIP = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE n_chars >= 150
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -1563,6 +1605,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_filter_counts": q_quality_filter_counts,
     "stratified_sample_counts": q_stratified_sample_counts,
     "multimodal_audio": q_multimodal_audio,
+    "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -1594,4 +1637,5 @@ ORACLES: dict[str, str] = {
     "vector_quotient_membership": SQL_STATIC_XOR_MEMBERSHIP,
     "quality_filter_counts": SQL_QUALITY_FILTER,
     "stratified_sample_counts": SQL_STRATIFIED_SAMPLE,
+    "partitioned_sink_roundtrip": SQL_SINK_ROUNDTRIP,
 }
