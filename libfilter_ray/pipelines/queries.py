@@ -566,6 +566,49 @@ ORDER BY window_start, event_type
 """
 
 
+def q_events_sliding_windows(sf_dir: str) -> pd.DataFrame:
+    """Sliding (hopping) window aggregate: 1h windows hopping every 30min —
+    each event lands in exactly TWO windows. Ray-Data-first: the window
+    replication is a vectorized per-batch concat (no per-row state, no
+    join); shuffle moves only (window, type) partials. Complements the
+    tumbling `events_hourly_windows`."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        b = pc.floor_temporal(t["ts"], multiple=30, unit="minute")
+        half = pa.scalar(1_800_000_000, type=pa.duration("us"))
+        parts = []
+        for start in (b, pc.subtract(b, half)):
+            parts.append(pa.table({
+                "window_start": start,
+                "event_type": t["event_type"],
+                "value": t["value"]}))
+        return pa.concat_tables(parts)
+
+    out = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]).aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value")).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values(["window_start", "event_type"]) \
+        .reset_index(drop=True)
+
+
+SQL_EVENTS_SLIDING = """
+SELECT time_bucket(INTERVAL 30 MINUTE, ts) - o.off AS window_start,
+       event_type,
+       count(*)::BIGINT     AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+CROSS JOIN (SELECT unnest([INTERVAL 0 MINUTE, INTERVAL 30 MINUTE]) AS off) o
+GROUP BY window_start, event_type ORDER BY window_start, event_type
+"""
+
+
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Gap-based sessionization (30-min inactivity), fully vectorized: shard
     by user-hash (a user never splits across shards), sort each shard once by
@@ -1587,6 +1630,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "orders_by_month": q_orders_by_month,
     "events_hourly_windows": q_events_hourly_windows,
+    "events_sliding_windows": q_events_sliding_windows,
     "user_sessions": q_user_sessions,
     "top_parts_per_brand": q_top_parts_per_brand,
     "json_props_stats": q_json_props_stats,
@@ -1622,6 +1666,7 @@ ORACLES: dict[str, str] = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "orders_by_month": SQL_ORDERS_BY_MONTH,
     "events_hourly_windows": SQL_EVENTS_HOURLY,
+    "events_sliding_windows": SQL_EVENTS_SLIDING,
     "user_sessions": SQL_USER_SESSIONS,
     "top_parts_per_brand": SQL_TOP_PARTS,
     "json_props_stats": SQL_JSON_PROPS,
