@@ -56,10 +56,24 @@ def run_config(spec: dict[str, Any], sf_dir: str) -> pd.DataFrame:
                                        build_sketch_exact)
 
     sketches = spec["sketches"]
-    for s in sketches:
-        registry.get(s["kind"])  # fail fast on unknown kinds
-    ds = _load_table(spec, sf_dir)
     key = spec.get("key")
+    for s in sketches:
+        cls = registry.get(s["kind"])  # fail fast on unknown kinds
+        if s.get("exact"):
+            # fail fast, not silently-wrong: exact is the raw-HASH
+            # canonicalized path (ungrouped only; value sketches like
+            # kll/tdigest must see raw values, and the grouped branch
+            # would drop the flag and run the merge build instead)
+            if key:
+                raise ValueError(
+                    f"spec {s['name']!r}: \"exact\" is not supported for "
+                    "grouped builds (key present) — the grouped path is "
+                    "merge-based")
+            if getattr(cls, "input", "hashes") != "hashes":
+                raise ValueError(
+                    f"spec {s['name']!r}: \"exact\" requires a "
+                    f"hash-consuming sketch kind, not {s['kind']!r}")
+    ds = _load_table(spec, sf_dir)
     if key:
         specs = [(s["name"], s["kind"], s.get("params", {}), s["column"])
                  for s in sketches]

@@ -1563,11 +1563,11 @@ def q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
 
 
 def q_partitioned_sink_roundtrip(sf_dir: str) -> pd.DataFrame:
-    """Resumable-output path under the oracle gate: filter documents to
-    quality tokens >= 10, write hive-partitioned parquet (one dir per
-    lang, _SUCCESS marker), then RE-READ the partitioned output and
-    aggregate — the write->resume->read cycle a 100 TB run depends on.
-    A second write call must no-op (resume), asserted in-query."""
+    """Resumable-output path under the oracle gate: filter documents
+    (n_chars >= 150, matching the SQL oracle), write hive-partitioned
+    parquet (one dir per lang, _SUCCESS marker), then RE-READ the
+    partitioned output and aggregate — the write->resume->read cycle a
+    100 TB run depends on. A second write call must no-op (resume)."""
     import os
     import shutil
     import tempfile
@@ -1582,9 +1582,12 @@ def q_partitioned_sink_roundtrip(sf_dir: str) -> pd.DataFrame:
         ds = _read(sf_dir, "documents",
                    columns=["doc_id", "lang", "n_chars"])
         kept = ds.filter(expr="n_chars >= 150")
-        assert write_partitioned(kept, out_dir, partition_cols=["lang"])
+        wrote = write_partitioned(kept, out_dir, partition_cols=["lang"])
         # resume: completed output is reused, not rewritten
-        assert not write_partitioned(kept, out_dir, partition_cols=["lang"])
+        reused = write_partitioned(kept, out_dir, partition_cols=["lang"])
+        if not wrote or reused:
+            raise RuntimeError("sink resume protocol violated "
+                               f"(wrote={wrote}, reused_as_write={reused})")
         back = read_partitioned(out_dir)
         res = back.groupby("lang").aggregate(
             Count(alias_name="n_docs"),

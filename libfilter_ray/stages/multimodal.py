@@ -24,6 +24,21 @@ IMAGE_META_TYPE = pa.struct([("width", pa.int32()), ("height", pa.int32()),
                              ("format", pa.string())])
 
 
+def _flat_binary_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """(row_offsets rebased to 0, flat byte view) of a binary column —
+    the shared Arrow-buffer walk (combine_chunks, offset slicing, 32- vs
+    64-bit offset dtype) used by every payload kernel in this module."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buffers = col.buffers()
+    off_dtype = np.int64 if col.type == pa.large_binary() else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype,
+                            count=len(col) + col.offset + 1)[col.offset:] \
+        .astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)[offsets[0]:offsets[-1]] \
+        if buffers[2] is not None else np.empty(0, dtype=np.uint8)
+    return offsets - offsets[0], data
+
+
 def attach_fake_images(t: pa.Table, *, id_column: str = "doc_id",
                        min_bytes: int = 256, max_bytes: int = 4096) -> pa.Table:
     """Deterministic synthetic `image` binary column + `image_meta` struct —
@@ -53,7 +68,8 @@ def attach_fake_images(t: pa.Table, *, id_column: str = "doc_id",
     h = (splitmix64(ids.view(np.uint64), seed=4) % np.uint64(1080)).astype(np.int32) + 32
     meta = pa.StructArray.from_arrays(
         [pa.array(w), pa.array(h),
-         pa.array(np.where(ids % 2 == 0, "jpeg", "png").tolist())],
+         pa.array(np.where(ids % 2 == 0, "jpeg", "png").tolist(),
+                  type=pa.string())],  # explicit: [] must not infer null
         fields=list(IMAGE_META_TYPE))
     return t.append_column("image", img).append_column("image_meta", meta)
 
@@ -82,20 +98,12 @@ class ImageFeatureStage:
         self.codec = codec  # a real stage would load the model/codec HERE
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        col = t["image"]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        buffers = col.buffers()
-        off_dtype = np.int64 if col.type == pa.large_binary() else np.int32
-        offsets = np.frombuffer(buffers[1], dtype=off_dtype,
-                                count=len(col) + col.offset + 1)[col.offset:]
-        data = np.frombuffer(buffers[2], dtype=np.uint8)
-        n = len(col)
-        sizes = np.diff(offsets).astype(np.int64)
+        offsets, data = _flat_binary_view(t["image"])
+        n = len(offsets) - 1
+        sizes = np.diff(offsets)
         row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
         hist = np.zeros((n, self.NUM_BINS), dtype=np.int64)
-        np.add.at(hist, (row_of,
-                         (data[offsets[0]:offsets[-1]] >> 4).astype(np.int64)),
-                  1)
+        np.add.at(hist, (row_of, (data >> 4).astype(np.int64)), 1)
         feat = hist / np.maximum(sizes, 1)[:, None]
         flat = pa.array(feat.astype(np.float32).ravel(), type=pa.float32())
         features = pa.LargeListArray.from_arrays(
@@ -142,7 +150,7 @@ def attach_fake_audio(t: pa.Table, *, id_column: str = "doc_id",
     meta = pa.StructArray.from_arrays(
         [pa.array(np.full(n, sample_rate, dtype=np.int32)),
          pa.array(n_samp.astype(np.int32)),
-         pa.array(["pcm_s16le"] * n)],
+         pa.array(["pcm_s16le"] * n, type=pa.string())],
         fields=list(AUDIO_META_TYPE))
     return t.append_column("audio", audio).append_column("audio_meta", meta)
 
@@ -161,42 +169,46 @@ class AudioFeatureStage:
         self.sample_rate = sample_rate
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        col = t["audio"]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        buffers = col.buffers()
-        off_dtype = np.int64 if col.type == pa.large_binary() else np.int32
-        offsets = np.frombuffer(buffers[1], dtype=off_dtype,
-                                count=len(col) + col.offset + 1)[col.offset:] \
-            .astype(np.int64)
-        data = np.frombuffer(buffers[2], dtype=np.uint8)[
-            offsets[0]:offsets[-1]]
+        offsets, data = _flat_binary_view(t["audio"])
         pcm = data.view(np.int16).astype(np.float64)
-        n = len(col)
+        n = len(offsets) - 1
         n_samp = (np.diff(offsets) // 2).astype(np.int64)
-        starts = (np.cumsum(n_samp) - n_samp)
-        rms = np.sqrt(np.add.reduceat(pcm * pcm, np.minimum(
-            starts, max(len(pcm) - 1, 0))) / np.maximum(n_samp, 1)) \
-            if len(pcm) else np.zeros(n)
-        # zero crossings: sign products across sample boundaries, row
-        # boundaries masked out, per-row sums via reduceat
-        if len(pcm) > 1:
-            cross = (pcm[:-1] * pcm[1:] < 0).astype(np.int64)
-            cross[np.minimum(starts[1:] - 1, len(cross) - 1)] = 0
-            zc = np.add.reduceat(
-                np.r_[cross, 0], np.minimum(starts, len(cross)))
+        starts = np.cumsum(n_samp) - n_samp
+        # Segment reductions run over NON-EMPTY rows only: their starts are
+        # strictly increasing and in range, so reduceat boundaries are
+        # exact — clamping starts instead would steal samples/crossings
+        # from neighboring rows when a payload is empty.
+        nz = n_samp > 0
+        nz_starts = starts[nz]
+        rms = np.zeros(n)
+        zc = np.zeros(n, dtype=np.int64)
+        if len(nz_starts):
+            sq = np.add.reduceat(pcm * pcm, nz_starts)
+            rms[nz] = np.sqrt(sq / n_samp[nz])
+            if len(pcm) > 1:
+                # sign products across sample boundaries; positions that
+                # straddle two rows (index nz_starts[j]-1) are masked out
+                cross = (pcm[:-1] * pcm[1:] < 0).astype(np.int64)
+                cross[nz_starts[1:] - 1] = 0
+                zc[nz] = np.add.reduceat(np.r_[cross, 0],
+                                         np.minimum(nz_starts,
+                                                    len(cross)))
+        zcr = np.where(n_samp > 1, zc / np.maximum(n_samp - 1, 1), 0.0)
+        # per-row sample rate from audio_meta when present (mixed-rate
+        # corpora); constructor default otherwise
+        if "audio_meta" in t.column_names:
+            meta = t["audio_meta"]
+            meta = meta.combine_chunks() \
+                if isinstance(meta, pa.ChunkedArray) else meta
+            sr = np.asarray(meta.field("sample_rate"), dtype=np.int64)
         else:
-            zc = np.zeros(n, dtype=np.int64)
-        # reduceat on a clamped start of an EMPTY row yields a neighbor's
-        # value, not 0 — mask empties explicitly
-        rms = np.where(n_samp > 0, rms, 0.0)
-        zc = np.where(n_samp > 1, zc, 0)
-        zcr = zc / np.maximum(n_samp - 1, 1)
+            sr = np.full(n, self.sample_rate, dtype=np.int64)
         out = t.drop_columns(["audio"])
         return out.append_column("audio_rms",
                                  pa.array(np.round(rms, 3))) \
             .append_column("audio_zcr", pa.array(np.round(zcr, 5))) \
             .append_column("duration_ms",
-                           pa.array(n_samp * 1000 // self.sample_rate,
+                           pa.array(n_samp * 1000 // np.maximum(sr, 1),
                                     type=pa.int64()))
 
 
@@ -206,21 +218,14 @@ def frame_sample_stage(t: pa.Table, *, every: int = 4,
     of 64-byte frames and keep every `every`-th — demonstrates the
     offset-arithmetic layout a real frame sampler would use. Output:
     `frames` large_binary (concatenated kept frames) + `n_frames` int64."""
-    col = t[column]
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    buffers = col.buffers()
-    off_dtype = np.int64 if col.type == pa.large_binary() else np.int32
-    offsets = np.frombuffer(buffers[1], dtype=off_dtype,
-                            count=len(col) + col.offset + 1)[col.offset:] \
-        .astype(np.int64)
-    data = np.frombuffer(buffers[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
-    n = len(col)
+    offsets, data = _flat_binary_view(t[column])
+    n = len(offsets) - 1
     sizes = np.diff(offsets)
     # vectorized frame keep-mask over the FLAT byte stream: byte position
     # within its row -> frame index -> keep iff frame_idx % every == 0
     row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
     pos = np.arange(len(data), dtype=np.int64) \
-        - np.repeat(offsets[:-1] - offsets[0], sizes)
+        - np.repeat(offsets[:-1], sizes)
     keep = ((pos >> 6) % every) == 0
     kept = np.ascontiguousarray(data[keep])
     kept_sizes = np.bincount(row_of[keep], minlength=n).astype(np.int64)

@@ -76,3 +76,16 @@ def test_exact_flag_routes_to_canonical_build(ray_session):
     h = np.sort(hash_arrow_array(texts, seed=DEFAULT_SEED), kind="stable")
     want = TaffyBlock(ndv=128, fpp=0.02).add_hashes(h).to_bytes()
     assert out["payload"].iloc[0] == want
+
+
+def test_exact_flag_fails_fast_on_invalid_specs(ray_session):
+    from libfilter_ray.pipelines.config import run_config
+
+    with pytest.raises(ValueError, match="grouped"):
+        run_config({"table": "documents", "key": "lang", "sketches": [
+            {"name": "t", "kind": "taffy_block", "column": "text",
+             "exact": True}]}, "/root/testdata/sf0.001")
+    with pytest.raises(ValueError, match="hash-consuming"):
+        run_config({"table": "events", "sketches": [
+            {"name": "q", "kind": "kll", "column": "value",
+             "exact": True}]}, "/root/testdata/sf0.001")

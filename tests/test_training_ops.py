@@ -415,3 +415,55 @@ def test_audio_features_match_direct_computation(ray_session):
         assert abs(out["audio_rms"][i].as_py() - want_rms) < 1e-9, i
         assert abs(out["audio_zcr"][i].as_py() - want_zcr) < 1e-9, i
         assert out["duration_ms"][i].as_py() == len(pcm) * 1000 // 16000
+
+
+def test_audio_stage_empty_payloads_do_not_corrupt_neighbors():
+    """Zero-length payloads must yield 0 features AND leave neighboring
+    rows' rms/zcr exact (reduceat boundary handling)."""
+    from libfilter_ray.stages.multimodal import AudioFeatureStage
+
+    pcm_a = np.array([1000, -1000, 1000, -1000], dtype=np.int16)
+    pcm_c = np.array([5, -5, 5], dtype=np.int16)
+    t = pa.table({"audio": pa.array(
+        [pcm_a.tobytes(), b"", pcm_c.tobytes(), b""],
+        type=pa.large_binary())})
+    out = AudioFeatureStage()(t)
+    rms = [v.as_py() for v in out["audio_rms"]]
+    zcr = [v.as_py() for v in out["audio_zcr"]]
+    assert rms[0] == 1000.0 and zcr[0] == 1.0
+    assert rms[1] == 0.0 and zcr[1] == 0.0
+    assert rms[2] == 5.0 and zcr[2] == 1.0
+    assert rms[3] == 0.0 and zcr[3] == 0.0
+    # leading empty row: last row's crossings must survive
+    t2 = pa.table({"audio": pa.array([b"", pcm_a.tobytes()],
+                                     type=pa.large_binary())})
+    out2 = AudioFeatureStage()(t2)
+    assert out2["audio_zcr"][1].as_py() == 1.0
+
+
+def test_multimodal_stages_accept_empty_batches():
+    from libfilter_ray.stages.multimodal import (AudioFeatureStage,
+                                                 ImageFeatureStage,
+                                                 attach_fake_audio,
+                                                 attach_fake_images,
+                                                 frame_sample_stage)
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "lang": pa.array([], type=pa.string())})
+    ai = attach_fake_images(empty)
+    assert ImageFeatureStage()(ai).num_rows == 0
+    assert frame_sample_stage(ai).num_rows == 0
+    aa = attach_fake_audio(empty)
+    assert AudioFeatureStage()(aa).num_rows == 0
+
+
+def test_audio_stage_uses_meta_sample_rate():
+    from libfilter_ray.stages.multimodal import (AudioFeatureStage,
+                                                 attach_fake_audio)
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64())})
+    slow = attach_fake_audio(t, sample_rate=8000)
+    out = AudioFeatureStage()(slow)  # default ctor: must read meta rate
+    n_samp = [v.as_py()["n_samples"] for v in slow["audio_meta"]]
+    for i in range(2):
+        assert out["duration_ms"][i].as_py() == n_samp[i] * 1000 // 8000
