@@ -43,7 +43,7 @@ import struct
 import numpy as np
 
 from .registry import register
-from .taffy_cuckoo import Feistel, is_prefix_of
+from .taffy_cuckoo import Feistel, _is_prefix_of_vec, is_prefix_of
 
 U64 = np.uint64
 HEAD = 9                      # kHeadSize, hpp:14
@@ -181,11 +181,73 @@ class TaffyVectorQuotient:
                 return True
         return False
 
+    # popcount per byte / nth-set-bit-in-byte LUTs for the vectorized find
+    _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                          axis=1).sum(axis=1).astype(np.int64)
+    _NTH8 = np.full((256, 8), 8, dtype=np.int64)
+    for _b in range(256):
+        _r = 0
+        for _bit in range(8):
+            if (_b >> _bit) & 1:
+                _NTH8[_b, _r] = _bit
+                _r += 1
+    del _b, _r, _bit
+
+    def _nth_one_pos_vec(self, meta_bytes: np.ndarray,
+                         cum: np.ndarray, rank: np.ndarray) -> np.ndarray:
+        """Bit position of the rank-th set bit per row — vectorized
+        select via per-byte popcount prefix sums + an in-byte LUT.
+        meta_bytes: (n, 8) uint8; cum: (n, 8) inclusive prefix popcounts."""
+        byte_idx = (cum <= rank[:, None]).sum(axis=1)
+        prev = np.where(byte_idx > 0,
+                        cum[np.arange(len(rank)), np.maximum(byte_idx, 1) - 1],
+                        0)
+        in_rank = rank - prev
+        bval = meta_bytes[np.arange(len(rank)), byte_idx]
+        return byte_idx * 8 + self._NTH8[bval, in_rank]
+
     def find_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership: both Feistel permutations over the whole
+        batch, metadata select-nth-one via byte-popcount LUTs, then one
+        (n, SLOTS) masked compare per side — no per-key Python."""
         hashes = np.ascontiguousarray(hashes, dtype=U64)
-        out = np.empty(len(hashes), dtype=bool)
-        for j, k in enumerate(hashes):
-            out[j] = self.find_hash(int(k))
+        n = len(hashes)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        w = self._w
+        pre = hashes >> U64(64 - w)
+        pre_tail = hashes >> U64(64 - w - TAIL)
+        tail = (((pre_tail & U64((1 << TAIL) - 1)) << U64(1)) | U64(1)) \
+            .astype(np.uint16)
+        out = np.zeros(n, dtype=bool)
+        slot_range = np.arange(SLOTS, dtype=np.int64)[None, :]
+        for i in (0, 1):
+            hashed = self.f[i].forward(w, pre)
+            li = (hashed >> U64(LOG_QUOTIENTS + HEAD)).astype(np.int64)
+            q = ((hashed >> U64(HEAD))
+                 & U64((1 << LOG_QUOTIENTS) - 1)).astype(np.int64)
+            fp = (hashed & U64(FP_MASK)).astype(np.uint16)
+            meta_bytes = self.meta[li].view(np.uint8).reshape(-1, 8)
+            cum = np.cumsum(self._POP8[meta_bytes], axis=1)
+            nth = self._nth_one_pos_vec(meta_bytes, cum, q)
+            begin = np.where(
+                q > 0,
+                self._nth_one_pos_vec(meta_bytes, cum,
+                                      np.maximum(q - 1, 0)) + 1,
+                0)
+            lo = (begin - q)[:, None]
+            hi = (nth - q)[:, None]
+            in_range = (slot_range >= lo) & (slot_range < hi)
+            lean_ok = self.lean[li] == i
+            fp_ok = self.fp[li] == fp[:, None]
+            cand = in_range & lean_ok & fp_ok
+            # tail-prefix check only on the (rare) fingerprint matches —
+            # the full (n, SLOTS) prefix pass was the dominant cost
+            ridx, sidx = np.nonzero(cand)
+            if len(ridx):
+                tl = self.tailarr[li[ridx], sidx].astype(np.uint16)
+                ok = _is_prefix_of_vec(tl, tail[ridx])
+                out[ridx[ok]] = True
         return out
 
     # -- growth ------------------------------------------------------------

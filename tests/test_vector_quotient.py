@@ -94,3 +94,16 @@ def test_tvqf_upsize_restart_keeps_all_keys(rng, monkeypatch):
     assert f.find_hashes(keys[:700]).all()  # zero false negatives
     f.add_hashes(keys[700:])
     assert f.find_hashes(keys).all()
+
+
+def test_tvqf_vectorized_find_matches_scalar(rng):
+    from libfilter_ray.sketch.vector_quotient import TaffyVectorQuotient
+
+    keys = rand_u64(rng, 2500)
+    f = TaffyVectorQuotient()
+    f.add_hashes(keys)
+    probes = np.concatenate([keys[:500], rand_u64(rng, 4000)])
+    vec = f.find_hashes(probes)
+    scalar = np.array([f.find_hash(int(k)) for k in probes])
+    assert np.array_equal(vec, scalar)
+    assert vec[:500].all()  # members
