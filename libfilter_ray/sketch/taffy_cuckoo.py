@@ -332,8 +332,13 @@ class TaffyCuckoo:
             bucket, fp, tail = self._paths_vec(hashes, side)
             sfps = side.fps[bucket]          # (n, SLOTS)
             stls = side.tails[bucket]
-            hit = (sfps == fp[:, None]) & _is_prefix_of_vec(stls, tail[:, None])
-            out |= hit.any(axis=1)
+            # tail-prefix check only on fingerprint matches (rare): the
+            # multi-pass prefix kernel over all n x SLOTS was the dominant
+            # probe cost
+            ridx, sidx = np.nonzero(sfps == fp[:, None])
+            if len(ridx):
+                ok = _is_prefix_of_vec(stls[ridx, sidx], tail[ridx])
+                out[ridx[ok]] = True
             for (sb, sf, st) in side.stash:
                 m = (bucket == sb) & (fp == sf) & _is_prefix_of_vec(
                     np.full(len(hashes), st, dtype=np.uint16), tail)
