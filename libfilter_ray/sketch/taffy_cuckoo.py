@@ -340,9 +340,12 @@ class TaffyCuckoo:
                 ok = _is_prefix_of_vec(stls[ridx, sidx], tail[ridx])
                 out[ridx[ok]] = True
             for (sb, sf, st) in side.stash:
-                m = (bucket == sb) & (fp == sf) & _is_prefix_of_vec(
-                    np.full(len(hashes), st, dtype=np.uint16), tail)
-                out |= m
+                m0 = (bucket == sb) & (fp == sf)
+                if m0.any():
+                    idx = np.flatnonzero(m0)
+                    ok = _is_prefix_of_vec(
+                        np.full(len(idx), st, dtype=np.uint16), tail[idx])
+                    out[idx[ok]] = True
         return out
 
     def find_hash(self, k: int) -> bool:
