@@ -182,6 +182,15 @@ def kernel_throughput(n: int = 10_000_000) -> dict:
     t0 = time.perf_counter()
     c.update(keys[:n // 4])
     out["cms_update"] = round((n // 4) / (time.perf_counter() - t0) / 1e6, 1)
+    from libfilter_ray.sketch.taffy_cuckoo import TaffyCuckoo
+
+    tcf = TaffyCuckoo(bytes_=1024)
+    tcf.add_hashes(keys[:20000])
+    probes = keys[: n // 10]
+    tcf.find_hashes(probes)  # warm
+    t0 = time.perf_counter()
+    tcf.find_hashes(probes)
+    out["tcf_find"] = round(len(probes) / (time.perf_counter() - t0) / 1e6, 1)
     return out
 
 

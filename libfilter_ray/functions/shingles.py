@@ -138,9 +138,12 @@ def simhash64(col, k: int = 5, seed: int = 0x51A4A54) -> np.ndarray:
     n = len(splits) - 1
     if len(flat) == 0:
         return np.zeros(n, dtype=U64)
+    # keep the unpacked bit matrix uint8 (64 B/shingle, not 256) and let
+    # reduceat accumulate straight into int64 — the int32 astype was 4x
+    # the temp memory and the stage's dominant cost at corpus scale
     bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8),
-                         axis=1, bitorder="little").astype(np.int32)
-    sums = np.add.reduceat(bits, splits[:-1], axis=0)
+                         axis=1, bitorder="little")
+    sums = np.add.reduceat(bits, splits[:-1], axis=0, dtype=np.int64)
     counts = np.diff(splits)[:, None]
     sign = (2 * sums > counts).astype(np.uint8)  # bit j set iff majority-1
     return np.packbits(sign, axis=1, bitorder="little") \
