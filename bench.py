@@ -129,6 +129,8 @@ def run_bench() -> dict:
     timed("ann_topk_brute", q.q_ann_topk_brute)
     # high-cardinality grouped build (~2000 domain keys, sort-split partials)
     timed("domain_doc_counts", q.q_domain_doc_counts)
+    # LSH dedup headline (distributed banding + sharded pair scan + verify)
+    timed("minhash_near_dup", lambda sf: q.q_minhash_near_dup(sf))
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)
