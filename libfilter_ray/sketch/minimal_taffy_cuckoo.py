@@ -23,8 +23,9 @@ the reference semantics (SURVEY.md §2.1 op 22):
 
 NOT mergeable: the reference has no union for this type, so it is exposed
 as a single-writer filter only (`merge` raises; SURVEY.md §2.1 "optional —
-no union => not a mergeable UDAF"). Scalar per-key kernel, like the
-reference; the engine's throughput story rides on the mergeable types.
+no union => not a mergeable UDAF"). Inserts are scalar per key, like the
+reference; membership probing is vectorized (batched path computation +
+packed-slot snapshot, parity-tested against the scalar path).
 """
 
 from __future__ import annotations
@@ -34,7 +35,8 @@ import struct
 import numpy as np
 
 from .registry import register
-from .taffy_cuckoo import PCG, Feistel, _mask, is_prefix_of
+from .taffy_cuckoo import (PCG, Feistel, _is_prefix_of_vec, _mask,
+                           is_prefix_of)
 
 U64 = np.uint64
 
@@ -258,6 +260,7 @@ class MinimalTaffyCuckoo:
         self.log_side_size = 0
         self.rng = PCG(LOG_SLOTS)
         self.occupied = 0
+        self._version = 0  # bumped on mutation; invalidates _snapshot
 
     # -- capacity / size ---------------------------------------------------
     def capacity(self) -> int:
@@ -281,14 +284,105 @@ class MinimalTaffyCuckoo:
                 return True
         return False
 
+    def _to_path_vec(self, raw: np.ndarray, f: Feistel,
+                     full_is_short: bool):
+        """Vectorized paths.h:106-146 over a u64 batch. Returns
+        (level, bucket, long_fp, fingerprint, tail) int64/bool arrays;
+        tail==0 marks invalid paths (short key below the cursor)."""
+        fis = 1 if full_is_short else 0
+        lls = self.log_side_size
+        shift = 64 - LOG_LEVELS - lls - HEAD + fis - TAIL
+        if shift >= 0:
+            pre_tail = raw >> U64(shift)
+        else:
+            # u64 wrap is safe: the Feistel masks its input to w bits and
+            # w + TAIL < 64, so the dropped high bits never participate
+            pre_tail = raw << U64(-shift)
+        raw_tail = (pre_tail & U64((1 << TAIL) - 1)).astype(np.int64)
+        w = LOG_LEVELS + lls + HEAD - fis
+        hashed = f.forward(w, pre_tail >> U64(TAIL))
+        level = (hashed >> U64(lls + HEAD - fis)).astype(np.int64)
+        big = level < self.cursor
+        bucket = np.where(
+            big,
+            ((hashed >> U64(HEAD - fis - 1))
+             & U64((1 << (lls + 1)) - 1)).astype(np.int64),
+            ((hashed >> U64(HEAD - fis))
+             & U64((1 << lls) - 1)).astype(np.int64))
+        fp = np.where(
+            big,
+            (hashed & U64((1 << (HEAD - fis - 1)) - 1)).astype(np.int64),
+            (hashed & U64((1 << (HEAD - fis)) - 1)).astype(np.int64))
+        long_fp = (~big) & (not full_is_short)
+        tail = raw_tail * 2 + 1
+        if full_is_short:
+            tail = np.where(big, 0, tail)  # invalid: level below cursor
+        return level, bucket, long_fp, fp, tail
+
+    def _snapshot(self):
+        """(2, LEVELS, max_buckets, SLOTS) uint16 packed-slot view of the
+        level lists, padded to the largest level size; rebuilt lazily when
+        `_version` (bumped on every mutating call) changes."""
+        snap = getattr(self, "_snap", None)
+        ver = getattr(self, "_version", 0)
+        if snap is not None and snap[0] == ver:
+            return snap[1]
+        max_b = max(len(lvl) for side in self.sides for lvl in side.levels)
+        words = np.zeros((2, LEVELS, max_b, SLOTS), dtype=np.uint16)
+        for s, side in enumerate(self.sides):
+            for lv, level in enumerate(side.levels):
+                if not level:
+                    continue
+                arr = np.array(
+                    [[self._pack_slot(slot) for slot in bucket]
+                     for bucket in level], dtype=np.uint16)
+                words[s, lv, :len(level)] = arr
+        self._snap = (ver, words)
+        return words
+
     def find_hashes(self, hashes: np.ndarray) -> np.ndarray:
-        return np.fromiter((self.find_hash(int(k)) for k in
-                            np.ascontiguousarray(hashes, dtype=U64)),
-                           dtype=bool,
-                           count=len(np.atleast_1d(hashes)))
+        """Vectorized membership (parity-tested against the scalar
+        find_hash): both per-side path variants computed over the whole
+        batch, one packed-slot gather + fingerprint compare per variant,
+        tail-prefix check only on candidates."""
+        hashes = np.ascontiguousarray(np.atleast_1d(hashes), dtype=U64)
+        n = len(hashes)
+        if n < 32:  # snapshot not worth it for a handful of probes
+            return np.fromiter((self.find_hash(int(k)) for k in hashes),
+                               dtype=bool, count=n)
+        words = self._snapshot()
+        out = np.zeros(n, dtype=bool)
+        for i, side in enumerate(self.sides):
+            for f, fis in ((side.lo, True), (side.hi, False)):
+                level, bucket, long_fp, fp, tail = \
+                    self._to_path_vec(hashes, f, fis)
+                valid = tail != 0
+                wslots = words[i, level, bucket]        # (n, SLOTS)
+                cand = ((wslots >> 15) == long_fp[:, None]) \
+                    & (((wslots >> 6) & 0x1FF) == fp[:, None]) \
+                    & ((wslots & 0x3F) != 0) & valid[:, None]
+                ridx, sidx = np.nonzero(cand)
+                if len(ridx):
+                    ok = _is_prefix_of_vec(
+                        (wslots[ridx, sidx] & 0x3F).astype(np.uint16),
+                        tail[ridx].astype(np.uint16))
+                    out[ridx[ok]] = True
+                for p in side.stash:
+                    if p.tail == 0:
+                        continue
+                    m0 = valid & (level == p.level) & (bucket == p.bucket) \
+                        & (long_fp == p.long_fp) & (fp == p.fingerprint)
+                    if m0.any():
+                        idx = np.flatnonzero(m0)
+                        ok = _is_prefix_of_vec(
+                            np.full(len(idx), p.tail, dtype=np.uint16),
+                            tail[idx].astype(np.uint16))
+                        out[idx[ok]] = True
+        return out
 
     # -- insert ------------------------------------------------------------
     def add_hash(self, k: int) -> None:
+        self._version = getattr(self, "_version", 0) + 1
         while (self.occupied > 0.9 * self.capacity()
                or self.occupied + 4 >= self.capacity()
                or len(self.sides[0].stash) + len(self.sides[1].stash) > 8):
@@ -444,4 +538,5 @@ class MinimalTaffyCuckoo:
                 off += 18
                 lf, fp, tl = cls._unpack_slot(w)
                 side.stash.append(Path(lv, bk, lf, fp, tl))
+        f._version = getattr(f, "_version", 0) + 1
         return f

@@ -202,3 +202,22 @@ def test_registry():
 
     f = registry.make("minimal_taffy_cuckoo")
     assert isinstance(f, MinimalTaffyCuckoo)
+
+
+def test_vectorized_find_matches_scalar(rng):
+    """find_hashes (snapshot + batch paths) is bit-identical to the scalar
+    find_hash across growth, members and non-members, incl. stash."""
+    from conftest import rand_u64
+    from libfilter_ray.sketch.minimal_taffy_cuckoo import MinimalTaffyCuckoo
+
+    keys = rand_u64(rng, 3000)
+    f2 = MinimalTaffyCuckoo()
+    prev = 0
+    for cut in (50, 500, 3000):
+        f2.update(keys[prev:cut])
+        prev = cut
+        probes = np.concatenate([keys[:cut], rand_u64(rng, 3000)])
+        vec = f2.find_hashes(probes)
+        scalar = np.array([f2.find_hash(int(k)) for k in probes])
+        assert np.array_equal(vec, scalar), cut
+        assert vec[:cut].all(), cut
