@@ -467,3 +467,25 @@ def test_audio_stage_uses_meta_sample_rate():
     n_samp = [v.as_py()["n_samples"] for v in slow["audio_meta"]]
     for i in range(2):
         assert out["duration_ms"][i].as_py() == n_samp[i] * 1000 // 8000
+
+
+def test_candidate_pairs_sharded_equals_global_scan(ray_session, rng):
+    """The distributed (sharded) candidate pairing returns exactly the
+    pair set of a single global run scan over the same bucket table."""
+    import pandas as pd
+
+    from libfilter_ray.stages.dedup import _candidate_pairs, _scan_pairs_df
+
+    n = 3000
+    df = pd.DataFrame({
+        "band_key": rng.integers(0, 400, n).astype(np.int64),
+        "doc_id": rng.integers(0, 800, n).astype(np.int64),
+    }).drop_duplicates()
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    got = _candidate_pairs(ds, "band_key", "doc_id", num_shards=16)
+    want = _scan_pairs_df(df, "band_key", "doc_id", [], 64) \
+        .drop_duplicates(subset=["id_a", "id_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert set(map(tuple, got[["id_a", "id_b"]].to_numpy())) \
+        == set(map(tuple, want[["id_a", "id_b"]].to_numpy()))
