@@ -33,7 +33,7 @@ def asof_join(left_ds, right_ds, *, on: str, left_ts: str, right_ts: str,
     `right_cols` must be numeric (carried as float64 so unmatched left rows
     can hold null); `left_cols` keep their own types.
     """
-    from ..sketch.hashing import splitmix64
+    from ..sketch.hashing import shard_of_values
 
     TS = "__asof_ts"
     SIDE = "__asof_side"
@@ -42,12 +42,9 @@ def asof_join(left_ds, right_ds, *, on: str, left_ts: str, right_ts: str,
     ltypes = dict(zip(ls.names, ls.types))
 
     def _shard_col(t: pa.Table) -> pa.Array:
-        k = np.ascontiguousarray(
-            t[on].to_numpy(zero_copy_only=False), dtype=np.int64) \
-            .view(np.uint64)
-        return pa.array(
-            (splitmix64(k, seed=0xA50F) % np.uint64(num_shards))
-            .astype(np.int64), type=pa.int64())
+        # shard_of_values handles any key type (int, string, ...)
+        return pa.array(shard_of_values(t[on], num_shards, seed=0xA50F),
+                        type=pa.int64())
 
     def tag_left(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

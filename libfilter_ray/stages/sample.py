@@ -1,7 +1,7 @@
 """Deterministic distributed sampling for training-data pipelines.
 
 Hash-rank sampling: each row's rank is a pure function of its id
-(splitmix64), so the sample is uniform, reproducible, and identical under
+(hash_arrow_array), so the sample is uniform, reproducible, and identical under
 ANY partitioning — a Bernoulli/top-k sampler with none of the coordination
 a true reservoir needs. The stratified variant keeps the `n` smallest
 ranks per key.
@@ -18,18 +18,20 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..sketch.hashing import shard_of_values, splitmix64
+from ..sketch.hashing import hash_arrow_array, shard_of_values
 
 
 def stratified_sample(ds, key: str, id_column: str, n_per_key: int, *,
                       seed: int = 0x5A3D1E, num_shards: int = 32):
     """Dataset of at most `n_per_key` rows per `key` value: the rows whose
-    hash-rank splitmix64(id ^ seed) is smallest within the key (ties on
+    hash-rank hash_arrow_array(id, seed) is smallest within the key (ties on
     rank broken by id — fully deterministic)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_column].to_numpy().astype(np.int64).view(np.uint64)
-        rank = splitmix64(ids, seed=seed).view(np.int64)
+        # hash-rank via the generic column hasher: any id type (int,
+        # string, ...) works and the rank is a pure function of the value
+        rank = hash_arrow_array(pa.array(df[id_column]),
+                                seed=seed).view(np.int64)
         d = df.assign(__rank=rank).sort_values(
             ["__rank", id_column], kind="stable")
         d = d[d.groupby(key, sort=False).cumcount() < n_per_key]
