@@ -130,7 +130,7 @@ def run_bench() -> dict:
     # high-cardinality grouped build (~2000 domain keys, sort-split partials)
     timed("domain_doc_counts", q.q_domain_doc_counts)
     # LSH dedup headline (distributed banding + sharded pair scan + verify)
-    timed("minhash_near_dup", lambda sf: q.q_minhash_near_dup(sf))
+    timed("minhash_near_dup", q.q_minhash_near_dup)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)

@@ -295,9 +295,14 @@ class MinimalTaffyCuckoo:
         if shift >= 0:
             pre_tail = raw >> U64(shift)
         else:
-            # u64 wrap is safe: the Feistel masks its input to w bits and
-            # w + TAIL < 64, so the dropped high bits never participate
-            pre_tail = raw << U64(-shift)
+            # shift < 0 means w + TAIL > 64 (log_side_size >= 46 — a
+            # petabyte-scale single filter): a u64 left shift would drop
+            # the TOP Feistel-input bits and diverge from the scalar
+            # path's unbounded-int arithmetic. Refuse rather than return
+            # silently-wrong membership.
+            raise OverflowError(
+                "vectorized find unsupported at log_side_size >= "
+                f"{64 - LOG_LEVELS - HEAD + 1 - TAIL}; use find_hash")
         raw_tail = (pre_tail & U64((1 << TAIL) - 1)).astype(np.int64)
         w = LOG_LEVELS + lls + HEAD - fis
         hashed = f.forward(w, pre_tail >> U64(TAIL))
@@ -324,15 +329,13 @@ class MinimalTaffyCuckoo:
         level lists, padded to the largest level size; rebuilt lazily when
         `_version` (bumped on every mutating call) changes."""
         snap = getattr(self, "_snap", None)
-        ver = getattr(self, "_version", 0)
+        ver = self._version
         if snap is not None and snap[0] == ver:
             return snap[1]
         max_b = max(len(lvl) for side in self.sides for lvl in side.levels)
         words = np.zeros((2, LEVELS, max_b, SLOTS), dtype=np.uint16)
         for s, side in enumerate(self.sides):
             for lv, level in enumerate(side.levels):
-                if not level:
-                    continue
                 arr = np.array(
                     [[self._pack_slot(slot) for slot in bucket]
                      for bucket in level], dtype=np.uint16)
@@ -347,7 +350,13 @@ class MinimalTaffyCuckoo:
         tail-prefix check only on candidates."""
         hashes = np.ascontiguousarray(np.atleast_1d(hashes), dtype=U64)
         n = len(hashes)
-        if n < 32:  # snapshot not worth it for a handful of probes
+        snap = getattr(self, "_snap", None)
+        stale = snap is None or snap[0] != self._version
+        # scalar fallback when the batch is tiny, or when a mutation just
+        # invalidated the snapshot and the batch is too small to amortize
+        # the O(capacity) rebuild (check-then-insert interleavings would
+        # otherwise rebuild per probe call)
+        if n < 32 or (stale and n * 16 < self.occupied):
             return np.fromiter((self.find_hash(int(k)) for k in hashes),
                                dtype=bool, count=n)
         words = self._snapshot()
@@ -382,7 +391,7 @@ class MinimalTaffyCuckoo:
 
     # -- insert ------------------------------------------------------------
     def add_hash(self, k: int) -> None:
-        self._version = getattr(self, "_version", 0) + 1
+        self._version += 1
         while (self.occupied > 0.9 * self.capacity()
                or self.occupied + 4 >= self.capacity()
                or len(self.sides[0].stash) + len(self.sides[1].stash) > 8):
@@ -538,5 +547,5 @@ class MinimalTaffyCuckoo:
                 off += 18
                 lf, fp, tl = cls._unpack_slot(w)
                 side.stash.append(Path(lv, bk, lf, fp, tl))
-        f._version = getattr(f, "_version", 0) + 1
+        f._version += 1
         return f

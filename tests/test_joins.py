@@ -68,3 +68,60 @@ def test_asof_join_matches_pandas(ray_session, rng):
     assert (a["val"].notna() == (a["k"] >= 20) &
             a.apply(lambda r: ((rdf["k"] == r["k"])
                                & (rdf["rts"] <= r["ts"])).any(), axis=1)).all()
+
+
+def test_asof_join_string_keys(ray_session, rng):
+    """Key columns need not be integers — shard tagging goes through the
+    generic column hasher."""
+    from libfilter_ray.stages.joins import asof_join
+
+    base = np.datetime64("2024-01-01T00:00:00")
+    kl = [f"user-{i % 9}" for i in range(120)]
+    lt = pa.table({
+        "k": pa.array(kl, type=pa.string()),
+        "ts": pa.array(pd.to_datetime(
+            base + rng.integers(0, 10**5, 120).astype("timedelta64[s]"))),
+        "tag": pa.array([f"t{i}" for i in range(120)]),
+    })
+    rdf = pd.DataFrame({
+        "k": [f"user-{i % 6}" for i in range(60)],
+        "rts": pd.to_datetime(
+            base + rng.integers(0, 10**5, 60).astype("timedelta64[s]")),
+        "val": rng.normal(0, 1, 60),
+    }).groupby(["k", "rts"], as_index=False).agg(val=("val", "max"))
+    rt = pa.table({"k": pa.array(rdf["k"], type=pa.string()),
+                   "rts": pa.array(rdf["rts"]),
+                   "val": pa.array(rdf["val"], type=pa.float64())})
+    out = asof_join(ray.data.from_arrow(lt).repartition(3),
+                    ray.data.from_arrow(rt), on="k", left_ts="ts",
+                    right_ts="rts", left_cols=["tag"], right_cols=["val"],
+                    num_shards=5).to_pandas()
+    want = pd.merge_asof(
+        lt.to_pandas().assign(ts=lambda d: d["ts"].astype("datetime64[us]"))
+        .sort_values("ts", kind="stable"),
+        rdf.rename(columns={"rts": "ts"})
+        .assign(ts=lambda d: d["ts"].astype("datetime64[us]"))
+        .sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward")
+    key = ["k", "ts", "tag"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = want.sort_values(key).reset_index(drop=True)[a.columns.tolist()]
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-12)
+
+
+def test_stratified_sample_string_ids(ray_session):
+    import pyarrow.parquet as pq
+
+    from libfilter_ray.stages.sample import stratified_sample
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "lang"])
+    t = t.append_column("sid", pa.array([f"doc-{i}" for i in
+                                         np.asarray(t["doc_id"])]))
+    picks = []
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = stratified_sample(ds, "lang", "sid", 15).to_pandas()
+        assert (out.groupby("lang").size() <= 15).all()
+        picks.append(set(out["sid"]))
+    assert picks[0] == picks[1]
