@@ -1607,6 +1607,103 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Fact-x-fact distributed hash equi-join: orders x lineitem on
+    orderkey (15:1 row ratio, NEITHER side broadcast — the shape where the
+    §2.5 broadcast semi-join stops applying), then revenue per order
+    priority. Both sides shuffle only their 2-3 projected columns; the join
+    itself is per-shard Acero (stages/joins.py:hash_equi_join)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_equi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = hash_equi_join(
+        orders, li, left_on="o_orderkey", right_on="l_orderkey",
+        left_cols=["o_orderpriority"],
+        right_cols=["l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "revenue": rev})
+
+    out = joined.map_batches(revenue, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Count(alias_name="n_items")).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_ORDER_PRIORITY_REVENUE = """
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT                                      AS n_items
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+def q_ngram_jaccard_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Blocked exact n-gram Jaccard near-dup over documents — the
+    deterministic dedup entry whose candidate generation AND similarity
+    values oracle against ANSI SQL (the LSH entries are recall-probabilistic
+    so they can't). Blocks = identical first-32-char prefix; similarity =
+    exact distinct-5-gram Jaccard (stages/dedup.py:ngram_jaccard_pairs)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", k=5, prefix=32,
+                                threshold=0.5, min_len=32)
+    out = pd.DataFrame({
+        "id_a": pairs["id_a"].astype("int64"),
+        "id_b": pairs["id_b"].astype("int64"),
+        "jaccard": pairs["jaccard"].astype("float64").round(6),
+    })
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_NGRAM_JACCARD = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 32
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - 4)) AS i
+    FROM docs
+  )
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+blk AS (SELECT doc_id, substr(text, 1, 32) AS p FROM docs),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blk a JOIN blk b ON a.p = b.p AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS ninter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.g = sa.g
+  GROUP BY p.id_a, p.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.ninter AS DOUBLE) / (ca.n + cb.n - i.ninter), 6)
+         AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.id_a
+JOIN cnt cb ON cb.doc_id = i.id_b
+WHERE CAST(i.ninter AS DOUBLE) / (ca.n + cb.n - i.ninter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -1653,6 +1750,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "stratified_sample_counts": q_stratified_sample_counts,
     "multimodal_audio": q_multimodal_audio,
     "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
+    "order_priority_revenue": q_order_priority_revenue,
+    "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1686,4 +1785,6 @@ ORACLES: dict[str, str] = {
     "quality_filter_counts": SQL_QUALITY_FILTER,
     "stratified_sample_counts": SQL_STRATIFIED_SAMPLE,
     "partitioned_sink_roundtrip": SQL_SINK_ROUNDTRIP,
+    "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
+    "ngram_jaccard_near_dup": SQL_NGRAM_JACCARD,
 }

@@ -326,6 +326,58 @@ def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
+def ngram_jaccard_pairs(ds, column: str, id_column: str, *, k: int = 5,
+                        prefix: int = 32, threshold: float = 0.5,
+                        min_len: int = 32, max_bucket: int = 4096,
+                        batch_size: int = 4096) -> pd.DataFrame:
+    """Blocked exact n-gram Jaccard near-dup: block rows by their first
+    `prefix` characters, exact distinct-k-shingle Jaccard on every
+    within-block pair, keep jaccard >= threshold.
+
+    The deterministic (ANSI-SQL-oracleable) complement to
+    `minhash_near_dup_pairs`: candidate generation is a pure function of the
+    data (no hash permutations), so the full pipeline — blocking, pairing,
+    and the Jaccard values themselves — can be verified against a DuckDB
+    oracle. Same distributed shape as the LSH paths: narrow (bucket, id)
+    rows -> sharded pair scan -> broadcast gather of candidate texts only.
+
+    Rows shorter than `min_len` are excluded (shorter than a meaningful
+    block key). Shingles are byte k-grams; for ASCII corpora this matches
+    SQL `substr` character shingles exactly.
+    """
+    import pyarrow.compute as pc
+
+    def bucket_stage(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.utf8_length(t[column]),
+                                pa.scalar(min_len))
+        t2 = t.filter(keep)
+        pref = pc.utf8_slice_codeunits(t2[column], 0, prefix)
+        bucket = hash_arrow_array(pref).view(np.int64)
+        return pa.table({
+            "bucket": pa.array(bucket, type=pa.int64()),
+            id_column: t2[id_column],
+        })
+
+    buckets = ds.map_batches(bucket_stage, batch_format="pyarrow",
+                             batch_size=batch_size)
+    cand = _candidate_pairs(buckets, "bucket", id_column,
+                            max_bucket=max_bucket)
+    if not len(cand):
+        return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                             "id_b": np.array([], dtype=np.int64),
+                             "jaccard": np.array([], dtype=np.float64)})
+    need = np.unique(np.concatenate([cand["id_a"], cand["id_b"]]))
+    texts = _collect_texts(ds, column, id_column, need)
+    ta = pa.array([texts[int(i)] for i in cand["id_a"]],
+                  type=pa.large_string())
+    tb = pa.array([texts[int(i)] for i in cand["id_b"]],
+                  type=pa.large_string())
+    jac = jaccard_pairwise(ta, tb, k=k)
+    out = cand.assign(jaccard=jac)
+    return out[out["jaccard"] >= threshold] \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _broadcast_pick(ds, id_column: str, columns: list[str],
                     ids: np.ndarray) -> pd.DataFrame:
     """Rows (id + `columns`) for the given (few) ids: broadcast the sorted

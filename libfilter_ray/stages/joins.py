@@ -1,4 +1,4 @@
-"""Distributed ordered joins Ray Data lacks natively: as-of join.
+"""Distributed joins Ray Data lacks natively: hash equi-join, as-of join.
 
 Shape (the partitioning contract): both sides are co-partitioned by
 key-hash shard — a key never splits across shards — the tagged union of the
@@ -19,6 +19,70 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+
+def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
+                   left_cols: list[str], right_cols: list[str],
+                   num_shards: int = 64, how: str = "inner"):
+    """Distributed hash-partitioned equi-join of two LARGE datasets —
+    the fact-x-fact shape where neither side fits a broadcast (for a small
+    build side prefer the broadcast Bloom semi-join, SURVEY.md §2.5).
+
+    Shape: both sides project to key + named columns (shuffle volume is the
+    projection, never the full tables), co-partition by key-hash shard — a
+    key never splits across shards — and each shard joins locally with one
+    vectorized ``pyarrow.Table.join`` (Acero hash join, no per-row Python).
+    `num_shards` scales with the cluster; shards are independent tasks.
+    Skewed keys: salt the hot keys upstream or raise num_shards.
+
+    Output columns: [left_on] + left_cols + right_cols (names must be
+    disjoint; the right key is renamed to `left_on`). `how` is "inner" or
+    "left outer". With "left outer", unmatched right columns are null.
+    """
+    from ..sketch.hashing import shard_of_values
+
+    SIDE = "__ej_side"
+    KEY = left_on
+    out_cols = [KEY] + left_cols + right_cols
+
+    ls, rs = left_ds.schema(), right_ds.schema()
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+
+    def _tag(on, side, mine, theirs, their_types):
+        def f(t: pa.Table) -> pa.Table:
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {
+                KEY: t[on],
+                SIDE: pa.array(np.full(t.num_rows, side, dtype=np.int8)),
+            }
+            for c in mine:
+                cols[c] = t[c]
+            for c in theirs:  # placeholder nulls: union needs one schema
+                cols[c] = pa.nulls(t.num_rows, their_types[c])
+            tbl = pa.table({k: cols[k] for k in [KEY, SIDE] + left_cols
+                            + right_cols})
+            return tbl.append_column("shard", pa.array(
+                shard_of_values(t[on], num_shards, seed=0x0E9C),
+                type=pa.int64()))
+        return f
+
+    tagged = left_ds.map_batches(
+        _tag(left_on, 0, left_cols, right_cols, rtypes),
+        batch_format="pyarrow").union(right_ds.map_batches(
+            _tag(right_on, 1, right_cols, left_cols, ltypes),
+            batch_format="pyarrow"))
+
+    def join_shard(t: pa.Table) -> pa.Table:
+        side = t[SIDE].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).select([KEY] + left_cols) \
+            .combine_chunks()
+        rt = t.filter(pa.array(side == 1)).select([KEY] + right_cols) \
+            .combine_chunks()
+        joined = lt.join(rt, keys=KEY, join_type=how)
+        return joined.select(out_cols)
+
+    return tagged.groupby("shard").map_groups(join_shard,
+                                              batch_format="pyarrow")
 
 
 def asof_join(left_ds, right_ds, *, on: str, left_ts: str, right_ts: str,

@@ -109,6 +109,69 @@ def test_asof_join_string_keys(ray_session, rng):
     pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-12)
 
 
+def test_hash_equi_join_inner_matches_pandas(ray_session, rng):
+    from libfilter_ray.stages.joins import hash_equi_join
+
+    n, m = 700, 1100
+    lt = pa.table({
+        "lk": pa.array(rng.integers(0, 120, n), type=pa.int64()),
+        "lval": pa.array(rng.normal(0, 1, n), type=pa.float64()),
+        "tag": pa.array([f"t{i % 5}" for i in range(n)]),
+    })
+    rt = pa.table({
+        "rk": pa.array(rng.integers(60, 200, m), type=pa.int64()),
+        "rval": pa.array(rng.integers(0, 10**6, m), type=pa.int64()),
+    })
+    out = hash_equi_join(
+        ray.data.from_arrow(lt).repartition(4),
+        ray.data.from_arrow(rt).repartition(3),
+        left_on="lk", right_on="rk", left_cols=["lval", "tag"],
+        right_cols=["rval"], num_shards=7).to_pandas()
+    want = lt.to_pandas().merge(
+        rt.to_pandas().rename(columns={"rk": "lk"}), on="lk", how="inner")
+    key = ["lk", "lval", "tag", "rval"]
+    a = out.sort_values(key).reset_index(drop=True)[key]
+    b = want.sort_values(key).reset_index(drop=True)[key]
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hash_equi_join_left_outer_nulls(ray_session, rng):
+    from libfilter_ray.stages.joins import hash_equi_join
+
+    lt = pa.table({"k": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                   "a": pa.array([10, 20, 30, 40, 50], type=pa.int64())})
+    rt = pa.table({"rk": pa.array([2, 2, 4], type=pa.int64()),
+                   "b": pa.array([7, 8, 9], type=pa.int64())})
+    out = hash_equi_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                         left_on="k", right_on="rk", left_cols=["a"],
+                         right_cols=["b"], num_shards=3,
+                         how="left outer").to_pandas()
+    out = out.sort_values(["k", "b"]).reset_index(drop=True)
+    # unmatched left rows survive with null b; key 2 fans out to both rows
+    assert len(out) == 6
+    assert out.loc[out["k"].isin([1, 3, 5]), "b"].isna().all()
+    assert sorted(out.loc[out["k"] == 2, "b"].astype(int)) == [7, 8]
+
+
+def test_hash_equi_join_string_keys(ray_session, rng):
+    from libfilter_ray.stages.joins import hash_equi_join
+
+    lt = pa.table({"k": pa.array([f"u{i % 11}" for i in range(200)]),
+                   "a": pa.array(np.arange(200), type=pa.int64())})
+    rt = pa.table({"rk": pa.array([f"u{i % 7}" for i in range(90)]),
+                   "b": pa.array(np.arange(90), type=pa.int64())})
+    out = hash_equi_join(ray.data.from_arrow(lt).repartition(3),
+                         ray.data.from_arrow(rt),
+                         left_on="k", right_on="rk", left_cols=["a"],
+                         right_cols=["b"], num_shards=5).to_pandas()
+    want = lt.to_pandas().merge(
+        rt.to_pandas().rename(columns={"rk": "k"}), on="k", how="inner")
+    key = ["k", "a", "b"]
+    a = out.sort_values(key).reset_index(drop=True)[key]
+    b = want.sort_values(key).reset_index(drop=True)[key]
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_stratified_sample_string_ids(ray_session):
     import pyarrow.parquet as pq
 

@@ -176,6 +176,40 @@ def test_minhash_lsh_near_dup(dup_docs):
     assert len(deduped) <= 120
 
 
+def test_ngram_jaccard_pairs_match_bruteforce(dup_docs):
+    """Blocked exact-Jaccard pairs == a single-process brute force over the
+    same blocking rule (identical 32-char prefix, distinct 5-gram Jaccard)."""
+    from libfilter_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(dup_docs, "text", "doc_id", k=5, prefix=32,
+                              threshold=0.5, min_len=32)
+
+    df = dup_docs.to_pandas()
+    df = df[df["text"].str.len() >= 32]
+
+    def shingles(s):
+        return {s[i:i + 5] for i in range(len(s) - 4)}
+
+    want = []
+    for _, grp in df.groupby(df["text"].str[:32]):
+        rows = grp.sort_values("doc_id")
+        ids = rows["doc_id"].to_numpy()
+        txt = rows["text"].to_numpy()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                A, B = shingles(txt[i]), shingles(txt[j])
+                jac = len(A & B) / len(A | B)
+                if jac >= 0.5:
+                    want.append((ids[i], ids[j], jac))
+    want = pd.DataFrame(want, columns=["id_a", "id_b", "jaccard"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(out) == len(want) and len(want) > 0
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True).astype({"id_a": "int64", "id_b": "int64"}),
+        want.astype({"id_a": "int64", "id_b": "int64"}),
+        check_exact=False, rtol=1e-12)
+
+
 def test_simhash_near_dup(dup_docs):
     from libfilter_ray.stages.dedup import simhash_near_dup_pairs
 
