@@ -128,7 +128,7 @@ def q_bloom_semijoin(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders",
                    columns=["o_custkey", "o_orderstatus", "o_totalprice"])
     joined = orders.map_batches(SemiJoin, batch_format="pyarrow",
-                                concurrency=2)
+                                concurrency=(2, 16))
     out = joined.groupby("o_orderstatus").aggregate(
         Count(alias_name="n_orders"),
         Sum("o_totalprice", alias_name="sum_totalprice"),
@@ -485,7 +485,7 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     out = orders.map_batches(AttachNation, batch_format="pyarrow",
-                             concurrency=2) \
+                             concurrency=(2, 16)) \
         .groupby(["r_name", "n_name"]).aggregate(
             Count(alias_name="n_orders"),
             Sum("o_totalprice", alias_name="revenue")).to_pandas()
@@ -1137,7 +1137,7 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     feats = ds.map_batches(attach_fake_images, batch_format="pyarrow",
                            batch_size=256) \
         .map_batches(ImageFeatureStage, batch_format="pyarrow",
-                     batch_size=256, concurrency=2)
+                     batch_size=256, concurrency=(2, 16))
     out = feats.groupby("lang").aggregate(
         Count(alias_name="n_images"),
         Mean("image_bytes", alias_name="avg_bytes"),
@@ -1219,7 +1219,7 @@ def q_tbf_exact_membership(sf_dir: str) -> pd.DataFrame:
                 "found": pa.array([int(self.f.find_hashes(h).sum())],
                                   type=pa.int64())})
 
-    agg = ds.map_batches(Probe, batch_format="pyarrow", concurrency=2) \
+    agg = ds.map_batches(Probe, batch_format="pyarrow", concurrency=(2, 16)) \
         .aggregate(Sum("n", alias_name="n_docs"),
                    Sum("found", alias_name="members_found"))
     return pd.DataFrame([{
@@ -1550,7 +1550,7 @@ def q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
     feats = ds.map_batches(attach_fake_audio, batch_format="pyarrow",
                            batch_size=256) \
         .map_batches(AudioFeatureStage, batch_format="pyarrow",
-                     batch_size=256, concurrency=2)
+                     batch_size=256, concurrency=(2, 16))
     out = feats.groupby("lang").aggregate(
         Count(alias_name="n_clips"),
         Mean("duration_ms", alias_name="avg_ms"),

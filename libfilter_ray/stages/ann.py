@@ -69,7 +69,7 @@ def brute_topk(ds, queries: np.ndarray, *, column: str = "embedding",
             })
 
     cand = ds.map_batches(PartialTopK, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=2).to_pandas()
+                          batch_size=batch_size, concurrency=(2, 16)).to_pandas()
     # exact final merge over the small candidate set
     cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
                             ascending=[True, False, True])
@@ -144,7 +144,7 @@ def ivf_topk(ds, queries: np.ndarray, *, column: str = "embedding",
             })
 
     cand = ds.map_batches(IVFPartial, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=2).to_pandas()
+                          batch_size=batch_size, concurrency=(2, 16)).to_pandas()
     cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
                             ascending=[True, False, True])
     out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)

@@ -139,7 +139,7 @@ def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64):
         return pd.DataFrame({
             "survivor_id": keep[id_column].to_numpy().astype(np.int64)})
 
-    surv = ds.map_batches(PickMulti, batch_format="pyarrow", concurrency=2) \
+    surv = ds.map_batches(PickMulti, batch_format="pyarrow", concurrency=(2, 16)) \
         .groupby("shard").map_groups(confirm, batch_format="pandas") \
         .to_pandas()
     surv_ids = np.sort(surv["survivor_id"].to_numpy().astype(np.int64))
@@ -166,7 +166,7 @@ def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64):
                     ~in_multi | np.isin(ids, self.surv)
             return t.filter(pa.array(keep))
 
-    return ds.map_batches(KeepFilter, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(KeepFilter, batch_format="pyarrow", concurrency=(2, 16))
 
 
 # ---------------------------------------------------------------------------
@@ -399,7 +399,7 @@ def _broadcast_pick(ds, id_column: str, columns: list[str],
                 .filter(pa.array(np.isin(rid, self.ids)))
 
     return ds.map_batches(Pick, batch_format="pyarrow",
-                          concurrency=2).to_pandas()
+                          concurrency=(2, 16)).to_pandas()
 
 
 def _collect_texts(ds, column: str, id_column: str,
@@ -468,7 +468,7 @@ def near_dup_dedup(ds, pairs: pd.DataFrame, id_column: str):
                 .astype(np.int64)
             return t.filter(pa.array(~np.isin(rid, self.drop)))
 
-    return ds.map_batches(DropFilter, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(DropFilter, batch_format="pyarrow", concurrency=(2, 16))
 
 
 # ---------------------------------------------------------------------------

@@ -196,4 +196,4 @@ def broadcast_range_join(ds, value_column: str, intervals, *,
                     band_column, pa.array([], type=pa.int64()))
             return pa.concat_tables(parts)
 
-    return ds.map_batches(RangeMatch, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(RangeMatch, batch_format="pyarrow", concurrency=(2, 16))
