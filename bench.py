@@ -61,6 +61,11 @@ def _warm_workers() -> None:
         bld = _GroupedPartialBuilder("block", {"bytes_": 2 << 20}, "url",
                                      "lang", DEFAULT_SEED, 8)
         bld(pages.select(["url", "lang"]))
+        # warm the LSH dedup path too (shingle cumprod + per-perm splitmix
+        # passes were the worst cold-page offenders: 5-10x first-run cost)
+        from libfilter_ray.functions.shingles import (lsh_band_keys,
+                                                      minhash_signatures)
+        lsh_band_keys(minhash_signatures(t["text"], k=5, num_perm=128))
         return {"x": _np.asarray(b["id"])}
 
     ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(

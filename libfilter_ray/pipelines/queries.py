@@ -111,24 +111,22 @@ def q_bloom_semijoin(sf_dir: str) -> pd.DataFrame:
     bloom_ref = ray.put(f.to_bytes())
     exact_ref = ray.put(np.sort(keys.astype(np.int64)))
 
-    class SemiJoin:
-        def __init__(self):
-            self.bloom = BlockBloom.from_bytes(ray.get(bloom_ref))
-            self.exact = ray.get(exact_ref)
+    from ..stages.dedup import _cached_filter
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            h = hash_arrow_array(t["o_custkey"])
-            maybe = self.bloom.find_hashes(h)
-            t = t.filter(pa.array(maybe))
-            if t.num_rows:
-                ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-                t = t.filter(pa.array(np.isin(ck, self.exact)))
-            return t
+    def semi_join(t: pa.Table) -> pa.Table:
+        bloom = _cached_filter(bloom_ref, BlockBloom.from_bytes)
+        exact = ray.get(exact_ref)
+        h = hash_arrow_array(t["o_custkey"])
+        maybe = bloom.find_hashes(h)
+        t = t.filter(pa.array(maybe))
+        if t.num_rows:
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.filter(pa.array(np.isin(ck, exact)))
+        return t
 
     orders = _read(sf_dir, "orders",
                    columns=["o_custkey", "o_orderstatus", "o_totalprice"])
-    joined = orders.map_batches(SemiJoin, batch_format="pyarrow",
-                                concurrency=(2, 16))
+    joined = orders.map_batches(semi_join, batch_format="pyarrow")
     out = joined.groupby("o_orderstatus").aggregate(
         Count(alias_name="n_orders"),
         Sum("o_totalprice", alias_name="sum_totalprice"),
@@ -469,23 +467,19 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         dim.sort_values("c_custkey")["n_name"].to_numpy(),
         dim.sort_values("c_custkey")["r_name"].to_numpy()))
 
-    class AttachNation:
-        def __init__(self):
-            self.keys, self.n_name, self.r_name = ray.get(lookup_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            idx = np.searchsorted(self.keys, ck)
-            ok = (idx < len(self.keys)) & (self.keys[np.minimum(
-                idx, len(self.keys) - 1)] == ck)
-            t = t.filter(pa.array(ok))
-            idx = idx[ok]
-            return t.append_column("n_name", pa.array(self.n_name[idx])) \
-                .append_column("r_name", pa.array(self.r_name[idx]))
+    def attach_nation(t: pa.Table) -> pa.Table:
+        keys, n_name, r_name = ray.get(lookup_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, ck)
+        ok = (idx < len(keys)) & (keys[np.minimum(
+            idx, len(keys) - 1)] == ck)
+        t = t.filter(pa.array(ok))
+        idx = idx[ok]
+        return t.append_column("n_name", pa.array(n_name[idx])) \
+            .append_column("r_name", pa.array(r_name[idx]))
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    out = orders.map_batches(AttachNation, batch_format="pyarrow",
-                             concurrency=(2, 16)) \
+    out = orders.map_batches(attach_nation, batch_format="pyarrow") \
         .groupby(["r_name", "n_name"]).aggregate(
             Count(alias_name="n_orders"),
             Sum("o_totalprice", alias_name="revenue")).to_pandas()
@@ -1208,18 +1202,17 @@ def q_tbf_exact_membership(sf_dir: str) -> pd.DataFrame:
     payload = tbf.to_bytes()
     ref = ray.put(payload)
 
-    class Probe:
-        def __init__(self):
-            self.f = TaffyBlock.from_bytes(ray.get(ref))
+    from ..stages.dedup import _cached_filter
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            h = _hash(t["text"])
-            return pa.table({
-                "n": pa.array([t.num_rows], type=pa.int64()),
-                "found": pa.array([int(self.f.find_hashes(h).sum())],
-                                  type=pa.int64())})
+    def probe(t: pa.Table) -> pa.Table:
+        f = _cached_filter(ref, TaffyBlock.from_bytes)
+        h = _hash(t["text"])
+        return pa.table({
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "found": pa.array([int(f.find_hashes(h).sum())],
+                              type=pa.int64())})
 
-    agg = ds.map_batches(Probe, batch_format="pyarrow", concurrency=(2, 16)) \
+    agg = ds.map_batches(probe, batch_format="pyarrow") \
         .aggregate(Sum("n", alias_name="n_docs"),
                    Sum("found", alias_name="members_found"))
     return pd.DataFrame([{

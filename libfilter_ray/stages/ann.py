@@ -42,34 +42,31 @@ def brute_topk(ds, queries: np.ndarray, *, column: str = "embedding",
     Q = _normalize(np.asarray(queries, dtype=dtype))
     qref = ray.put(Q)
 
-    class PartialTopK:
-        def __init__(self):
-            self.Q = ray.get(qref)  # once per actor, not per batch
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # np.argpartition rejects empty axes
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        Qm = ray.get(qref)  # zero-copy plasma read per task
+        X = _normalize(_matrix(t, column, Qm.dtype))
+        ids = np.asarray(t[id_column].combine_chunks()
+                         if isinstance(t[id_column], pa.ChunkedArray)
+                         else t[id_column]).astype(np.int64)
+        sim = X @ Qm.T  # (batch, q)
+        kk = min(k, len(ids))
+        # local top-k per query via argpartition (O(batch) per query)
+        part = np.argpartition(-sim, kk - 1, axis=0)[:kk]  # (k, q)
+        nq = Qm.shape[0]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        rows = part.T.ravel()
+        return pa.table({
+            "query_id": pa.array(qid),
+            "neighbor_id": pa.array(ids[rows]),
+            "cosine": pa.array(sim[rows, qid].astype(np.float64)),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:  # np.argpartition rejects empty axes
-                return pa.table({"query_id": pa.array([], type=pa.int64()),
-                                 "neighbor_id": pa.array([], type=pa.int64()),
-                                 "cosine": pa.array([], type=pa.float64())})
-            X = _normalize(_matrix(t, column, self.Q.dtype))
-            ids = np.asarray(t[id_column].combine_chunks()
-                             if isinstance(t[id_column], pa.ChunkedArray)
-                             else t[id_column]).astype(np.int64)
-            sim = X @ self.Q.T  # (batch, q)
-            kk = min(k, len(ids))
-            # local top-k per query via argpartition (O(batch) per query)
-            part = np.argpartition(-sim, kk - 1, axis=0)[:kk]  # (k, q)
-            nq = self.Q.shape[0]
-            qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
-            rows = part.T.ravel()
-            return pa.table({
-                "query_id": pa.array(qid),
-                "neighbor_id": pa.array(ids[rows]),
-                "cosine": pa.array(sim[rows, qid].astype(np.float64)),
-            })
-
-    cand = ds.map_batches(PartialTopK, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=(2, 16)).to_pandas()
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow",
+                          batch_size=batch_size).to_pandas()
     # exact final merge over the small candidate set
     cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
                             ascending=[True, False, True])
@@ -113,38 +110,35 @@ def ivf_topk(ds, queries: np.ndarray, *, column: str = "embedding",
         allowed[qi, probe[qi]] = True
     qref = ray.put((Q, C, allowed))
 
-    class IVFPartial:
-        def __init__(self):
-            self.Q, self.C, self.allowed = ray.get(qref)
+    def ivf_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # np.argpartition rejects empty axes
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        Qm, Cm, allow = ray.get(qref)  # zero-copy plasma read per task
+        X = _normalize(_matrix(t, column))
+        ids = np.asarray(t[id_column].combine_chunks()
+                         if isinstance(t[id_column], pa.ChunkedArray)
+                         else t[id_column]).astype(np.int64)
+        assign = np.argmax(X @ Cm.T, axis=1)  # (batch,)
+        sim = X @ Qm.T  # (batch, q)
+        mask = allow[:, assign].T  # (batch, q)
+        sim = np.where(mask, sim, -np.inf)
+        kk = min(k, len(ids))
+        part = np.argpartition(-sim, kk - 1, axis=0)[:kk]
+        nq = Qm.shape[0]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        rows = part.T.ravel()
+        vals = sim[rows, qid]
+        keep = np.isfinite(vals)
+        return pa.table({
+            "query_id": pa.array(qid[keep]),
+            "neighbor_id": pa.array(ids[rows][keep]),
+            "cosine": pa.array(vals[keep].astype(np.float64)),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:  # np.argpartition rejects empty axes
-                return pa.table({"query_id": pa.array([], type=pa.int64()),
-                                 "neighbor_id": pa.array([], type=pa.int64()),
-                                 "cosine": pa.array([], type=pa.float64())})
-            X = _normalize(_matrix(t, column))
-            ids = np.asarray(t[id_column].combine_chunks()
-                             if isinstance(t[id_column], pa.ChunkedArray)
-                             else t[id_column]).astype(np.int64)
-            assign = np.argmax(X @ self.C.T, axis=1)  # (batch,)
-            sim = X @ self.Q.T  # (batch, q)
-            mask = self.allowed[:, assign].T  # (batch, q)
-            sim = np.where(mask, sim, -np.inf)
-            kk = min(k, len(ids))
-            part = np.argpartition(-sim, kk - 1, axis=0)[:kk]
-            nq = self.Q.shape[0]
-            qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
-            rows = part.T.ravel()
-            vals = sim[rows, qid]
-            keep = np.isfinite(vals)
-            return pa.table({
-                "query_id": pa.array(qid[keep]),
-                "neighbor_id": pa.array(ids[rows][keep]),
-                "cosine": pa.array(vals[keep].astype(np.float64)),
-            })
-
-    cand = ds.map_batches(IVFPartial, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=(2, 16)).to_pandas()
+    cand = ds.map_batches(ivf_partial, batch_format="pyarrow",
+                          batch_size=batch_size).to_pandas()
     cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
                             ascending=[True, False, True])
     out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)

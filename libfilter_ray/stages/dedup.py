@@ -45,6 +45,27 @@ def _str(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+# Broadcast state is shipped once via ray.put and read per task with
+# ray.get (zero-copy plasma for numpy). Filter objects deserialize from
+# bytes; this tiny per-process memo gives actor-style caching on the warm
+# long-lived TASK workers without paying actor-pool process startup (on
+# the bench microVM a cold actor process costs seconds of page faults).
+_FILTER_CACHE: dict[str, object] = {}
+
+
+def _cached_filter(ref, ctor):
+    import ray
+
+    key = ref.hex()
+    f = _FILTER_CACHE.get(key)
+    if f is None:
+        f = ctor(ray.get(ref))
+        if len(_FILTER_CACHE) >= 8:
+            _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
+        _FILTER_CACHE[key] = f
+    return f
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -107,29 +128,25 @@ def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64):
     bloom_ref = ray.put(bloom.to_bytes())
     multi_ref = ray.put(multi_hashes)
 
-    class PickMulti:
+    def pick_multi(t: pa.Table) -> pa.Table:
         """Select rows in duplicated hash groups (bloom prune -> exact
         confirm), tagged with a hash-shard for the confirm groupby."""
-
-        def __init__(self):
-            self.bloom = BlockBloom.from_bytes(ray.get(bloom_ref))
-            self.multi = ray.get(multi_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            h = hash_arrow_array(t[column]).view(np.int64)
-            maybe = self.bloom.find_hashes(h.view(np.uint64))
-            t2 = t.select([id_column, column]).filter(pa.array(maybe))
-            h2 = h[maybe]
-            idx = np.searchsorted(self.multi, h2)
-            hit = (idx < len(self.multi)) & (
-                self.multi[np.minimum(idx, len(self.multi) - 1)] == h2)
-            t2 = t2.filter(pa.array(hit))
-            h2 = h2[hit]
-            shard = (h2.view(np.uint64) % np.uint64(num_shards)) \
-                .astype(np.int64)
-            return t2.append_column(
-                "content_hash", pa.array(h2, type=pa.int64())) \
-                .append_column("shard", pa.array(shard, type=pa.int64()))
+        bloom = _cached_filter(bloom_ref, BlockBloom.from_bytes)
+        multi = ray.get(multi_ref)
+        h = hash_arrow_array(t[column]).view(np.int64)
+        maybe = bloom.find_hashes(h.view(np.uint64))
+        t2 = t.select([id_column, column]).filter(pa.array(maybe))
+        h2 = h[maybe]
+        idx = np.searchsorted(multi, h2)
+        hit = (idx < len(multi)) & (
+            multi[np.minimum(idx, len(multi) - 1)] == h2)
+        t2 = t2.filter(pa.array(hit))
+        h2 = h2[hit]
+        shard = (h2.view(np.uint64) % np.uint64(num_shards)) \
+            .astype(np.int64)
+        return t2.append_column(
+            "content_hash", pa.array(h2, type=pa.int64())) \
+            .append_column("shard", pa.array(shard, type=pa.int64()))
 
     def confirm(df: pd.DataFrame) -> pd.DataFrame:
         # min id per (hash, exact payload): stable sort then first-row keep
@@ -139,34 +156,31 @@ def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64):
         return pd.DataFrame({
             "survivor_id": keep[id_column].to_numpy().astype(np.int64)})
 
-    surv = ds.map_batches(PickMulti, batch_format="pyarrow", concurrency=(2, 16)) \
+    surv = ds.map_batches(pick_multi, batch_format="pyarrow") \
         .groupby("shard").map_groups(confirm, batch_format="pandas") \
         .to_pandas()
     surv_ids = np.sort(surv["survivor_id"].to_numpy().astype(np.int64))
     surv_ref = ray.put(surv_ids)
 
-    class KeepFilter:
-        def __init__(self):
-            self.bloom = BlockBloom.from_bytes(ray.get(bloom_ref))
-            self.multi = ray.get(multi_ref)
-            self.surv = ray.get(surv_ref)
+    def keep_filter(t: pa.Table) -> pa.Table:
+        bloom = _cached_filter(bloom_ref, BlockBloom.from_bytes)
+        multi = ray.get(multi_ref)
+        surv = ray.get(surv_ref)
+        h = hash_arrow_array(t[column]).view(np.int64)
+        maybe = bloom.find_hashes(h.view(np.uint64))
+        keep = ~maybe  # bloom miss -> singleton group -> survivor
+        if maybe.any():
+            hm = h[maybe]
+            idx = np.searchsorted(multi, hm)
+            in_multi = (idx < len(multi)) & (
+                multi[np.minimum(idx, len(multi) - 1)] == hm)
+            ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)[maybe]
+            keep[np.flatnonzero(maybe)] = \
+                ~in_multi | np.isin(ids, surv)
+        return t.filter(pa.array(keep))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            h = hash_arrow_array(t[column]).view(np.int64)
-            maybe = self.bloom.find_hashes(h.view(np.uint64))
-            keep = ~maybe  # bloom miss -> singleton group -> survivor
-            if maybe.any():
-                hm = h[maybe]
-                idx = np.searchsorted(self.multi, hm)
-                in_multi = (idx < len(self.multi)) & (
-                    self.multi[np.minimum(idx, len(self.multi) - 1)] == hm)
-                ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
-                    .astype(np.int64)[maybe]
-                keep[np.flatnonzero(maybe)] = \
-                    ~in_multi | np.isin(ids, self.surv)
-            return t.filter(pa.array(keep))
-
-    return ds.map_batches(KeepFilter, batch_format="pyarrow", concurrency=(2, 16))
+    return ds.map_batches(keep_filter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -288,11 +302,15 @@ def _candidate_pairs(buckets, key: str, id_column: str, *,
 def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
                            num_perm: int = 128, bands: int = 16,
                            threshold: float = 0.7,
-                           batch_size: int = 4096) -> pd.DataFrame:
+                           batch_size: int = 512) -> pd.DataFrame:
     """Confirmed near-duplicate pairs (exact Jaccard >= threshold) found via
     MinHash+LSH banding. Returns (id_a, id_b, jaccard) pandas.
 
     Stage 1 (map_batches): per-row signatures -> (band_key, id) rows.
+    batch_size defaults small (512): the num_perm-pass signature kernel is
+    the pipeline's dominant compute, and oversized batches collapse its
+    task-parallelism on small corpora (one 512-doc batch still hashes
+    ~10^5 shingles per permutation pass, so vectorization stays amortized).
     Stage 2 (groupby band_key): candidate pairs from multi-member buckets.
     Stage 3 (verify): exact k-shingle Jaccard on candidate texts only —
     texts fetched via a broadcast dict of the candidate ids (tiny set).
@@ -388,18 +406,14 @@ def _broadcast_pick(ds, id_column: str, columns: list[str],
 
     ref = ray.put(np.sort(ids.astype(np.int64)))
 
-    class Pick:
-        def __init__(self):
-            self.ids = ray.get(ref)
+    def pick(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)  # zero-copy plasma read per task
+        rid = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.select([id_column] + columns) \
+            .filter(pa.array(np.isin(rid, want)))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            rid = _str(t[id_column]).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            return t.select([id_column] + columns) \
-                .filter(pa.array(np.isin(rid, self.ids)))
-
-    return ds.map_batches(Pick, batch_format="pyarrow",
-                          concurrency=(2, 16)).to_pandas()
+    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
 
 
 def _collect_texts(ds, column: str, id_column: str,
@@ -410,7 +424,7 @@ def _collect_texts(ds, column: str, id_column: str,
 
 def simhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
                            max_hamming: int = 3,
-                           batch_size: int = 4096) -> pd.DataFrame:
+                           batch_size: int = 512) -> pd.DataFrame:
     """Confirmed near-dup pairs by SimHash: 4x16-bit band buckets guarantee
     recall for Hamming distance <= 3 (pigeonhole over 4 bands); verification
     is exact Hamming on the candidate pairs. Returns (id_a, id_b, hamming)."""
@@ -459,16 +473,13 @@ def near_dup_dedup(ds, pairs: pd.DataFrame, id_column: str):
                             dtype=np.int64))
     ref = ray.put(drop)
 
-    class DropFilter:
-        def __init__(self):
-            self.drop = ray.get(ref)
+    def drop_filter(t: pa.Table) -> pa.Table:
+        todrop = ray.get(ref)
+        rid = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.filter(pa.array(~np.isin(rid, todrop)))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            rid = _str(t[id_column]).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            return t.filter(pa.array(~np.isin(rid, self.drop)))
-
-    return ds.map_batches(DropFilter, batch_format="pyarrow", concurrency=(2, 16))
+    return ds.map_batches(drop_filter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -174,26 +174,23 @@ def broadcast_range_join(ds, value_column: str, intervals, *,
     ref = ray.put(iv)
     cols = keep_columns or []
 
-    class RangeMatch:
-        def __init__(self):
-            self.iv = ray.get(ref)
+    def range_match(t: pa.Table) -> pa.Table:
+        iv_local = ray.get(ref)
+        v = t[value_column].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        parts = []
+        for band, lo, hi in iv_local:
+            mask = (v >= lo) & (v < hi)
+            if not mask.any():
+                continue
+            sub = t.filter(pa.array(mask)).select([value_column] + cols)
+            parts.append(sub.append_column(
+                band_column,
+                pa.array(np.full(sub.num_rows, band, dtype=np.int64))))
+        if not parts:
+            empty = t.slice(0, 0).select([value_column] + cols)
+            return empty.append_column(
+                band_column, pa.array([], type=pa.int64()))
+        return pa.concat_tables(parts)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            v = t[value_column].to_numpy(zero_copy_only=False) \
-                .astype(np.float64)
-            parts = []
-            for band, lo, hi in self.iv:
-                mask = (v >= lo) & (v < hi)
-                if not mask.any():
-                    continue
-                sub = t.filter(pa.array(mask)).select([value_column] + cols)
-                parts.append(sub.append_column(
-                    band_column,
-                    pa.array(np.full(sub.num_rows, band, dtype=np.int64))))
-            if not parts:
-                empty = t.slice(0, 0).select([value_column] + cols)
-                return empty.append_column(
-                    band_column, pa.array([], type=pa.int64()))
-            return pa.concat_tables(parts)
-
-    return ds.map_batches(RangeMatch, batch_format="pyarrow", concurrency=(2, 16))
+    return ds.map_batches(range_match, batch_format="pyarrow")
