@@ -136,6 +136,10 @@ def run_bench() -> dict:
     timed("domain_doc_counts", q.q_domain_doc_counts)
     # LSH dedup headline (distributed banding + sharded pair scan + verify)
     timed("minhash_near_dup", q.q_minhash_near_dup)
+    # fact-x-fact hash-partitioned equi-join (orders x lineitem)
+    timed("order_priority_revenue", q.q_order_priority_revenue)
+    # blocked exact n-gram Jaccard near-dup (SQL-oracled dedup entry)
+    timed("ngram_jaccard_near_dup", q.q_ngram_jaccard_near_dup)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)
