@@ -94,14 +94,83 @@ def train_centroids(ds, *, column: str = "embedding", num_centroids: int = 16,
     return C
 
 
+def train_centroids_distributed(ds, *, column: str = "embedding",
+                                num_centroids: int = 16, iters: int = 5,
+                                seed: int = 11, init_sample: int = 4096,
+                                batch_size: int = 4096) -> np.ndarray:
+    """Distributed Lloyd k-means over the FULL corpus (the scale path when
+    a bounded sample under-represents the distribution).
+
+    Per iteration: broadcast centroids (ray.put once), one streaming
+    map_batches pass emits k partial rows per batch — (centroid, count,
+    per-dim float64 sums) — and a distributed groupby(c).Sum reduces them
+    (Ray pre-aggregates per block, so the shuffle is k x (dim+2) doubles
+    per block, never the corpus). The driver only ever sees the k x dim
+    reduced table. Init = seeded draw from a `limit` sample (as
+    `train_centroids`), so fixed seed + data => deterministic init; final
+    centroids can differ in float ulps across partitionings (summation
+    order), which IVF recall tolerates by construction.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    C = train_centroids(ds, column=column, num_centroids=num_centroids,
+                        sample_rows=init_sample, iters=0, seed=seed)
+    k, dim = C.shape
+    sum_cols = [f"s{i}" for i in range(dim)]
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(t: pa.Table) -> pa.Table:
+            Cm = ray.get(cref)
+            cols = {"c": pa.array(np.arange(k, dtype=np.int64))}
+            if t.num_rows == 0:
+                cols["n"] = pa.array(np.zeros(k, dtype=np.int64))
+                for i, sc in enumerate(sum_cols):
+                    cols[sc] = pa.array(np.zeros(k, dtype=np.float64))
+                return pa.table(cols)
+            X = _normalize(_matrix(t, column))
+            assign = np.argmax(X @ Cm.T, axis=1)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, assign, X.astype(np.float64))
+            cols["n"] = pa.array(np.bincount(assign, minlength=k)
+                                 .astype(np.int64))
+            for i, sc in enumerate(sum_cols):
+                cols[sc] = pa.array(sums[:, i])
+            return pa.table(cols)
+
+        red = ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=batch_size) \
+            .groupby("c").aggregate(
+                Sum("n", alias_name="n"),
+                *[Sum(sc, alias_name=sc) for sc in sum_cols]).to_pandas() \
+            .sort_values("c")
+        counts = red["n"].to_numpy().astype(np.int64)
+        sums = red[sum_cols].to_numpy()
+        newC = C.astype(np.float64).copy()
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        C = _normalize(newC).astype(np.float32)
+    return C
+
+
 def ivf_topk(ds, queries: np.ndarray, *, column: str = "embedding",
              id_column: str = "vec_id", k: int = 10, num_centroids: int = 16,
-             nprobe: int = 4, batch_size: int = 4096) -> pd.DataFrame:
+             nprobe: int = 4, batch_size: int = 4096,
+             train: str = "sample") -> pd.DataFrame:
     """IVF approximate top-k: score only rows whose nearest centroid is in
-    the query's `nprobe` closest lists. Same output schema as brute_topk."""
+    the query's `nprobe` closest lists. Same output schema as brute_topk.
+    train="sample" (default) trains centroids driver-side on a bounded
+    sample; train="distributed" runs full-corpus Lloyd iterations
+    (train_centroids_distributed) — the 100 TB path."""
     import ray
 
-    C = train_centroids(ds, column=column, num_centroids=num_centroids)
+    if train == "distributed":
+        C = train_centroids_distributed(ds, column=column,
+                                        num_centroids=num_centroids)
+    else:
+        C = train_centroids(ds, column=column, num_centroids=num_centroids)
     Q = _normalize(np.asarray(queries, dtype=np.float32))
     # per-query probe set (nprobe nearest centroids)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)

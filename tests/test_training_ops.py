@@ -332,6 +332,51 @@ def test_ivf_recall_vs_brute(ray_session):
     assert np.mean(recalls) >= 0.7, recalls
 
 
+def test_distributed_kmeans_matches_local_lloyd(ray_session):
+    """Full-corpus distributed Lloyd == a single-process Lloyd over the
+    same data from the same init (up to float ulps in the summation order:
+    assignments must agree; centroids to ~1e-4)."""
+    import pyarrow.parquet as pq
+
+    from libfilter_ray.stages.ann import (_normalize,
+                                          train_centroids,
+                                          train_centroids_distributed)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    X = _normalize(np.stack([np.asarray(v) for v in
+                             t["embedding"].to_pylist()]).astype(np.float32))
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet").repartition(5)
+
+    C = train_centroids_distributed(ds, num_centroids=8, iters=4, seed=3)
+
+    # local reference: same init (sample path with iters=0 = the init draw),
+    # then full-data Lloyd in float64
+    C0 = train_centroids(ds, num_centroids=8, sample_rows=4096, iters=0,
+                         seed=3)
+    ref = C0.astype(np.float64)
+    for _ in range(4):
+        assign = np.argmax(X @ ref.T.astype(np.float32), axis=1)
+        for c in range(len(ref)):
+            m = X[assign == c]
+            if len(m):
+                ref[c] = m.astype(np.float64).mean(axis=0)
+        ref = ref / np.maximum(np.linalg.norm(ref, axis=1, keepdims=True),
+                               1e-12)
+    assert np.allclose(C, ref.astype(np.float32), atol=1e-4)
+    # and the distributed path plugs into IVF
+    from libfilter_ray.stages.ann import brute_topk, ivf_topk
+    Q = X[:5]
+    exact = brute_topk(ds, Q, k=10)
+    approx = ivf_topk(ds, Q, k=10, num_centroids=8, nprobe=4,
+                      train="distributed")
+    recalls = []
+    for qi in range(5):
+        e = set(exact.loc[exact["query_id"] == qi, "neighbor_id"])
+        a = set(approx.loc[approx["query_id"] == qi, "neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
