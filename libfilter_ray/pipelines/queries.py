@@ -452,8 +452,9 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     note: nation/region stay KBs forever, but CUSTOMER grows with the fact
     table — the broadcast is O(customers x ~20 B) (sorted key + two name
     arrays), fine to ~10^8 customers / node-heap; beyond that switch the
-    customer leg to a bloom-guarded hash-shuffle semi-join (the engine's
-    exact_dedup filter shape, stages/dedup.py)."""
+    customer leg to stages/joins.py:hash_equi_join with
+    bloom_prune_right=True (the bloom-guarded co-partitioned shuffle join;
+    see q_order_priority_revenue for the fact-x-fact shape)."""
     import pyarrow.compute as pc
 
     nation = _read(sf_dir, "nation").to_pandas()

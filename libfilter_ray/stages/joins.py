@@ -23,7 +23,9 @@ import pyarrow as pa
 
 def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
                    left_cols: list[str], right_cols: list[str],
-                   num_shards: int = 64, how: str = "inner"):
+                   num_shards: int = 64, how: str = "inner",
+                   bloom_prune_right: bool = False,
+                   prune_fpp: float = 0.01):
     """Distributed hash-partitioned equi-join of two LARGE datasets —
     the fact-x-fact shape where neither side fits a broadcast (for a small
     build side prefer the broadcast Bloom semi-join, SURVEY.md §2.5).
@@ -38,6 +40,15 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     Output columns: [left_on] + left_cols + right_cols (names must be
     disjoint; the right key is renamed to `left_on`). `how` is "inner" or
     "left outer". With "left outer", unmatched right columns are null.
+
+    `bloom_prune_right=True` builds a distributed BlockBloom of the LEFT
+    keys (mergeable-partial tree, `sketch_build.build_sketch`) and filters
+    the right side per batch BEFORE its shuffle — the classic semi-join
+    reduction, powered by the engine's own §2.1 sketch. Safe for both join
+    types (a pruned right row could never match; bloom false positives
+    just ride the shuffle and drop in the per-shard join). Worth it when
+    the right side is much larger than its matching fraction; the left
+    side pays one extra counting/build pass.
     """
     from ..sketch.hashing import shard_of_values
 
@@ -48,6 +59,29 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     ls, rs = left_ds.schema(), right_ds.schema()
     ltypes = dict(zip(ls.names, ls.types))
     rtypes = dict(zip(rs.names, rs.types))
+
+    if bloom_prune_right:
+        import ray
+
+        from ..sketch import sizing
+        from ..sketch.block_bloom import BlockBloom
+        from ..sketch.hashing import hash_arrow_array
+        from .dedup import _cached_filter
+        from .sketch_build import build_sketch
+
+        n_left = left_ds.count()
+        bloom = build_sketch(
+            left_ds.select_columns([left_on]), left_on, "block",
+            {"bytes_": sizing.block_bytes_needed(max(n_left, 1),
+                                                 prune_fpp)})
+        bref = ray.put(bloom.to_bytes())
+
+        def prune(t: pa.Table) -> pa.Table:
+            f = _cached_filter(bref, BlockBloom.from_bytes)
+            return t.filter(pa.array(
+                f.find_hashes(hash_arrow_array(t[right_on]))))
+
+        right_ds = right_ds.map_batches(prune, batch_format="pyarrow")
 
     def _tag(on, side, mine, theirs, their_types):
         def f(t: pa.Table) -> pa.Table:

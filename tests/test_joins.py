@@ -153,6 +153,34 @@ def test_hash_equi_join_left_outer_nulls(ray_session, rng):
     assert sorted(out.loc[out["k"] == 2, "b"].astype(int)) == [7, 8]
 
 
+def test_hash_equi_join_bloom_pruned_equals_plain(ray_session, rng):
+    """Semi-join bloom reduction: identical result, right side pre-filtered
+    before the shuffle (left keys cover ~1/4 of right keys)."""
+    from libfilter_ray.stages.joins import hash_equi_join
+
+    lt = pa.table({
+        "lk": pa.array(rng.integers(0, 50, 300), type=pa.int64()),
+        "a": pa.array(np.arange(300), type=pa.int64()),
+    })
+    rt = pa.table({
+        "rk": pa.array(rng.integers(0, 200, 2000), type=pa.int64()),
+        "b": pa.array(np.arange(2000), type=pa.int64()),
+    })
+    kw = dict(left_on="lk", right_on="rk", left_cols=["a"],
+              right_cols=["b"], num_shards=6)
+    plain = hash_equi_join(ray.data.from_arrow(lt).repartition(3),
+                           ray.data.from_arrow(rt).repartition(4),
+                           **kw).to_pandas()
+    pruned = hash_equi_join(ray.data.from_arrow(lt).repartition(3),
+                            ray.data.from_arrow(rt).repartition(4),
+                            bloom_prune_right=True, **kw).to_pandas()
+    key = ["lk", "a", "b"]
+    a = plain.sort_values(key).reset_index(drop=True)[key]
+    b = pruned.sort_values(key).reset_index(drop=True)[key]
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
 def test_hash_equi_join_string_keys(ray_session, rng):
     from libfilter_ray.stages.joins import hash_equi_join
 
