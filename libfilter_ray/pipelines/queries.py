@@ -146,6 +146,59 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_bloom_antijoin(sf_dir: str) -> pd.DataFrame:
+    """Broadcast Bloom ANTI-join (complement of §2.5): keep orders whose
+    custkey is NOT in the BUILDING segment. Bloom misses are definite
+    non-members (kept with zero further work — the common case at scale);
+    bloom hits get the exact broadcast-set confirm, so false positives
+    don't drop rows. Result is exact."""
+    from ..sketch import sizing
+    from ..sketch.block_bloom import BlockBloom
+    from ..sketch.hashing import hash_arrow_array
+    from ..stages.dedup import _cached_filter
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(expr="c_mktsegment == 'BUILDING'") \
+        .select_columns(["c_custkey"]).to_pandas()["c_custkey"].to_numpy()
+    f = BlockBloom(sizing.block_bytes_needed(max(len(keys), 1), 0.001))
+    f.add_hashes(hash_arrow_array(pa.array(keys, type=pa.int64())))
+    bloom_ref = ray.put(f.to_bytes())
+    exact_ref = ray.put(np.sort(keys.astype(np.int64)))
+
+    def anti_join(t: pa.Table) -> pa.Table:
+        bloom = _cached_filter(bloom_ref, BlockBloom.from_bytes)
+        h = hash_arrow_array(t["o_custkey"])
+        maybe = bloom.find_hashes(h)
+        keep = ~maybe
+        if maybe.any():  # exact confirm only on the bloom-hit minority
+            exact = ray.get(exact_ref)
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)[maybe]
+            keep[np.flatnonzero(maybe)] = ~np.isin(ck, exact)
+        return t.filter(pa.array(keep))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+    out = orders.map_batches(anti_join, batch_format="pyarrow") \
+        .groupby("o_orderstatus").aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_totalprice")).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_totalprice"] = out["sum_totalprice"].round(2)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+SQL_BLOOM_ANTIJOIN = """
+SELECT o_orderstatus,
+       count(*)::BIGINT               AS n_orders,
+       round(sum(o_totalprice), 2)    AS sum_totalprice
+FROM orders
+WHERE o_custkey NOT IN
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_extract_roundtrip(sf_dir: str) -> pd.DataFrame:
     """Synthesize web pages, extract text from html, assert byte-identity
     per row (raises on any mismatch), return per-lang page counts.
@@ -1746,6 +1799,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
     "order_priority_revenue": q_order_priority_revenue,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
+    "bloom_antijoin": q_bloom_antijoin,
 }
 
 ORACLES: dict[str, str] = {
@@ -1781,4 +1835,5 @@ ORACLES: dict[str, str] = {
     "partitioned_sink_roundtrip": SQL_SINK_ROUNDTRIP,
     "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
     "ngram_jaccard_near_dup": SQL_NGRAM_JACCARD,
+    "bloom_antijoin": SQL_BLOOM_ANTIJOIN,
 }
