@@ -1559,6 +1559,103 @@ FROM s GROUP BY lang ORDER BY lang
 """
 
 
+def q_training_prep_pipeline(sf_dir: str) -> pd.DataFrame:
+    """End-to-end training-data prep, fully composed AND fully oracled:
+    quality filter (C4-style composite score >= 0.5) -> exact dedup
+    (min-id survivor per distinct text, collision-proof,
+    stages/dedup.py:exact_dedup over the quality-kept Dataset) -> per-lang
+    doc / token / char totals of the surviving corpus. Every stage
+    streams; the only driver state is exact_dedup's O(dup-groups) filter.
+
+    The raw table has no exact duplicates, so every doc is re-planted as
+    an exact clone at doc_id+100000 (mirrored in the SQL oracle) — the
+    dedup stage must drop exactly the clones (min-id survivors)."""
+    from ..functions.textstats import quality_stats
+    from ..stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def plant_and_filter(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        clone = pa.table({"doc_id": pa.array(ids + 100000, type=pa.int64()),
+                          "lang": t["lang"], "text": t["text"]})
+        t = pa.concat_tables([t.select(["doc_id", "lang", "text"]), clone])
+        s = quality_stats(t["text"])
+        return t.filter(pa.array(s["quality_score"] >= 0.5))
+
+    kept = ds.map_batches(plant_and_filter, batch_format="pyarrow")
+    surv = exact_dedup(kept, "text", "doc_id")
+
+    def stats(t: pa.Table) -> pa.Table:
+        s = quality_stats(t["text"])
+        return pa.table({
+            "lang": t["lang"],
+            "n_tokens": pa.array(s["n_tokens"], type=pa.int64()),
+            "n_chars": pa.array(s["n_chars"].astype(np.int64)),
+        })
+
+    out = surv.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+            Sum("n_chars", alias_name="sum_chars")).to_pandas()
+    for c in ("n_docs", "sum_tokens", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_TRAINING_PREP = r"""
+WITH planted AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, lang, text FROM documents),
+c AS (
+  SELECT doc_id, lang, text,
+         len(text)::DOUBLE                                    AS n_chars,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_extract_all(text, '\S+')) END)::DOUBLE
+             AS n_tokens,
+         len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE    AS n_punct,
+         (len(regexp_extract_all(text,
+              '(?i)\b(the|and|of|to|is|in|that|for|with|was)\b'))
+        + len(regexp_extract_all(text,
+              '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|von|zu)\b'))
+        + len(regexp_extract_all(text,
+              '(?i)\b(el|la|los|las|es|y|en|que|de|un|una|por)\b'))
+        + len(regexp_extract_all(text,
+              '(?i)\b(le|la|les|est|et|en|que|de|un|une|pour|dans)\b')))::DOUBLE
+             AS n_stop,
+         (len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0)
+             AS has_cjk
+  FROM planted),
+s AS (
+  SELECT doc_id, lang, text, n_chars, n_tokens,
+         0.35 * least(greatest(n_tokens / 50.0, 0.0), 1.0)
+       + 0.30 * least(greatest(CASE WHEN has_cjk THEN 1.0
+                                    ELSE (n_stop / greatest(n_tokens, 1.0))
+                                         / 0.2 END, 0.0), 1.0)
+       + 0.20 * least(greatest(1.0 - (CASE WHEN n_chars > 0
+                                           THEN n_punct
+                                                / greatest(n_chars, 1.0)
+                                           ELSE 0.0 END) / 0.3, 0.0), 1.0)
+       + 0.15 * least(greatest(1.0 - abs((CASE WHEN n_tokens > 0
+                                               THEN n_chars
+                                                    / greatest(n_tokens, 1.0)
+                                               ELSE 0.0 END) - 5.5) / 10.0,
+                               0.0), 1.0) AS score
+  FROM c),
+kept AS (SELECT doc_id, lang, text, n_chars, n_tokens FROM s
+         WHERE score >= 0.5),
+surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+SELECT lang,
+       count(*)::BIGINT        AS n_docs,
+       sum(n_tokens)::BIGINT   AS sum_tokens,
+       sum(n_chars)::BIGINT    AS sum_chars
+FROM kept JOIN surv USING (doc_id)
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_stratified_sample_counts(sf_dir: str) -> pd.DataFrame:
     """Deterministic stratified sampling (stages/sample.py): 20 docs per
     lang by hash-rank — identical output under any partitioning (asserted
@@ -1800,6 +1897,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "order_priority_revenue": q_order_priority_revenue,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "bloom_antijoin": q_bloom_antijoin,
+    "training_prep_pipeline": q_training_prep_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -1836,4 +1934,5 @@ ORACLES: dict[str, str] = {
     "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
     "ngram_jaccard_near_dup": SQL_NGRAM_JACCARD,
     "bloom_antijoin": SQL_BLOOM_ANTIJOIN,
+    "training_prep_pipeline": SQL_TRAINING_PREP,
 }
