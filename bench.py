@@ -140,6 +140,8 @@ def run_bench() -> dict:
     timed("order_priority_revenue", q.q_order_priority_revenue)
     # blocked exact n-gram Jaccard near-dup (SQL-oracled dedup entry)
     timed("ngram_jaccard_near_dup", q.q_ngram_jaccard_near_dup)
+    # composed prep: quality filter -> exact dedup -> per-lang stats
+    timed("training_prep_pipeline", q.q_training_prep_pipeline)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)
