@@ -41,6 +41,13 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     disjoint; the right key is renamed to `left_on`). `how` is "inner" or
     "left outer". With "left outer", unmatched right columns are null.
 
+    vs Ray 2.49's experimental ``Dataset.join`` (hash-shuffle + aggregator
+    actors): measured on orders x lineitem at sf0.1/32 CPUs this
+    task-based shape is ~1.4x faster warm (3.9 s vs 5.2-6.9 s) and ~4x
+    faster cold (the native join's aggregator actor pool pays fresh
+    process startup per query); it also composes with the bloom prune
+    below. Revisit when Dataset.join stabilizes.
+
     `bloom_prune_right=True` builds a distributed BlockBloom of the LEFT
     keys (mergeable-partial tree, `sketch_build.build_sketch`) and filters
     the right side per batch BEFORE its shuffle — the classic semi-join
