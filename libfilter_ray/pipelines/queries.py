@@ -1656,6 +1656,67 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003;
+    functions/shingles.py:winnow_fingerprints) as a dedup-grouping signal:
+    clone every even-id doc (+100000, exact copy), fingerprint all docs in
+    map_batches, then per lang via an exact two-stage groupby:
+    n_docs, n_distinct_fp, n_dup_docs (docs sharing their fingerprint).
+
+    In-query invariant (fingerprinting is deterministic): every clone must
+    collide with its source, so sum(n_dup_docs) >= 2 x #clones. No SQL
+    oracle (engine-internal rolling hash); rows-only driver check."""
+    from ..functions.shingles import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def plant_fp(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        even = ids % 2 == 0
+        clone = t.filter(pa.array(even))
+        cids = np.asarray(clone["doc_id"], dtype=np.int64) + 100000
+        clone = clone.set_column(clone.schema.get_field_index("doc_id"),
+                                 "doc_id", pa.array(cids, type=pa.int64()))
+        full = pa.concat_tables([t.select(["doc_id", "lang", "text"]),
+                                 clone.select(["doc_id", "lang", "text"])])
+        fp = winnow_fingerprints(full["text"])
+        return pa.table({
+            "lang": full["lang"],
+            "fp": pa.array(fp.view(np.int64), type=pa.int64()),
+            "cloned": pa.array((np.asarray(full["doc_id"], dtype=np.int64)
+                                >= 100000).astype(np.int64)),
+        })
+
+    per_fp = ds.map_batches(plant_fp, batch_format="pyarrow") \
+        .groupby(["lang", "fp"]).aggregate(
+            Count(alias_name="n"),
+            Sum("cloned", alias_name="n_cloned"))
+
+    def dupstats(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], dtype=np.int64)
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pa.array(n),
+            "one": pa.array(np.ones(len(n), dtype=np.int64)),
+            "dup": pa.array(np.where(n > 1, n, 0)),
+            "n_cloned": t["n_cloned"],
+        })
+
+    out = per_fp.map_batches(dupstats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("one", alias_name="n_distinct_fp"),
+            Sum("dup", alias_name="n_dup_docs"),
+            Sum("n_cloned", alias_name="n_clones")).to_pandas()
+    for c in ("n_docs", "n_distinct_fp", "n_dup_docs", "n_clones"):
+        out[c] = out[c].astype("int64")
+    # determinism invariant: each clone collides with its source
+    assert int(out["n_dup_docs"].sum()) >= 2 * int(out["n_clones"].sum()), \
+        (int(out["n_dup_docs"].sum()), int(out["n_clones"].sum()))
+    out = out.drop(columns=["n_clones"])
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def q_stratified_sample_counts(sf_dir: str) -> pd.DataFrame:
     """Deterministic stratified sampling (stages/sample.py): 20 docs per
     lang by hash-rank — identical output under any partitioning (asserted
@@ -1898,6 +1959,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "bloom_antijoin": q_bloom_antijoin,
     "training_prep_pipeline": q_training_prep_pipeline,
+    "doc_fingerprints": q_doc_fingerprints,
 }
 
 ORACLES: dict[str, str] = {
