@@ -170,15 +170,26 @@ def winnow_fingerprints(col, k: int = 8, window: int = 4,
     out = np.zeros(n, dtype=U64)
     if len(flat) == 0:
         return out
-    # Per-row loop-free approach: window minima via np.lib.stride_tricks on
-    # the flat array would leak across rows, so compute per row on slices —
-    # each slice op is numpy-vectorized; the Python loop is once per row over
-    # a *batch* (thousands), not per shingle.
-    for i in range(n):
-        h = flat[splits[i]:splits[i + 1]]
-        if len(h) <= window:
-            out[i] = h.min() if len(h) else U64(0)
-            continue
-        w = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
-        out[i] = np.bitwise_xor.reduce(np.unique(w))
+    counts = np.diff(splits)
+    # short rows (<= window shingles): fingerprint = min shingle
+    mins = np.minimum.reduceat(flat, np.minimum(splits[:-1], len(flat) - 1))
+    short = counts <= window
+    out[short & (counts > 0)] = mins[short & (counts > 0)]
+    if (counts > window).any():
+        # ONE global sliding-window min over the flat array; windows that
+        # cross a row boundary are masked out by their start position
+        W = np.lib.stride_tricks.sliding_window_view(flat, window) \
+            .min(axis=1)
+        s = np.arange(len(W), dtype=np.int64)
+        row_of = np.searchsorted(splits, s, side="right") - 1
+        valid = (s + window) <= splits[row_of + 1]
+        rows, vals = row_of[valid], W[valid]
+        # XOR of UNIQUE minima per row: lexsort, drop in-row duplicates,
+        # bitwise_xor.reduceat at row starts
+        order = np.lexsort((vals, rows))
+        rows, vals = rows[order], vals[order]
+        keep = np.r_[True, (rows[1:] != rows[:-1]) | (vals[1:] != vals[:-1])]
+        rows, vals = rows[keep], vals[keep]
+        starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+        out[rows[starts]] = np.bitwise_xor.reduceat(vals, starts)
     return out

@@ -69,6 +69,35 @@ def test_simhash_locality():
     assert far >= 15
 
 
+def test_winnow_vectorized_matches_per_row_reference(rng):
+    """Global flat-array winnowing (one sliding-min + boundary mask +
+    per-row XOR-of-unique via lexsort/reduceat) == the straightforward
+    per-row implementation, including short/empty rows."""
+    from libfilter_ray.functions.shingles import (shingle_hashes,
+                                                  winnow_fingerprints)
+
+    def reference(col, k=8, window=4, seed=0x111101):
+        flat, splits = shingle_hashes(col, k=k, seed=seed)
+        n = len(splits) - 1
+        out = np.zeros(n, dtype=np.uint64)
+        for i in range(n):
+            h = flat[splits[i]:splits[i + 1]]
+            if len(h) <= window:
+                out[i] = h.min() if len(h) else np.uint64(0)
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(h, window) \
+                .min(axis=1)
+            out[i] = np.bitwise_xor.reduce(np.unique(w))
+        return out
+
+    texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, int(L)))
+             for L in rng.integers(0, 60, 400)]
+    texts += ["hello world this is a longer document " * 20, "", "ab",
+              "abcdefgh", "abcdefghi"]
+    arr = pa.array(texts, type=pa.large_string())
+    assert np.array_equal(winnow_fingerprints(arr), reference(arr))
+
+
 def test_winnow_fingerprint_stability():
     from libfilter_ray.functions.shingles import winnow_fingerprints
 
