@@ -25,7 +25,8 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
                    left_cols: list[str], right_cols: list[str],
                    num_shards: int = 64, how: str = "inner",
                    bloom_prune_right: bool = False,
-                   prune_fpp: float = 0.01):
+                   prune_fpp: float = 0.01,
+                   hot_keys=None, hot_salt: int = 8):
     """Distributed hash-partitioned equi-join of two LARGE datasets —
     the fact-x-fact shape where neither side fits a broadcast (for a small
     build side prefer the broadcast Bloom semi-join, SURVEY.md §2.5).
@@ -35,7 +36,16 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     key never splits across shards — and each shard joins locally with one
     vectorized ``pyarrow.Table.join`` (Acero hash join, no per-row Python).
     `num_shards` scales with the cluster; shards are independent tasks.
-    Skewed keys: salt the hot keys upstream or raise num_shards.
+
+    Skew: pass `hot_keys` (a small list/array of heavy join-key values —
+    e.g. from `detect_hot_keys`) to SALT them across `hot_salt` sub-shards:
+    left rows of a hot key replicate `hot_salt`x (the cheap side — few
+    rows per key), right rows of that key scatter round-robin over the
+    sub-shards, so no single shard receives a hot key's full right-side
+    mass. Inner join only (replicated left rows would emit duplicate
+    null-rows under left outer). Hot membership is tested on the key HASH,
+    so a (2^-64) collision merely salts one extra cold key — still
+    correct, both sides agree.
 
     Output columns: [left_on] + left_cols + right_cols (names must be
     disjoint; the right key is renamed to `left_on`). `how` is "inner" or
@@ -57,11 +67,21 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     the right side is much larger than its matching fraction; the left
     side pays one extra counting/build pass.
     """
-    from ..sketch.hashing import shard_of_values
+    from ..sketch.hashing import (hash_arrow_array, shard_of_values,
+                                  splitmix64)
 
     SIDE = "__ej_side"
     KEY = left_on
     out_cols = [KEY] + left_cols + right_cols
+
+    hot_ref = None
+    if hot_keys is not None and len(hot_keys):
+        import ray
+
+        if how != "inner":
+            raise ValueError("hot-key salting requires an inner join")
+        hot_hashes = np.sort(hash_arrow_array(pa.array(list(hot_keys))))
+        hot_ref = ray.put(hot_hashes)
 
     ls, rs = left_ds.schema(), right_ds.schema()
     ltypes = dict(zip(ls.names, ls.types))
@@ -90,8 +110,17 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
         right_ds = right_ds.map_batches(prune, batch_format="pyarrow")
 
+    U64 = np.uint64
+    GOLD = U64(0x9E3779B97F4A7C15)
+
+    def _salted_shard(h: np.ndarray, r: np.ndarray) -> np.ndarray:
+        return (splitmix64(h + GOLD * (r.astype(U64) + U64(1)),
+                           seed=0x0E9C) % U64(num_shards)).astype(np.int64)
+
     def _tag(on, side, mine, theirs, their_types):
         def f(t: pa.Table) -> pa.Table:
+            import ray
+
             cols: dict[str, pa.Array | pa.ChunkedArray] = {
                 KEY: t[on],
                 SIDE: pa.array(np.full(t.num_rows, side, dtype=np.int8)),
@@ -102,9 +131,30 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
                 cols[c] = pa.nulls(t.num_rows, their_types[c])
             tbl = pa.table({k: cols[k] for k in [KEY, SIDE] + left_cols
                             + right_cols})
-            return tbl.append_column("shard", pa.array(
+            shard = pa.array(
                 shard_of_values(t[on], num_shards, seed=0x0E9C),
-                type=pa.int64()))
+                type=pa.int64())
+            if hot_ref is None:
+                return tbl.append_column("shard", shard)
+            hot_set = ray.get(hot_ref)
+            h = hash_arrow_array(t[on])
+            hot = np.isin(h, hot_set)
+            parts = [tbl.filter(pa.array(~hot)).append_column(
+                "shard", pa.array(np.asarray(shard)[~hot],
+                                  type=pa.int64()))]
+            if hot.any():
+                ht, hh = tbl.filter(pa.array(hot)), h[hot]
+                if side == 0:  # replicate the cheap side across sub-shards
+                    ht = pa.concat_tables([ht] * hot_salt)
+                    r = np.repeat(np.arange(hot_salt, dtype=np.int64),
+                                  len(hh))
+                    hh = np.tile(hh, hot_salt)
+                else:  # scatter the heavy side round-robin
+                    r = np.arange(len(hh), dtype=np.int64) % hot_salt
+                parts.append(ht.append_column(
+                    "shard", pa.array(_salted_shard(hh, r),
+                                      type=pa.int64())))
+            return pa.concat_tables(parts)
         return f
 
     tagged = left_ds.map_batches(
@@ -124,6 +174,26 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
     return tagged.groupby("shard").map_groups(join_shard,
                                               batch_format="pyarrow")
+
+
+def detect_hot_keys(ds, on: str, *, sample_per_batch: int = 256,
+                    min_frac: float = 0.05) -> np.ndarray:
+    """Heavy join-key detection by batch-prefix sampling: every batch
+    contributes its first `sample_per_batch` keys (a map_batches slice —
+    no shuffle, no full pass materialization); the driver counts the small
+    sample and returns keys with sampled frequency >= min_frac. A truly
+    hot key appears in most batches, so prefix sampling has high recall on
+    it; a false positive merely gets salted (hash_equi_join stays correct
+    either way)."""
+
+    def head(t: pa.Table) -> pa.Table:
+        return t.select([on]).slice(0, sample_per_batch)
+
+    small = ds.map_batches(head, batch_format="pyarrow").to_pandas()
+    if not len(small):
+        return np.array([])
+    vc = small[on].value_counts()
+    return vc[vc >= max(1, int(min_frac * len(small)))].index.to_numpy()
 
 
 def asof_join(left_ds, right_ds, *, on: str, left_ts: str, right_ts: str,

@@ -181,6 +181,35 @@ def test_hash_equi_join_bloom_pruned_equals_plain(ray_session, rng):
     assert len(a) > 0
 
 
+def test_hash_equi_join_salted_skew_equals_plain(ray_session, rng):
+    """Hot-key salting: one key carries 60% of the right side; salted and
+    plain joins must produce identical rows, and detect_hot_keys must find
+    the heavy key."""
+    from libfilter_ray.stages.joins import detect_hot_keys, hash_equi_join
+
+    n_hot = 1200
+    rk = np.concatenate([np.full(n_hot, 7), rng.integers(8, 100, 800)])
+    rng.shuffle(rk)
+    lt = pa.table({"k": pa.array(np.arange(100), type=pa.int64()),
+                   "a": pa.array(np.arange(100) * 10, type=pa.int64())})
+    rt = pa.table({"rk": pa.array(rk, type=pa.int64()),
+                   "b": pa.array(np.arange(len(rk)), type=pa.int64())})
+    rds = ray.data.from_arrow(rt).repartition(6)
+    hot = detect_hot_keys(rds, "rk", sample_per_batch=64, min_frac=0.2)
+    assert 7 in set(int(x) for x in hot)
+
+    kw = dict(left_on="k", right_on="rk", left_cols=["a"],
+              right_cols=["b"], num_shards=8)
+    plain = hash_equi_join(ray.data.from_arrow(lt), rds, **kw).to_pandas()
+    salted = hash_equi_join(ray.data.from_arrow(lt), rds,
+                            hot_keys=hot, hot_salt=4, **kw).to_pandas()
+    key = ["k", "a", "b"]
+    a = plain.sort_values(key).reset_index(drop=True)[key]
+    b = salted.sort_values(key).reset_index(drop=True)[key]
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["k"] == 7).sum() == n_hot
+
+
 def test_hash_equi_join_string_keys(ray_session, rng):
     from libfilter_ray.stages.joins import hash_equi_join
 
