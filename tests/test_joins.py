@@ -181,6 +181,29 @@ def test_hash_equi_join_bloom_pruned_equals_plain(ray_session, rng):
     assert len(a) > 0
 
 
+def test_hash_equi_join_null_keys_sql_semantics(ray_session):
+    """Null join keys never match (SQL semantics, inner + left outer);
+    left outer keeps the null-key left row with null right columns."""
+    from libfilter_ray.stages.joins import hash_equi_join
+
+    lt = pa.table({"k": pa.array([1, None, 3], type=pa.int64()),
+                   "a": pa.array([10, 20, 30], type=pa.int64())})
+    rt = pa.table({"rk": pa.array([None, 3, 3], type=pa.int64()),
+                   "b": pa.array([7, 8, 9], type=pa.int64())})
+    kw = dict(left_on="k", right_on="rk", left_cols=["a"],
+              right_cols=["b"], num_shards=3)
+    inner = hash_equi_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                           **kw).to_pandas().sort_values(["k", "b"])
+    assert inner["k"].tolist() == [3, 3]
+    assert sorted(inner["b"].astype(int)) == [8, 9]
+    louter = hash_equi_join(ray.data.from_arrow(lt),
+                            ray.data.from_arrow(rt), how="left outer",
+                            **kw).to_pandas()
+    assert len(louter) == 4  # 2 matches + key-1 unmatched + null-key row
+    assert louter.loc[louter["k"].isna(), "b"].isna().all()
+    assert louter.loc[louter["k"] == 1, "b"].isna().all()
+
+
 def test_hash_equi_join_salted_skew_equals_plain(ray_session, rng):
     """Hot-key salting: one key carries 60% of the right side; salted and
     plain joins must produce identical rows, and detect_hot_keys must find
