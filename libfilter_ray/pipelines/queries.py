@@ -1656,6 +1656,75 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_event_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered-funnel analytics (view -> click -> purchase, 1-day
+    conversion deadline per step): per user the earliest view, the
+    earliest click in (view, view+1d], the earliest purchase in
+    (click, click+1d]; returns users reaching each step.
+
+    Distributed shape (the sessionization pattern): users shard by hash —
+    a user never splits — and each shard resolves its funnel with
+    vectorized pandas group-mins (one Python call per SHARD, not per
+    user); the per-shard step counts then sum in a tiny final groupby."""
+    from ..sketch.hashing import shard_of_values
+
+    num_shards = 32
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("shard", pa.array(
+            shard_of_values(t["user_id"], num_shards, seed=0xF0),
+            type=pa.int64()))
+
+    def funnel_shard(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[df["event_type"] == "view"].groupby("user_id")["ts"].min()
+        day = np.timedelta64(1, "D")
+        cl = df[df["event_type"] == "click"][["user_id", "ts"]]
+        cl = cl[cl["user_id"].isin(v.index)]
+        if len(cl):
+            base = v.loc[cl["user_id"]].to_numpy()
+            ts = cl["ts"].to_numpy()
+            cl = cl[(ts > base) & (ts <= base + day)]
+        c = cl.groupby("user_id")["ts"].min()
+        pu = df[df["event_type"] == "purchase"][["user_id", "ts"]]
+        pu = pu[pu["user_id"].isin(c.index)]
+        if len(pu):
+            base = c.loc[pu["user_id"]].to_numpy()
+            ts = pu["ts"].to_numpy()
+            pu = pu[(ts > base) & (ts <= base + day)]
+        p = pu.groupby("user_id")["ts"].min()
+        return pd.DataFrame({
+            "step": ["1_view", "2_click", "3_purchase"],
+            "n_users": np.array([len(v), len(c), len(p)], dtype=np.int64),
+        })
+
+    out = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("shard").map_groups(funnel_shard, batch_format="pandas") \
+        .groupby("step").aggregate(Sum("n_users", alias_name="n_users")) \
+        .to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("step").reset_index(drop=True)
+
+
+SQL_EVENT_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) t FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t
+        AND e.ts <= v.t + INTERVAL 1 DAY GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) t FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t
+        AND e.ts <= c.t + INTERVAL 1 DAY GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT '1_view' AS step, count(*)::BIGINT AS n_users FROM v
+  UNION ALL SELECT '2_click', count(*)::BIGINT FROM c
+  UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM p
+) ORDER BY step
+"""
+
+
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Winnowing document fingerprints (Schleimer et al. 2003;
     functions/shingles.py:winnow_fingerprints) as a dedup-grouping signal:
@@ -1960,6 +2029,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bloom_antijoin": q_bloom_antijoin,
     "training_prep_pipeline": q_training_prep_pipeline,
     "doc_fingerprints": q_doc_fingerprints,
+    "event_funnel": q_event_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -1997,4 +2067,5 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_near_dup": SQL_NGRAM_JACCARD,
     "bloom_antijoin": SQL_BLOOM_ANTIJOIN,
     "training_prep_pipeline": SQL_TRAINING_PREP,
+    "event_funnel": SQL_EVENT_FUNNEL,
 }
