@@ -1923,6 +1923,64 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
 
+def q_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """Bloom-pruned fact join in anger: suppliers with s_acctbal > 5000
+    (a selective build side) hash-equi-join lineitem with
+    `bloom_prune_right=True` — non-matching lineitems are dropped by the
+    broadcast BlockBloom BEFORE the shuffle — then revenue per supplier
+    nation (nation dim broadcast, 25 rows)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_equi_join
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey", "s_acctbal"]) \
+        .filter(expr="s_acctbal > 5000") \
+        .select_columns(["s_suppkey", "s_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    joined = hash_equi_join(
+        supp, li, left_on="s_suppkey", right_on="l_suppkey",
+        left_cols=["s_nationkey"],
+        right_cols=["l_extendedprice", "l_discount"],
+        bloom_prune_right=True)
+
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = nation.sort_values("n_nationkey")
+    keys = nk["n_nationkey"].to_numpy().astype(np.int64)
+    names = nk["n_name"].to_numpy()
+    name_ref = ray.put((keys, names))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ks, ns = ray.get(name_ref)
+        sk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ks, sk)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"n_name": pa.array(ns[idx]), "revenue": rev})
+
+    out = joined.map_batches(attach, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Count(alias_name="n_items")).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+SQL_SUPPLIER_REVENUE = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT                                      AS n_items
+FROM supplier s
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE s.s_acctbal > 5000
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
 def q_ngram_jaccard_near_dup(sf_dir: str) -> pd.DataFrame:
     """Blocked exact n-gram Jaccard near-dup over documents — the
     deterministic dedup entry whose candidate generation AND similarity
@@ -2030,6 +2088,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "training_prep_pipeline": q_training_prep_pipeline,
     "doc_fingerprints": q_doc_fingerprints,
     "event_funnel": q_event_funnel,
+    "supplier_revenue": q_supplier_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -2068,4 +2127,5 @@ ORACLES: dict[str, str] = {
     "bloom_antijoin": SQL_BLOOM_ANTIJOIN,
     "training_prep_pipeline": SQL_TRAINING_PREP,
     "event_funnel": SQL_EVENT_FUNNEL,
+    "supplier_revenue": SQL_SUPPLIER_REVENUE,
 }
