@@ -1350,6 +1350,71 @@ def q_minimal_taffy_membership(sf_dir: str) -> pd.DataFrame:
 SQL_MINIMAL_TAFFY_MEMBERSHIP = SQL_STATIC_XOR_MEMBERSHIP
 
 
+def q_bloom_per_lang_source(sf_dir: str) -> pd.DataFrame:
+    """Composite-key grouped build: one BlockBloom per (lang, source) —
+    the key is a derived `lang|source` column fed through the same salted
+    two-stage grouped merge — then a streaming broadcast probe. Zero false
+    negatives make members_found deterministic (= n_docs per group), so
+    the whole output oracles."""
+    import pyarrow.compute as pc
+
+    from ..sketch.block_bloom import BlockBloom
+    from ..sketch.hashing import hash_arrow_array
+    from ..stages.dedup import _str
+    from ..stages.sketch_build import build_grouped_sketches
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "text"])
+
+    def composite(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            _str(t["lang"]), _str(t["source"]), "|")
+        return pa.table({"grp": key, "text": t["text"]})
+
+    keyed = ds.map_batches(composite, batch_format="pyarrow")
+    built = build_grouped_sketches(keyed, "grp", "text", "block",
+                                   {"bytes_": 1 << 14})
+    filters = {row["grp"]: BlockBloom.from_bytes(row["payload"])
+               for _, row in built.iterrows()}
+    fref = ray.put(filters)
+
+    def probe(t: pa.Table) -> pa.Table:
+        fs = ray.get(fref)
+        grp = _str(t["grp"])
+        dict_arr = pc.dictionary_encode(grp)
+        codes = np.asarray(dict_arr.indices)
+        texts = _str(t["text"])
+        out_g, out_n, out_f = [], [], []
+        for code in range(len(dict_arr.dictionary)):
+            g = dict_arr.dictionary[code].as_py()
+            mask = codes == code
+            h = hash_arrow_array(texts.filter(pa.array(mask)))
+            out_g.append(g)
+            out_n.append(int(mask.sum()))
+            out_f.append(int(fs[g].find_hashes(h).sum()))
+        return pa.table({"grp": pa.array(out_g, type=pa.string()),
+                         "n": pa.array(out_n, type=pa.int64()),
+                         "found": pa.array(out_f, type=pa.int64())})
+
+    agg = keyed.map_batches(probe, batch_format="pyarrow") \
+        .groupby("grp").aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("found", alias_name="members_found")).to_pandas()
+    parts = agg["grp"].str.split("|", n=1, expand=True)
+    out = pd.DataFrame({
+        "lang": parts[0], "source": parts[1],
+        "n_docs": agg["n_docs"].astype("int64"),
+        "members_found": agg["members_found"].astype("int64"),
+    })
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+SQL_BLOOM_PER_LANG_SOURCE = """
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       count(*)::BIGINT AS members_found
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 def q_events_asof_orders(sf_dir: str) -> pd.DataFrame:
     """Distributed AS-OF join (stages/joins.py — the ordered join Ray Data
     lacks): each event picks its user's most recent order at-or-before the
@@ -2089,6 +2154,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "event_funnel": q_event_funnel,
     "supplier_revenue": q_supplier_revenue,
+    "bloom_per_lang_source": q_bloom_per_lang_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -2128,4 +2194,5 @@ ORACLES: dict[str, str] = {
     "training_prep_pipeline": SQL_TRAINING_PREP,
     "event_funnel": SQL_EVENT_FUNNEL,
     "supplier_revenue": SQL_SUPPLIER_REVENUE,
+    "bloom_per_lang_source": SQL_BLOOM_PER_LANG_SOURCE,
 }
