@@ -521,8 +521,12 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         dim.sort_values("c_custkey")["n_name"].to_numpy(),
         dim.sort_values("c_custkey")["r_name"].to_numpy()))
 
+    from ..stages.dedup import _cached_filter
+
     def attach_nation(t: pa.Table) -> pa.Table:
-        keys, n_name, r_name = ray.get(lookup_ref)
+        # the name arrays are object-dtype (not zero-copy): memoize the
+        # deserialization per worker process instead of per batch
+        keys, n_name, r_name = _cached_filter(lookup_ref, lambda x: x)
         ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         idx = np.searchsorted(keys, ck)
         ok = (idx < len(keys)) & (keys[np.minimum(
@@ -670,9 +674,13 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     NSHARDS = 32
 
     def add_shard(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        shard = (uid % np.uint64(NSHARDS)).astype(np.int64)
-        return t.append_column("shard", pa.array(shard, type=pa.int64()))
+        # the shared shard tagger (hashes first): a raw uid % N would shard
+        # structured id spaces unevenly (e.g. ids sharing a stride)
+        from ..sketch.hashing import shard_of_values
+
+        return t.append_column("shard", pa.array(
+            shard_of_values(t["user_id"], NSHARDS, seed=0x5E55),
+            type=pa.int64()))
 
     def sessions_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts"], kind="stable")
@@ -1373,12 +1381,18 @@ def q_bloom_per_lang_source(sf_dir: str) -> pd.DataFrame:
     keyed = ds.map_batches(composite, batch_format="pyarrow")
     built = build_grouped_sketches(keyed, "grp", "text", "block",
                                    {"bytes_": 1 << 14})
-    filters = {row["grp"]: BlockBloom.from_bytes(row["payload"])
-               for _, row in built.iterrows()}
-    fref = ray.put(filters)
+    from ..stages.dedup import _cached_filter
+    payloads = {row["grp"]: bytes(row["payload"])
+                for _, row in built.iterrows()}
+    fref = ray.put(payloads)
+
+    def _mk(pl):
+        return {k: BlockBloom.from_bytes(v) for k, v in pl.items()}
 
     def probe(t: pa.Table) -> pa.Table:
-        fs = ray.get(fref)
+        # deserialize the filter dict ONCE per worker process (memo), not
+        # per batch — the dict is cloudpickled, not zero-copy plasma
+        fs = _cached_filter(fref, _mk)
         grp = _str(t["grp"])
         dict_arr = pc.dictionary_encode(grp)
         codes = np.asarray(dict_arr.indices)
@@ -2021,6 +2035,9 @@ def q_supplier_revenue(sf_dir: str) -> pd.DataFrame:
         ks, ns = ray.get(name_ref)
         sk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         idx = np.searchsorted(ks, sk)
+        ok = (idx < len(ks)) & (ks[np.minimum(idx, len(ks) - 1)] == sk)
+        t = t.filter(pa.array(ok))  # FK holes drop instead of misattaching
+        idx = idx[ok]
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"n_name": pa.array(ns[idx]), "revenue": rev})

@@ -227,7 +227,9 @@ def _scan_pairs_df(df: pd.DataFrame, key: str, id_column: str,
     ids = df[id_column].to_numpy()
     run_starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
     run_ends = np.r_[run_starts[1:], len(kv)]
-    out_a, out_b, out_extra_a, out_extra_b = [], [], [], []
+    out_a, out_b = [], []
+    out_extra_a: dict[str, list] = {c: [] for c in extra_cols}
+    out_extra_b: dict[str, list] = {c: [] for c in extra_cols}
     extras = {c: df[c].to_numpy() for c in extra_cols}
     for s, e in zip(run_starts, run_ends):
         n = e - s
@@ -244,21 +246,31 @@ def _scan_pairs_df(df: pd.DataFrame, key: str, id_column: str,
             # map each unique id back to its first extra value in the run
             first_idx = s + np.searchsorted(ids[s:s + n], uniq_ids)
             for c in extras:
-                out_extra_a.append(extras[c][first_idx][a])
-                out_extra_b.append(extras[c][first_idx][b])
+                out_extra_a[c].append(extras[c][first_idx][a])
+                out_extra_b[c].append(extras[c][first_idx][b])
+    names = _extra_names(extra_cols)
     if not out_a:
         res = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
                             "id_b": np.array([], dtype=np.int64)})
-        if extra_cols:
-            res["sim_a"] = np.array([], dtype=np.int64)
-            res["sim_b"] = np.array([], dtype=np.int64)
+        for c in extra_cols:
+            res[names[c][0]] = np.array([], dtype=np.int64)
+            res[names[c][1]] = np.array([], dtype=np.int64)
         return res
     res = pd.DataFrame({"id_a": np.concatenate(out_a),
                         "id_b": np.concatenate(out_b)})
-    if extras:
-        res["sim_a"] = np.concatenate(out_extra_a)
-        res["sim_b"] = np.concatenate(out_extra_b)
+    for c in extra_cols:
+        res[names[c][0]] = np.concatenate(out_extra_a[c])
+        res[names[c][1]] = np.concatenate(out_extra_b[c])
     return res.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _extra_names(extra_cols: list[str]) -> dict[str, tuple[str, str]]:
+    """Output column names for carried extras: the single-column case keeps
+    the historical ("sim_a", "sim_b"); multiple columns get per-column
+    ("<col>_a", "<col>_b") so values never interleave."""
+    if len(extra_cols) == 1:
+        return {extra_cols[0]: ("sim_a", "sim_b")}
+    return {c: (f"{c}_a", f"{c}_b") for c in extra_cols}
 
 
 def _candidate_pairs(buckets, key: str, id_column: str, *,

@@ -67,8 +67,7 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     the right side is much larger than its matching fraction; the left
     side pays one extra counting/build pass.
     """
-    from ..sketch.hashing import (hash_arrow_array, shard_of_values,
-                                  splitmix64)
+    from ..sketch.hashing import hash_arrow_array, shard_of_values
 
     SIDE = "__ej_side"
     KEY = left_on
@@ -110,12 +109,15 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
         right_ds = right_ds.map_batches(prune, batch_format="pyarrow")
 
-    U64 = np.uint64
-    GOLD = U64(0x9E3779B97F4A7C15)
+    # sub-shard r of a hot key = (base shard + r) % num_shards — INJECTIVE
+    # in r (hot_salt is clamped to num_shards), so two replicas of a hot
+    # left row can never land on the same physical shard (an independent
+    # per-r hash collided ~50% of the time at salt=4/shards=8 and
+    # duplicated join rows)
+    hot_salt = min(hot_salt, num_shards)
 
-    def _salted_shard(h: np.ndarray, r: np.ndarray) -> np.ndarray:
-        return (splitmix64(h + GOLD * (r.astype(U64) + U64(1)),
-                           seed=0x0E9C) % U64(num_shards)).astype(np.int64)
+    def _salted_shard(base: np.ndarray, r: np.ndarray) -> np.ndarray:
+        return (base + r) % num_shards
 
     def _tag(on, side, mine, theirs, their_types):
         def f(t: pa.Table) -> pa.Table:
@@ -143,16 +145,17 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
                 "shard", pa.array(np.asarray(shard)[~hot],
                                   type=pa.int64()))]
             if hot.any():
-                ht, hh = tbl.filter(pa.array(hot)), h[hot]
+                ht = tbl.filter(pa.array(hot))
+                base = np.asarray(shard)[hot]
                 if side == 0:  # replicate the cheap side across sub-shards
                     ht = pa.concat_tables([ht] * hot_salt)
                     r = np.repeat(np.arange(hot_salt, dtype=np.int64),
-                                  len(hh))
-                    hh = np.tile(hh, hot_salt)
+                                  len(base))
+                    base = np.tile(base, hot_salt)
                 else:  # scatter the heavy side round-robin
-                    r = np.arange(len(hh), dtype=np.int64) % hot_salt
+                    r = np.arange(len(base), dtype=np.int64) % hot_salt
                 parts.append(ht.append_column(
-                    "shard", pa.array(_salted_shard(hh, r),
+                    "shard", pa.array(_salted_shard(base, r),
                                       type=pa.int64())))
             return pa.concat_tables(parts)
         return f
@@ -189,11 +192,17 @@ def detect_hot_keys(ds, on: str, *, sample_per_batch: int = 256,
     def head(t: pa.Table) -> pa.Table:
         return t.select([on]).slice(0, sample_per_batch)
 
+    import math
+
     small = ds.map_batches(head, batch_format="pyarrow").to_pandas()
     if not len(small):
         return np.array([])
     vc = small[on].value_counts()
-    return vc[vc >= max(1, int(min_frac * len(small)))].index.to_numpy()
+    # floor the threshold at 2: on tiny samples int(frac*n) truncates to 0
+    # and every singleton key would be declared hot (salting the whole
+    # left side for nothing)
+    return vc[vc >= max(2, math.ceil(min_frac * len(small)))] \
+        .index.to_numpy()
 
 
 def asof_join(left_ds, right_ds, *, on: str, left_ts: str, right_ts: str,

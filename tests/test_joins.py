@@ -233,6 +233,28 @@ def test_hash_equi_join_salted_skew_equals_plain(ray_session, rng):
     assert (a["k"] == 7).sum() == n_hot
 
 
+def test_hash_equi_join_salting_never_duplicates(ray_session):
+    """Regression: sub-shards of a hot key must be INJECTIVE in the salt —
+    an independent per-salt hash collided two sub-shards ~50% of the time
+    (salt=4, shards=8) and the duplicated left replicas joined the same
+    right rows twice. Every key hot, exact row-count check."""
+    from libfilter_ray.stages.joins import hash_equi_join
+
+    lt = pa.table({"k": pa.array(np.arange(200), type=pa.int64()),
+                   "a": pa.array(np.arange(200), type=pa.int64())})
+    rk = np.repeat(np.arange(200), 5)
+    rt = pa.table({"rk": pa.array(rk, type=pa.int64()),
+                   "b": pa.array(np.arange(len(rk)), type=pa.int64())})
+    out = hash_equi_join(ray.data.from_arrow(lt).repartition(3),
+                         ray.data.from_arrow(rt).repartition(4),
+                         left_on="k", right_on="rk", left_cols=["a"],
+                         right_cols=["b"], num_shards=8,
+                         hot_keys=list(range(200)), hot_salt=4).to_pandas()
+    assert len(out) == 1000
+    assert out.groupby("k").size().eq(5).all()
+    assert out["b"].nunique() == 1000
+
+
 def test_hash_equi_join_string_keys(ray_session, rng):
     from libfilter_ray.stages.joins import hash_equi_join
 
