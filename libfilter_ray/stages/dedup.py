@@ -46,24 +46,9 @@ def _str(col):
 
 
 # Broadcast state is shipped once via ray.put and read per task with
-# ray.get (zero-copy plasma for numpy). Filter objects deserialize from
-# bytes; this tiny per-process memo gives actor-style caching on the warm
-# long-lived TASK workers without paying actor-pool process startup (on
-# the bench microVM a cold actor process costs seconds of page faults).
-_FILTER_CACHE: dict[str, object] = {}
-
-
-def _cached_filter(ref, ctor):
-    import ray
-
-    key = ref.hex()
-    f = _FILTER_CACHE.get(key)
-    if f is None:
-        f = ctor(ray.get(ref))
-        if len(_FILTER_CACHE) >= 8:
-            _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
-        _FILTER_CACHE[key] = f
-    return f
+# ray.get; deserialized objects are memoized per worker process — see
+# stages/broadcast.py (the alias keeps existing imports working).
+from .broadcast import cached_broadcast as _cached_filter  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
