@@ -9,6 +9,9 @@ Spec shape::
     {
       "table": "documents" | "webpages" | "events" | "<name>",
       "columns": ["lang", "text"],          # optional read pruning
+      "filter": "n_chars >= 150",           # optional row filter (expr)
+      "dedup": {"column": "text",           # optional exact-dedup
+                "id_column": "doc_id"},     #   (min-id survivor) pre-stage
       "key": "lang",                        # optional -> grouped build
       "num_salts": 8,                       # grouped builds only
       "sketches": [
@@ -74,6 +77,13 @@ def run_config(spec: dict[str, Any], sf_dir: str) -> pd.DataFrame:
                     f"spec {s['name']!r}: \"exact\" requires a "
                     f"hash-consuming sketch kind, not {s['kind']!r}")
     ds = _load_table(spec, sf_dir)
+    if spec.get("filter"):
+        ds = ds.filter(expr=spec["filter"])
+    if spec.get("dedup"):
+        from ..stages.dedup import exact_dedup
+
+        d = spec["dedup"]
+        ds = exact_dedup(ds, d["column"], d["id_column"])
     if key:
         specs = [(s["name"], s["kind"], s.get("params", {}), s["column"])
                  for s in sketches]

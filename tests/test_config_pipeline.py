@@ -89,3 +89,37 @@ def test_exact_flag_fails_fast_on_invalid_specs(ray_session):
         run_config({"table": "events", "sketches": [
             {"name": "q", "kind": "kll", "column": "value",
              "exact": True}]}, "/root/testdata/sf0.001")
+
+
+def test_config_filter_and_dedup_prestages(ray_session):
+    """filter + exact-dedup pre-stages compose from config: planting exact
+    clones then deduping through the spec must leave counts identical to
+    the raw table's filtered counts."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from libfilter_ray.sketch.hll import HyperLogLog
+
+    spec = {
+        "table": "documents",
+        "columns": ["doc_id", "lang", "text", "n_chars"],
+        "filter": "n_chars >= 150",
+        "dedup": {"column": "text", "id_column": "doc_id"},
+        "key": "lang",
+        "sketches": [
+            {"name": "texts", "kind": "hll", "params": {"p": 12},
+             "column": "text"},
+        ],
+    }
+    out = run_config(spec, SF_DIR_01)
+    want = pq.read_table(f"{SF_DIR_01}/documents.parquet",
+                         columns=["lang", "n_chars"]).to_pandas()
+    want = want[want["n_chars"] >= 150].groupby("lang").size()
+    got = out.set_index("lang")["rows"]
+    # no exact dups in the raw table: dedup must be a no-op on counts
+    pd.testing.assert_series_equal(got.sort_index().astype("int64"),
+                                   want.sort_index().astype("int64"),
+                                   check_names=False)
+    for _, r in out.iterrows():
+        est = HyperLogLog.from_bytes(r["payload_texts"]).estimate()
+        assert 0.5 * r["rows"] <= est <= 1.5 * r["rows"]
