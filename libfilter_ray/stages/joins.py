@@ -73,6 +73,14 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     KEY = left_on
     out_cols = [KEY] + left_cols + right_cols
 
+    if how not in ("inner", "left outer"):
+        raise ValueError(f"how must be 'inner' or 'left outer', got {how!r}")
+    carried = [KEY] + left_cols + right_cols
+    dupes = {c for c in carried if carried.count(c) > 1}
+    if dupes:
+        raise ValueError(
+            f"output column names must be disjoint, duplicated: {sorted(dupes)}")
+
     hot_ref = None
     if hot_keys is not None and len(hot_keys):
         import ray

@@ -290,3 +290,23 @@ def test_stratified_sample_string_ids(ray_session):
         assert (out.groupby("lang").size() <= 15).all()
         picks.append(set(out["sid"]))
     assert picks[0] == picks[1]
+
+
+def test_hash_equi_join_validates_inputs(ray_session):
+    from libfilter_ray.stages.joins import hash_equi_join
+
+    lt = pa.table({"k": pa.array([1], type=pa.int64()),
+                   "a": pa.array([1], type=pa.int64())})
+    rt = pa.table({"rk": pa.array([1], type=pa.int64()),
+                   "b": pa.array([1], type=pa.int64())})
+    lds, rds = ray.data.from_arrow(lt), ray.data.from_arrow(rt)
+    with pytest.raises(ValueError, match="disjoint"):
+        hash_equi_join(lds, rds, left_on="k", right_on="rk",
+                       left_cols=["a"], right_cols=["a"])
+    with pytest.raises(ValueError, match="how"):
+        hash_equi_join(lds, rds, left_on="k", right_on="rk",
+                       left_cols=["a"], right_cols=["b"], how="full outer")
+    with pytest.raises(ValueError, match="salting"):
+        hash_equi_join(lds, rds, left_on="k", right_on="rk",
+                       left_cols=["a"], right_cols=["b"], how="left outer",
+                       hot_keys=[1])
