@@ -1358,6 +1358,88 @@ def q_minimal_taffy_membership(sf_dir: str) -> pd.DataFrame:
 SQL_MINIMAL_TAFFY_MEMBERSHIP = SQL_STATIC_XOR_MEMBERSHIP
 
 
+def q_incremental_growable(sf_dir: str) -> pd.DataFrame:
+    """The growable filters' raison d'être — taffy GROWTH across batches
+    (doc/taffy/taffy.tex; InsertPersists across upsizes in the reference's
+    test suites): build per-lang taffy-cuckoo filters on HALF the corpus
+    (even doc_ids) via the salted grouped merge, then GROW those same
+    filter objects with the other half in a second distributed pass
+    (per-lang map_groups inserting into the deserialized phase-1 filter),
+    and probe ALL docs streaming. Zero false negatives across growth make
+    members_found deterministic (= n_docs per lang), so the output
+    oracles."""
+    from ..sketch.hashing import hash_arrow_array
+    from ..sketch.taffy_cuckoo import TaffyCuckoo
+    from ..stages.broadcast import cached_broadcast
+    from ..stages.sketch_build import build_grouped_sketches
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def _half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            return t.filter(pa.array(ids % 2 == parity))
+        return f
+
+    half1 = ds.map_batches(_half(0), batch_format="pyarrow")
+    half2 = ds.map_batches(_half(1), batch_format="pyarrow")
+
+    built = build_grouped_sketches(half1, "lang", "text", "taffy_cuckoo",
+                                   {"bytes_": 512})
+    phase1 = {r["lang"]: bytes(r["payload"]) for _, r in built.iterrows()}
+    p1_ref = ray.put(phase1)
+
+    def grow(df: pd.DataFrame) -> pd.DataFrame:
+        lang = df["lang"].iloc[0]
+        payloads = ray.get(p1_ref)
+        f = TaffyCuckoo.from_bytes(payloads[lang])
+        f.add_hashes(hash_arrow_array(pa.array(df["text"],
+                                               type=pa.large_string())))
+        return pd.DataFrame({"lang": [lang], "payload": [f.to_bytes()]})
+
+    grown = half2.groupby("lang").map_groups(grow, batch_format="pandas") \
+        .to_pandas()
+    g_ref = ray.put({r["lang"]: bytes(r["payload"])
+                     for _, r in grown.iterrows()})
+
+    def probe(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        fs = cached_broadcast(
+            g_ref, lambda pl: {k: TaffyCuckoo.from_bytes(v)
+                               for k, v in pl.items()})
+        dict_arr = pc.dictionary_encode(
+            t["lang"].combine_chunks()
+            if isinstance(t["lang"], pa.ChunkedArray) else t["lang"])
+        codes = np.asarray(dict_arr.indices)
+        texts = t["text"].combine_chunks() \
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        langs, n, found = [], [], []
+        for code in range(len(dict_arr.dictionary)):
+            lang = dict_arr.dictionary[code].as_py()
+            mask = codes == code
+            h = hash_arrow_array(texts.filter(pa.array(mask)))
+            langs.append(lang)
+            n.append(int(mask.sum()))
+            found.append(int(fs[lang].find_hashes(h).sum()))
+        return pa.table({"lang": pa.array(langs, type=pa.string()),
+                         "n": pa.array(n, type=pa.int64()),
+                         "found": pa.array(found, type=pa.int64())})
+
+    out = ds.map_batches(probe, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("found", alias_name="members_found")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["members_found"] = out["members_found"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_INCREMENTAL_GROWABLE = """
+SELECT lang, count(*)::BIGINT AS n_docs, count(*)::BIGINT AS members_found
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_bloom_per_lang_source(sf_dir: str) -> pd.DataFrame:
     """Composite-key grouped build: one BlockBloom per (lang, source) —
     the key is a derived `lang|source` column fed through the same salted
@@ -2172,6 +2254,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_funnel": q_event_funnel,
     "supplier_revenue": q_supplier_revenue,
     "bloom_per_lang_source": q_bloom_per_lang_source,
+    "incremental_growable": q_incremental_growable,
 }
 
 ORACLES: dict[str, str] = {
@@ -2212,4 +2295,5 @@ ORACLES: dict[str, str] = {
     "event_funnel": SQL_EVENT_FUNNEL,
     "supplier_revenue": SQL_SUPPLIER_REVENUE,
     "bloom_per_lang_source": SQL_BLOOM_PER_LANG_SOURCE,
+    "incremental_growable": SQL_INCREMENTAL_GROWABLE,
 }
