@@ -104,16 +104,23 @@ def flagship(sf_dir: str, fpp: float = 0.01, replicate: int = 1,
                                      {"bytes_": size})
 
     # --- Ray execution 2: broadcast probe, per-batch vectorized counts ----
-    # The per-lang filters are small (KBs); a stateless closure avoids actor
-    # startup cost. (For GB-scale frozen filters use stages.probe_stage with
-    # an actor pool + ray.put instead.)
-    # deserialize ONCE on the driver; the closure ships ready filters to
-    # each task (per-batch from_bytes was pure waste on the hot probe path)
-    filters = {row["lang"]: BlockBloom.from_bytes(row["payload"])
-               for _, row in grouped.iterrows()}
+    # Filters are sized for the TOTAL corpus, so at scale the set is MBs —
+    # ship the serialized payloads ONCE via ray.put and deserialize once
+    # per worker process (cached_broadcast), never once per cloudpickled
+    # task closure. (For GB-scale frozen filters use stages.probe_stage
+    # with an actor pool instead.)
+    import ray
+
+    from ..stages.broadcast import cached_broadcast
+
+    payloads_ref = ray.put({row["lang"]: bytes(row["payload"])
+                            for _, row in grouped.iterrows()})
 
     def probe_count(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        filters = cached_broadcast(
+            payloads_ref,
+            lambda pl: {k: BlockBloom.from_bytes(v) for k, v in pl.items()})
         langs, found, n = [], [], []
         dict_arr = pc.dictionary_encode(t["lang"].combine_chunks()
                                         if isinstance(t["lang"], pa.ChunkedArray)
@@ -157,6 +164,9 @@ def flagship(sf_dir: str, fpp: float = 0.01, replicate: int = 1,
             "fpp_configured": fpp,
         })
     df = pd.DataFrame(out).sort_values("lang").reset_index(drop=True)
-    assert (df["members_found"] == df["rows"]).all(), \
-        "false negatives detected — BlockBloom invariant violated"
+    # production invariant — a real raise, not an assert (compiled out
+    # under python -O)
+    if not (df["members_found"] == df["rows"]).all():
+        raise RuntimeError(
+            "false negatives detected — BlockBloom invariant violated")
     return df

@@ -128,8 +128,17 @@ def build_sketch(ds, column: str, kind: str, params: dict | None = None, *,
     return out.finalize()
 
 
+def _null_count(indices) -> int:
+    return indices.null_count
+
+
 class _GroupedPartialBuilder:
-    """Per-block, per-key partial sketches (pre-aggregation before shuffle)."""
+    """Per-block, per-key partial sketches (pre-aggregation before shuffle).
+
+    Rows with a NULL key are EXCLUDED from grouped builds (and from the
+    returned per-key `rows` counts) — unlike SQL GROUP BY, which groups
+    them; pre-filter nulls (or fill a sentinel) if they must be counted.
+    """
 
     def __init__(self, kind: str, params: dict, column: str, key: str,
                  seed: int, num_salts: int):
@@ -173,7 +182,12 @@ class _GroupedPartialBuilder:
         # builds) stay linear instead of keys x column-scan quadratic.
         order = np.argsort(codes, kind="stable")
         bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
-        col_sorted = col.take(pa.array(order)) if len(uniq) > 1 else col
+        # the take is skippable only when the identity order is provably
+        # correct: a single distinct key AND no null-key rows (null codes
+        # sort past the last bound, so with them present the unsorted
+        # column would attribute the wrong rows to the key)
+        take_needed = len(uniq) > 1 or _null_count(dict_arr.indices) > 0
+        col_sorted = col.take(pa.array(order)) if take_needed else col
         hashed_sorted = (hash_arrow_array(col_sorted, seed=self.seed)
                          if raw_ok else None)
         for code in range(len(uniq)):
@@ -199,8 +213,10 @@ class _GroupedPartialBuilder:
             keys_out.append(uniq[code].as_py())
             salts_out.append(salt)
             counts.append(n_rows)
+        # explicit key type: pa.array([]) would infer NULL for an empty
+        # block and crash downstream schema unification / shard hashing
         return pa.table({
-            self.key: pa.array(keys_out),
+            self.key: pa.array(keys_out, type=keycol.type),
             "salt": pa.array(salts_out, type=pa.int32()),
             "fmt": pa.array(fmts, type=pa.string()),
             "payload": pa.array(payloads, type=pa.large_binary()),
@@ -282,7 +298,10 @@ def build_grouped_sketches(ds, key: str, column: str, kind: str,
                      batch_format="pyarrow") \
         .groupby("mshard").map_groups(merge_frame([key]),
                                       batch_format="pandas")
-    out = final.to_pandas().drop(columns=["salt", "fmt"]).sort_values(key)
+    out = final.to_pandas()
+    if not len(out):  # fully empty input: typed empty frame, no KeyError
+        return pd.DataFrame({key: [], "payload": [], "rows": []})
+    out = out.drop(columns=["salt", "fmt"]).sort_values(key)
     return out.reset_index(drop=True)
 
 
@@ -342,7 +361,9 @@ class _MultiGroupedPartialBuilder:
         # order-sensitive value sketches (t-digest) stay byte-identical.
         order = np.argsort(codes, kind="stable")
         bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
-        take_needed = len(uniq) > 1
+        # see _GroupedPartialBuilder: null-key rows sort past the last
+        # bound, so identity order is only safe with one key AND no nulls
+        take_needed = len(uniq) > 1 or _null_count(dict_arr.indices) > 0
         sorted_cols = {c: (v.take(pa.array(order)) if take_needed else v)
                        for c, v in cols.items()}
         # hash each needed column once for the whole block (sorted order)
@@ -373,7 +394,7 @@ class _MultiGroupedPartialBuilder:
                                       sk, self.seed)
                     out[f"payload_{name}"].append(sk.to_bytes())
                     out[f"fmt_{name}"].append("sketch")
-        arrays = {self.key: pa.array(out[self.key]),
+        arrays = {self.key: pa.array(out[self.key], type=keycol.type),
                   "salt": pa.array(out["salt"], type=pa.int32()),
                   "rows": pa.array(out["rows"], type=pa.int64())}
         for (name, *_r) in self.specs:
@@ -441,7 +462,12 @@ def build_grouped_multi(ds, key: str, specs, *, seed: int = DEFAULT_SEED,
         .groupby("mshard").map_groups(merge_frame([key], True),
                                       batch_format="pandas")
     drop = ["salt"] + [f"fmt_{name}" for name in classes]
-    return final.to_pandas().drop(columns=drop).sort_values(key) \
+    out = final.to_pandas()
+    if not len(out):  # fully empty input: typed empty frame, no KeyError
+        cols = {key: [], "rows": []}
+        cols.update({f"payload_{name}": [] for name in classes})
+        return pd.DataFrame(cols)
+    return out.drop(columns=drop).sort_values(key) \
         .reset_index(drop=True)
 
 

@@ -159,13 +159,24 @@ class _PartitionBuilder:
                 col = t[self.column]
                 col = col.combine_chunks() \
                     if isinstance(col, pa.ChunkedArray) else col
-                for code in range(len(dict_arr.dictionary)):
-                    mask = codes == code
+                # sort-split (one stable argsort + zero-copy slices), not a
+                # per-key mask scan — linear at thousands of keys, same
+                # shape as sketch_build._GroupedPartialBuilder; null-key
+                # rows sort past the last bound and are excluded
+                uniq = dict_arr.dictionary
+                order = np.argsort(codes, kind="stable")
+                bounds = np.searchsorted(codes[order],
+                                         np.arange(len(uniq) + 1))
+                need_take = len(uniq) > 1 or dict_arr.indices.null_count > 0
+                col_sorted = col.take(pa.array(order)) if need_take else col
+                for code in range(len(uniq)):
+                    b0, b1 = int(bounds[code]), int(bounds[code + 1])
                     sk = registry.make(self.kind, **self.params)
-                    _updates_from(col.filter(pa.array(mask)), sk, self.seed)
-                    keys.append(dict_arr.dictionary[code].as_py())
+                    _updates_from(col_sorted.slice(b0, b1 - b0), sk,
+                                  self.seed)
+                    keys.append(uniq[code].as_py())
                     payloads.append(sk.to_bytes())
-                    counts.append(int(mask.sum()))
+                    counts.append(b1 - b0)
             wall_ms = (time.perf_counter() - t0) * 1e3
             lineage = json.dumps({"path": row["path"],
                                   "fragments": [list(fr) for fr in frags]})
@@ -212,6 +223,12 @@ class CheckpointedBuild:
     previous PROCESS), which would delete a concurrent instance's in-flight
     atomic write. Resume = sequential re-instantiation, never concurrent
     sharing; run concurrent builds in distinct run_dirs.
+
+    **Shared-filesystem contract**: ``run_dir`` must be visible to the
+    driver AND every Ray worker node (NFS / fuse-mounted object store on a
+    multi-node cluster) — workers write partials there and the driver
+    lists them for status/merge. A node-local path on a multi-node cluster
+    silently strands partials on remote disks.
     """
 
     def __init__(self, run_dir: str, input_paths: list[str], *, kind: str,

@@ -184,3 +184,49 @@ def test_build_sketch_exact_partition_invariant(ray_session, rng):
         pa.table({"v": pa.array([vals[i] for i in perm])})).repartition(5)
     assert build_sketch_exact(ds, "v", "taffy_block", params) \
         .to_bytes() == want
+
+
+def test_grouped_build_null_keys_excluded_correct_rows(ray_session):
+    """Null-key rows are EXCLUDED (documented) and — the regression — the
+    single-distinct-key + null case must still attribute the RIGHT rows:
+    key ['a', None, 'a'] with values v0,v1,v2 must sketch exactly {v0,v2}
+    (the unsorted-column shortcut used to sketch {v0,v1} and drop v2)."""
+    import pyarrow as pa
+
+    import ray
+
+    from libfilter_ray.sketch.block_bloom import BlockBloom
+    from libfilter_ray.sketch.hashing import DEFAULT_SEED, hash_arrow_array
+    from libfilter_ray.stages.sketch_build import build_grouped_sketches
+
+    t = pa.table({"k": pa.array(["a", None, "a"]),
+                  "v": pa.array(["v0", "v1", "v2"])})
+    out = build_grouped_sketches(ray.data.from_arrow(t), "k", "v", "block",
+                                 {"bytes_": 1024}, num_salts=1)
+    assert out["k"].tolist() == ["a"]
+    assert out["rows"].tolist() == [2]
+    f = BlockBloom.from_bytes(out["payload"].iloc[0])
+    h = hash_arrow_array(pa.array(["v0", "v1", "v2"]), seed=DEFAULT_SEED)
+    got = f.find_hashes(h)
+    assert got[0] and got[2], "member rows must be found (no false negatives)"
+    # v1 belongs to the NULL key; a 1KB bloom with 2 members makes a false
+    # positive on it vanishingly unlikely — its presence means the bug
+    assert not got[1], "null-key row leaked into the 'a' sketch"
+
+
+def test_grouped_build_empty_input_returns_typed_empty_frame(ray_session):
+    import pyarrow as pa
+
+    import ray
+
+    from libfilter_ray.stages.sketch_build import (build_grouped_multi,
+                                                   build_grouped_sketches)
+
+    t = pa.table({"k": pa.array([], type=pa.string()),
+                  "v": pa.array([], type=pa.string())})
+    out = build_grouped_sketches(ray.data.from_arrow(t), "k", "v", "block",
+                                 {"bytes_": 1024})
+    assert len(out) == 0 and {"k", "payload", "rows"} <= set(out.columns)
+    out2 = build_grouped_multi(ray.data.from_arrow(t), "k",
+                               [("b", "block", {"bytes_": 1024}, "v")])
+    assert len(out2) == 0 and "payload_b" in out2.columns
