@@ -100,6 +100,12 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
     Two rows sharing ANY band key are LSH candidates (s-curve threshold
     ≈ (1/bands)^(1/rows_per_band))."""
     n, num_perm = sig.shape
+    if bands < 1 or num_perm % bands != 0:
+        # silent truncation would shift the s-curve (trailing permutations
+        # ignored), and bands > num_perm would hash EVERY row to the same
+        # constant key per band — one corpus-wide bucket
+        raise ValueError(
+            f"bands must divide num_perm ({num_perm}), got bands={bands}")
     rpb = num_perm // bands
     keys = np.empty((n, bands), dtype=U64)
     with np.errstate(over="ignore"):

@@ -53,32 +53,39 @@ def bpe_ish_token_counts(col) -> np.ndarray:
     return token_counts(col, BPE_ISH)
 
 
-def quality_stats(col) -> dict[str, np.ndarray]:
+def _marker_counts(arr: pa.Array) -> dict[str, np.ndarray]:
+    """One regex-count pass per language profile — computed ONCE per batch
+    and shared by quality_stats and lang_id (they used to each run their
+    own copies of the same five passes)."""
+    return {lang: np.asarray(pc.count_substring_regex(arr, pat),
+                             dtype=np.float64)
+            for lang, pat in LANG_MARKERS.items()}
+
+
+def quality_stats(col, *, marker_counts: dict | None = None,
+                  n_tokens: np.ndarray | None = None) -> dict[str, np.ndarray]:
     """Per-row quality signals: n_chars, n_tokens, mean_token_len,
     punct_ratio, stopword_ratio, quality_score ∈ [0,1].
 
     The composite score mirrors common pretraining-corpus filters (Gopher/C4
     style rules): penalize very short docs, low stopword density (non-text),
-    and punctuation floods.
+    and punctuation floods. Pass precomputed `marker_counts` /
+    `n_tokens` to share the regex passes with lang_id (text_stats_stage).
     """
     arr = _str(col)
     n_chars = np.asarray(pc.utf8_length(arr), dtype=np.float64)
-    n_tokens = token_counts(arr).astype(np.float64)
+    if n_tokens is None:
+        n_tokens = token_counts(arr).astype(np.float64)
+    n_tokens = n_tokens.astype(np.float64)
     n_punct = np.asarray(pc.count_substring_regex(arr, PUNCT),
                          dtype=np.float64)
-    n_stop = np.asarray(
-        pc.count_substring_regex(arr, LANG_MARKERS["en"]), dtype=np.float64)
-    for lang in ("de", "es", "fr"):
-        n_stop = n_stop + np.asarray(
-            pc.count_substring_regex(arr, LANG_MARKERS[lang]),
-            dtype=np.float64)
+    mc = marker_counts if marker_counts is not None else _marker_counts(arr)
+    n_stop = mc["en"] + mc["de"] + mc["es"] + mc["fr"]
     safe_tok = np.maximum(n_tokens, 1.0)
     mean_token_len = np.where(n_tokens > 0, n_chars / safe_tok, 0.0)
     punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
     stop_ratio = n_stop / safe_tok
-    has_cjk = np.asarray(
-        pc.count_substring_regex(arr, LANG_MARKERS["zh"]),
-        dtype=np.float64) > 0
+    has_cjk = mc["zh"] > 0
     length_term = np.clip(n_tokens / 50.0, 0.0, 1.0)
     stop_term = np.clip(np.where(has_cjk, 1.0, stop_ratio / 0.2), 0.0, 1.0)
     punct_term = np.clip(1.0 - punct_ratio / 0.3, 0.0, 1.0)
@@ -95,16 +102,20 @@ def quality_stats(col) -> dict[str, np.ndarray]:
     }
 
 
-def lang_id(col) -> pa.Array:
+def lang_id(col, *, marker_counts: dict | None = None,
+            n_tokens: np.ndarray | None = None) -> pa.Array:
     """Predicted language code per row (marker-profile argmax; 'und' when no
-    profile fires). Vectorized: one regex-count pass per language."""
+    profile fires). Vectorized: one regex-count pass per language (shared
+    with quality_stats via `marker_counts` when both run on a batch)."""
     arr = _str(col)
     langs = list(LANG_MARKERS)
-    n_tokens = np.maximum(token_counts(arr).astype(np.float64), 1.0)
+    if n_tokens is None:
+        n_tokens = token_counts(arr).astype(np.float64)
+    n_tokens = np.maximum(n_tokens.astype(np.float64), 1.0)
+    mc = marker_counts if marker_counts is not None else _marker_counts(arr)
     scores = np.empty((len(arr), len(langs)), dtype=np.float64)
     for j, lang in enumerate(langs):
-        c = np.asarray(pc.count_substring_regex(arr, LANG_MARKERS[lang]),
-                       dtype=np.float64)
+        c = mc[lang]
         # zh matches count characters, not words — normalize by chars
         if lang == "zh":
             n_chars = np.maximum(
@@ -136,7 +147,10 @@ def text_stats_stage(batch: pa.Table, column: str = "text") -> pa.Table:
     """map_batches stage: append token counts, quality signals, predicted
     lang, and two content fingerprints (exact-hash + winnowing)."""
     col = batch[column]
-    stats = quality_stats(col)
+    arr = _str(col)
+    mc = _marker_counts(arr)  # five regex passes, shared by both kernels
+    n_tok = token_counts(arr)
+    stats = quality_stats(col, marker_counts=mc, n_tokens=n_tok)
     t = batch
     for name, vals in stats.items():
         if name in t.column_names:
@@ -144,7 +158,8 @@ def text_stats_stage(batch: pa.Table, column: str = "text") -> pa.Table:
         t = t.append_column(name, pa.array(vals))
     t = t.append_column("n_bpe_tokens",
                         pa.array(bpe_ish_token_counts(col), type=pa.int64()))
-    t = t.append_column("lang_pred", lang_id(col))
+    t = t.append_column("lang_pred", lang_id(col, marker_counts=mc,
+                                             n_tokens=n_tok))
     # int64 bit-views: Ray shuffle/aggregate round-trips group keys through
     # Python ints and overflows on u64 values >= 2^63
     t = t.append_column("content_hash",

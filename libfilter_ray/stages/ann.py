@@ -21,6 +21,23 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _block_topk_rows(sim: np.ndarray, ids: np.ndarray,
+                     kk: int) -> np.ndarray:
+    """Row indices of each query's block-local top-kk, with the documented
+    DETERMINISTIC tie-break (cosine desc, neighbor_id asc). argpartition
+    alone resolves rank-kk boundary ties arbitrarily — a tied smaller-id
+    neighbor could be dropped before the exact global merge ever sees it.
+    One exact lexsort per query over the batch — O(q·n log n), noise next
+    to the (n x q x dim) matmul that produced `sim`, and free of the
+    boundary-tie edge case any pruning scheme reintroduces. Returns flat
+    row indices, query-major (q x kk)."""
+    nq = sim.shape[1]
+    out = np.empty((nq, kk), dtype=np.int64)
+    for qi in range(nq):
+        out[qi] = np.lexsort((ids, -sim[:, qi]))[:kk]
+    return out.ravel()
+
+
 def _matrix(t: pa.Table, column: str, dtype=np.float32) -> np.ndarray:
     col = t[column]
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -54,11 +71,9 @@ def brute_topk(ds, queries: np.ndarray, *, column: str = "embedding",
                          else t[id_column]).astype(np.int64)
         sim = X @ Qm.T  # (batch, q)
         kk = min(k, len(ids))
-        # local top-k per query via argpartition (O(batch) per query)
-        part = np.argpartition(-sim, kk - 1, axis=0)[:kk]  # (k, q)
+        rows = _block_topk_rows(sim, ids, kk)  # deterministic ties
         nq = Qm.shape[0]
         qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
-        rows = part.T.ravel()
         return pa.table({
             "query_id": pa.array(qid),
             "neighbor_id": pa.array(ids[rows]),
@@ -194,10 +209,9 @@ def ivf_topk(ds, queries: np.ndarray, *, column: str = "embedding",
         mask = allow[:, assign].T  # (batch, q)
         sim = np.where(mask, sim, -np.inf)
         kk = min(k, len(ids))
-        part = np.argpartition(-sim, kk - 1, axis=0)[:kk]
+        rows = _block_topk_rows(sim, ids, kk)  # deterministic ties
         nq = Qm.shape[0]
         qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
-        rows = part.T.ravel()
         vals = sim[rows, qid]
         keep = np.isfinite(vals)
         return pa.table({

@@ -172,17 +172,6 @@ def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64):
 # candidate-pair machinery shared by minhash / simhash / embedding paths
 # ---------------------------------------------------------------------------
 
-def _pairs_from_buckets(df: pd.DataFrame, id_column: str,
-                        max_bucket: int = 64) -> pd.DataFrame:
-    """All unordered id pairs within one bucket (capped against pathological
-    buckets; the cap is logged upstream via the bucket-size histogram)."""
-    ids = np.sort(df[id_column].to_numpy())[:max_bucket]
-    if len(ids) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
-
-
 def _union_find(pairs: np.ndarray, ids: np.ndarray) -> dict[int, int]:
     """Cluster confirmed duplicate pairs; returns id -> cluster-min-id.
     Driver-side on the (rare) confirmed pairs only."""
@@ -271,19 +260,18 @@ def _candidate_pairs(buckets, key: str, id_column: str, *,
     Sharding by key-hash RANGE (not one group per bucket) amortizes the
     per-group Python overhead over millions of tiny buckets — the same fix
     shape as the salted grouped sketch merge (SURVEY.md §2.6)."""
-    from ..sketch.hashing import splitmix64
+    from ..sketch.hashing import shard_of_values
 
     extra = list(extra_cols or [])
     cols = [key, id_column] + extra
 
     def add_shard(t: pa.Table) -> pa.Table:
-        k = np.ascontiguousarray(
-            _str(t[key]).to_numpy(zero_copy_only=False),
-            dtype=np.int64).view(np.uint64)
-        shard = (splitmix64(k, seed=0xD15C) % np.uint64(num_shards)) \
-            .astype(np.int64)
+        # the shared type-agnostic shard tagger (hashing.shard_of_values),
+        # same scheme as joins / samplers / sharded merges
         return t.select(cols).append_column(
-            "shard", pa.array(shard, type=pa.int64()))
+            "shard", pa.array(
+                shard_of_values(t[key], num_shards, seed=0xD15C),
+                type=pa.int64()))
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         return _scan_pairs_df(df, key, id_column, extra, max_bucket)
@@ -291,6 +279,17 @@ def _candidate_pairs(buckets, key: str, id_column: str, *,
     pairs = buckets.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("shard").map_groups(scan, batch_format="pandas") \
         .to_pandas()
+    if not len(pairs):
+        # zero pairs across all shards: Ray drops the 0-row group outputs
+        # and to_pandas() comes back COLUMN-LESS — return the typed empty
+        # frame callers expect instead of KeyError'ing on id_a
+        pairs = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                              "id_b": np.array([], dtype=np.int64)})
+        names = _extra_names(extra)
+        for c in extra:
+            pairs[names[c][0]] = np.array([], dtype=np.int64)
+            pairs[names[c][1]] = np.array([], dtype=np.int64)
+        return pairs
     # same (id_a, id_b) pair can surface from several bands/shards
     return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -517,10 +516,18 @@ def embedding_near_dup_pairs(ds, column: str, id_column: str, *,
     16 B/row — pair-scanned by the sharded distributed `_candidate_pairs`;
     embeddings are then gathered ONLY for the candidate ids (broadcast id
     set, O(candidates) driver memory — never the corpus)."""
+    if not 1 <= num_planes <= 64:
+        raise ValueError(  # key is one packed u64 of sign bits
+            f"num_planes must be in [1, 64], got {num_planes}")
     planes = np.random.default_rng(seed).standard_normal(
         (dim, num_planes)).astype(np.float32)
 
     def bucket_stage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # reshape(0, -1) rejects empty flats
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                id_column: pa.array([], type=t[id_column].type),
+            })
         X = _embedding_matrix(t, column)
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         bits = (Xn @ planes) > 0

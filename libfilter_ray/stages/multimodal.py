@@ -25,18 +25,21 @@ IMAGE_META_TYPE = pa.struct([("width", pa.int32()), ("height", pa.int32()),
 
 
 def _flat_binary_view(col) -> tuple[np.ndarray, np.ndarray]:
-    """(row_offsets rebased to 0, flat byte view) of a binary column —
-    the shared Arrow-buffer walk (combine_chunks, offset slicing, 32- vs
-    64-bit offset dtype) used by every payload kernel in this module."""
+    """(row_offsets rebased to 0, flat byte view) of a binary column.
+
+    Thin adapter over the canonical Arrow-buffer walk
+    (`sketch.hashing._binary_array_parts`) so the offset-dtype handling —
+    including large_string/large_binary 64-bit offsets — lives in exactly
+    one place."""
+    from ..sketch.hashing import _binary_array_parts
+
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    buffers = col.buffers()
-    off_dtype = np.int64 if col.type == pa.large_binary() else np.int32
-    offsets = np.frombuffer(buffers[1], dtype=off_dtype,
-                            count=len(col) + col.offset + 1)[col.offset:] \
-        .astype(np.int64)
-    data = np.frombuffer(buffers[2], dtype=np.uint8)[offsets[0]:offsets[-1]] \
-        if buffers[2] is not None else np.empty(0, dtype=np.uint8)
-    return offsets - offsets[0], data
+    data, starts, ends = _binary_array_parts(col)
+    if len(starts) == 0:
+        return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.uint8)
+    base = starts[0]
+    offsets = np.concatenate([starts, ends[-1:]]) - base
+    return offsets, data[base:ends[-1]]
 
 
 def attach_fake_images(t: pa.Table, *, id_column: str = "doc_id",
@@ -170,9 +173,16 @@ class AudioFeatureStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         offsets, data = _flat_binary_view(t["audio"])
+        sizes = np.diff(offsets)
+        if (sizes % 2).any():
+            # an odd payload would shift every later row's int16 view by a
+            # byte — silent garbage stats; enforce the PCM16 contract
+            raise ValueError(
+                "PCM16 payloads must have even byte length; "
+                f"{int((sizes % 2).sum())} rows violate it")
         pcm = data.view(np.int16).astype(np.float64)
         n = len(offsets) - 1
-        n_samp = (np.diff(offsets) // 2).astype(np.int64)
+        n_samp = (sizes // 2).astype(np.int64)
         starts = np.cumsum(n_samp) - n_samp
         # Segment reductions run over NON-EMPTY rows only: their starts are
         # strictly increasing and in range, so reduceat boundaries are

@@ -597,3 +597,40 @@ def test_candidate_pairs_sharded_equals_global_scan(ray_session, rng):
     assert len(got) == len(want)
     assert set(map(tuple, got[["id_a", "id_b"]].to_numpy())) \
         == set(map(tuple, want[["id_a", "id_b"]].to_numpy()))
+
+
+def test_near_dup_pipelines_handle_no_candidates(ray_session):
+    """Regression: a corpus with ZERO near-dup candidates must yield empty
+    pair frames (Ray drops 0-row group outputs and to_pandas() comes back
+    column-less — the pair scan used to KeyError on id_a)."""
+    from libfilter_ray.stages.dedup import (minhash_near_dup_pairs,
+                                            ngram_jaccard_pairs,
+                                            simhash_near_dup_pairs)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten eleven",
+            "totally different content with no overlap at all here now",
+            "fourth document unlike any other in this corpus set today",
+        ])})
+    ds = ray.data.from_arrow(t)
+    for fn in (lambda: minhash_near_dup_pairs(ds, "text", "doc_id",
+                                              threshold=0.6),
+               lambda: ngram_jaccard_pairs(ds, "text", "doc_id"),
+               lambda: simhash_near_dup_pairs(ds, "text", "doc_id",
+                                              max_hamming=0)):
+        out = fn()
+        assert len(out) == 0
+        assert {"id_a", "id_b"} <= set(out.columns)
+
+
+def test_lsh_band_keys_validates_band_divisibility():
+    from libfilter_ray.functions.shingles import lsh_band_keys
+
+    sig = np.zeros((3, 8), dtype=np.uint64)
+    with pytest.raises(ValueError, match="divide"):
+        lsh_band_keys(sig, bands=16)
+    with pytest.raises(ValueError, match="divide"):
+        lsh_band_keys(sig, bands=3)
