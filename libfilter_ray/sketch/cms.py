@@ -50,6 +50,17 @@ class CountMin:
                           0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
                          dtype=np.uint64)
 
+    def _row_mult(self, r: int) -> np.uint64:
+        """Row multiplier: the fixed table for rows < 8 (pinned — payloads
+        and estimates of existing sketches must not change), a derived odd
+        splitmix64 draw beyond (wrapping `r % 8` reused rows 0..7 verbatim,
+        so depth > 8 silently added ZERO independence while delta() still
+        advertised exp(-depth))."""
+        if r < len(self._ROW_MULT):
+            return self._ROW_MULT[r]
+        return splitmix64(np.asarray([r], dtype=U64),
+                          seed=0x30B5)[0] | U64(1)
+
     def _indices(self, hashes: np.ndarray) -> np.ndarray:
         """(depth, n) column indices: ONE splitmix64 avalanche of the input,
         then per-row odd-multiply + fast-range ((h*m >> 32) * w) >> 32 —
@@ -60,7 +71,7 @@ class CountMin:
         w = U64(self.width)
         with np.errstate(over="ignore"):
             for r in range(self.depth):
-                h = base * self._ROW_MULT[r % len(self._ROW_MULT)]
+                h = base * self._row_mult(r)
                 h ^= h >> U64(33)
                 idx[r] = (((h >> U64(32)) * w) >> U64(32)).astype(np.int64)
         return idx
@@ -80,10 +91,17 @@ class CountMin:
             self.total += len(hashes)
         else:
             w = np.ascontiguousarray(weights, dtype=np.float64)
+            if (w < 0).any():
+                # a negative weight would wrap to ~1.8e19 in the u64 counts
+                raise ValueError("count-min weights must be non-negative")
             for r in range(self.depth):
-                self.counts[r] += np.bincount(
-                    idx[r], weights=w, minlength=self.width).astype(np.uint64)
-            self.total += int(w.sum())
+                # ceil, not floor: truncation would let estimates fall
+                # BELOW true counts, breaking the CM overestimate guarantee
+                # for fractional weights (integral weights are unchanged)
+                self.counts[r] += np.ceil(np.bincount(
+                    idx[r], weights=w,
+                    minlength=self.width)).astype(np.uint64)
+            self.total += int(math.ceil(w.sum()))
         return self
 
     add_hashes = update

@@ -37,9 +37,6 @@ _SM_M2 = U64(0x94D049BB133111EB)
 
 DEFAULT_SEED = 0x5EEDBADBEE52B055
 
-_old = np.seterr(over="ignore")
-np.seterr(**_old)
-
 
 def splitmix64(x: np.ndarray | int, seed: int = 0) -> np.ndarray:
     """Vectorized splitmix64 finalizer: u64 -> pseudorandom u64."""
@@ -76,12 +73,41 @@ def rehash_32_to_64(h32: np.ndarray) -> np.ndarray:
         return (((REHASH_32 * s) >> U64(32)) << U64(32)) | s
 
 
+# One _hash_buffer pass materializes ~32 B of u64 tables per input byte
+# (qpow/ppow/prefix sums); bound the transient at ~2 GB per task by hashing
+# row groups of <= this many bytes. The polynomial hash is TRANSLATION-
+# INVARIANT (Q = P^-1 mod 2^64, so the Q^d·P^d shift factors cancel),
+# hence chunked results are bit-identical to a single pass — property-
+# tested in test_hashing.py.
+_HASH_CHUNK_BYTES = 64 << 20
+
+
 def _hash_buffer(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                  seed: int) -> np.ndarray:
-    """Polynomial hash of variable-length slices [starts, ends) of `data`."""
+    """Polynomial hash of variable-length slices [starts, ends) of `data`,
+    processed in byte-bounded row groups (see _HASH_CHUNK_BYTES)."""
     n = len(starts)
     if n == 0:
         return np.empty(0, dtype=U64)
+    if len(data) > _HASH_CHUNK_BYTES and n > 1:
+        out = np.empty(n, dtype=U64)
+        i = 0
+        while i < n:
+            limit = int(starts[i]) + _HASH_CHUNK_BYTES
+            j = max(i + 1, int(np.searchsorted(ends, limit, side="right")))
+            j = min(j, n)
+            base = int(starts[i])
+            out[i:j] = _hash_buffer_one(
+                data[base:int(ends[j - 1])],
+                starts[i:j] - base, ends[i:j] - base, seed)
+            i = j
+        return out
+    return _hash_buffer_one(data, starts, ends, seed)
+
+
+def _hash_buffer_one(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                     seed: int) -> np.ndarray:
+    n = len(starts)
     L = len(data)
     with np.errstate(over="ignore"):
         if L == 0:
@@ -167,5 +193,15 @@ def shard_of_values(values, num_shards: int, seed: int = 0x5AAD) -> np.ndarray:
     scans and samplers (equal keys always land in one shard)."""
     if not isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = pa.array(values)
-    h = hash_arrow_array(values, seed=seed)
+    if len(values) == 0:
+        return np.empty(0, dtype=np.int64)
+    if pa.types.is_null(values.type):
+        # all-None python input infers Arrow type `null`; use the SAME
+        # null sentinel as hash_arrow_array so a fully-null column shards
+        # exactly like the null rows of a typed column
+        sentinel = splitmix64(np.asarray([U64(0xDEAD)], dtype=U64),
+                              seed=(seed ^ 0xA5A5_5A5A_F00D_BEEF))[0]
+        h = np.full(len(values), sentinel, dtype=U64)
+    else:
+        h = hash_arrow_array(values, seed=seed)
     return (h % np.uint64(num_shards)).astype(np.int64)

@@ -49,9 +49,11 @@ def make(kind: str, **params):
 
 
 def factory(kind: str, **params) -> Callable[[], object]:
-    """A picklable zero-arg constructor for use inside Ray tasks."""
-    cls = get(kind)
-    return lambda: cls(**params)
+    """A picklable zero-arg constructor for use inside Ray tasks
+    (functools.partial, not a lambda — survives plain pickle too)."""
+    import functools
+
+    return functools.partial(get(kind), **params)
 
 
 _builtins_installed = False
@@ -75,3 +77,4 @@ def _ensure_builtins() -> None:
     from . import kll  # noqa: F401
     from . import xor_static  # noqa: F401
     from . import minimal_taffy_cuckoo  # noqa: F401
+    from . import vector_quotient  # noqa: F401

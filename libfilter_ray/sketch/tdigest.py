@@ -72,23 +72,32 @@ class TDigest:
         order = np.argsort(means, kind="stable")
         means, weights = means[order], weights[order]
         total = weights.sum()
-        # greedy merge pass under the k1 size bound
+        # greedy merge pass under the k1 size bound. The k1 values of every
+        # candidate boundary are computed in ONE vectorized pass (cumsum of
+        # the elementwise q increments — the same sequential addition order
+        # as the old scalar loop, so results are bit-identical); the loop
+        # itself is scalar float compares only. The old per-element
+        # _k1(np.array([q]))[0] calls made compression ~350x slower than
+        # KLL's.
+        k_scale = self.delta / (2 * math.pi)
+        qacc_arr = np.cumsum(weights / total)
+        kvals = k_scale * np.arcsin(np.clip(2 * qacc_arr - 1, -1.0, 1.0))
+
+        def k1s(q: float) -> float:
+            return k_scale * math.asin(min(max(2 * q - 1, -1.0), 1.0))
+
         out_means, out_weights = [], []
-        cur_m, cur_w, cur_q0 = means[0], weights[0], 0.0
-        klim = _k1(np.array([cur_q0]), self.delta)[0] + 1.0
-        qacc = weights[0] / total
+        cur_m, cur_w = means[0], weights[0]
+        klim = k1s(0.0) + 1.0
         for i in range(1, len(means)):
-            q_new = qacc + weights[i] / total
-            if _k1(np.array([q_new]), self.delta)[0] <= klim:
+            if kvals[i] <= klim:
                 cur_w += weights[i]
                 cur_m += (means[i] - cur_m) * weights[i] / cur_w
             else:
                 out_means.append(cur_m)
                 out_weights.append(cur_w)
-                cur_q0 = qacc
-                klim = _k1(np.array([cur_q0]), self.delta)[0] + 1.0
+                klim = k1s(qacc_arr[i - 1]) + 1.0
                 cur_m, cur_w = means[i], weights[i]
-            qacc = q_new
         out_means.append(cur_m)
         out_weights.append(cur_w)
         self.means = np.asarray(out_means)

@@ -100,3 +100,26 @@ def test_null_sentinel_distinct_from_any_int():
     h = hash_arrow_array(pa.array([None, 0xDEAD, 0], type=pa.int64()))
     assert h[0] != h[1]
     assert h[0] != h[2]
+
+
+def test_hash_buffer_chunked_matches_single_pass(monkeypatch, rng):
+    """Byte-bounded chunked hashing is bit-identical to one pass (the
+    polynomial hash is translation-invariant: Q = P^-1 mod 2^64)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from libfilter_ray.sketch import hashing
+
+    texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, int(L)))
+             for L in rng.integers(0, 200, 300)]
+    arr = pa.array(texts)
+    want = hashing.hash_arrow_array(arr, seed=123)
+    monkeypatch.setattr(hashing, "_HASH_CHUNK_BYTES", 257)
+    got = hashing.hash_arrow_array(arr, seed=123)
+    assert np.array_equal(want, got)
+    # single row larger than the chunk bound still hashes correctly
+    big = pa.array(["x" * 5000, "y"])
+    monkeypatch.setattr(hashing, "_HASH_CHUNK_BYTES", 64 << 20)
+    w2 = hashing.hash_arrow_array(big, seed=9)
+    monkeypatch.setattr(hashing, "_HASH_CHUNK_BYTES", 100)
+    assert np.array_equal(w2, hashing.hash_arrow_array(big, seed=9))
