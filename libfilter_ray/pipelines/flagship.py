@@ -111,33 +111,12 @@ def flagship(sf_dir: str, fpp: float = 0.01, replicate: int = 1,
     # with an actor pool instead.)
     import ray
 
-    from ..stages.broadcast import cached_broadcast
+    from ..stages.sketch_build import grouped_probe_counts
 
     payloads_ref = ray.put({row["lang"]: bytes(row["payload"])
                             for _, row in grouped.iterrows()})
-
-    def probe_count(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        filters = cached_broadcast(
-            payloads_ref,
-            lambda pl: {k: BlockBloom.from_bytes(v) for k, v in pl.items()})
-        langs, found, n = [], [], []
-        dict_arr = pc.dictionary_encode(t["lang"].combine_chunks()
-                                        if isinstance(t["lang"], pa.ChunkedArray)
-                                        else t["lang"])
-        codes = np.asarray(dict_arr.indices)
-        urls = t["url"].combine_chunks() \
-            if isinstance(t["url"], pa.ChunkedArray) else t["url"]
-        for code in range(len(dict_arr.dictionary)):
-            lang = dict_arr.dictionary[code].as_py()
-            mask = codes == code
-            h = hash_arrow_array(urls.filter(pa.array(mask)))
-            langs.append(lang)
-            found.append(int(filters[lang].find_hashes(h).sum()))
-            n.append(int(mask.sum()))
-        return pa.table({"lang": pa.array(langs, type=pa.string()),
-                         "found": pa.array(found, type=pa.int64()),
-                         "n": pa.array(n, type=pa.int64())})
+    probe_count = grouped_probe_counts(payloads_ref, BlockBloom.from_bytes,
+                                       "lang", "url")
 
     from ray.data.aggregate import Sum
 

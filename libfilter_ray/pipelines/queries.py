@@ -447,11 +447,12 @@ def q_static_xor_per_lang(sf_dir: str) -> pd.DataFrame:
 
     pages = read_webpages(sf_dir, include_html=False) \
         .select_columns(["url", "lang"])
-    probes = hash_arrow_array(pa.array(
-        [f"https://absent.example.net/{i}" for i in range(1 << 17)]))
+    probes_ref = ray.put(hash_arrow_array(pa.array(
+        [f"https://absent.example.net/{i}" for i in range(1 << 17)])))
 
     def build_group(df: pd.DataFrame) -> pd.DataFrame:
-        h = hash_arrow_array(pa.array(df["url"].tolist()))
+        probes = ray.get(probes_ref)  # zero-copy plasma, not a closure copy
+        h = hash_arrow_array(pa.array(df["url"]))
         f = StaticXor.build(h)
         return pd.DataFrame({
             "lang": [df["lang"].iloc[0]],
@@ -786,7 +787,7 @@ def q_minimal_taffy_per_lang(sf_dir: str) -> pd.DataFrame:
         [f"https://absent.example.net/{i}" for i in range(1 << 14)]))
 
     def build_group(df: pd.DataFrame) -> pd.DataFrame:
-        h = hash_arrow_array(pa.array(df["url"].tolist()))
+        h = hash_arrow_array(pa.array(df["url"]))
         f = MinimalTaffyCuckoo()
         f.update(h)
         return pd.DataFrame({
@@ -819,7 +820,7 @@ def q_vector_quotient_per_lang(sf_dir: str) -> pd.DataFrame:
         [f"https://absent.example.net/{i}" for i in range(1 << 13)]))
 
     def build_group(df: pd.DataFrame) -> pd.DataFrame:
-        h = hash_arrow_array(pa.array(df["url"].tolist()))
+        h = hash_arrow_array(pa.array(df["url"]))
         f = TaffyVectorQuotient()
         f.update(h)
         return pd.DataFrame({
@@ -1392,38 +1393,26 @@ def q_incremental_growable(sf_dir: str) -> pd.DataFrame:
     def grow(df: pd.DataFrame) -> pd.DataFrame:
         lang = df["lang"].iloc[0]
         payloads = ray.get(p1_ref)
-        f = TaffyCuckoo.from_bytes(payloads[lang])
+        # a lang whose docs all have odd ids has no phase-1 filter: grow
+        # from a fresh one (same spec) instead of KeyError'ing
+        f = (TaffyCuckoo.from_bytes(payloads[lang])
+             if lang in payloads else TaffyCuckoo(bytes_=512))
         f.add_hashes(hash_arrow_array(pa.array(df["text"],
                                                type=pa.large_string())))
         return pd.DataFrame({"lang": [lang], "payload": [f.to_bytes()]})
 
     grown = half2.groupby("lang").map_groups(grow, batch_format="pandas") \
         .to_pandas()
-    g_ref = ray.put({r["lang"]: bytes(r["payload"])
-                     for _, r in grown.iterrows()})
+    # all-even langs never pass through grow(): fall back to their
+    # phase-1 filter so the probe covers every lang
+    final_payloads = dict(phase1)
+    final_payloads.update({r["lang"]: bytes(r["payload"])
+                           for _, r in grown.iterrows()})
+    g_ref = ray.put(final_payloads)
 
-    def probe(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        fs = cached_broadcast(
-            g_ref, lambda pl: {k: TaffyCuckoo.from_bytes(v)
-                               for k, v in pl.items()})
-        dict_arr = pc.dictionary_encode(
-            t["lang"].combine_chunks()
-            if isinstance(t["lang"], pa.ChunkedArray) else t["lang"])
-        codes = np.asarray(dict_arr.indices)
-        texts = t["text"].combine_chunks() \
-            if isinstance(t["text"], pa.ChunkedArray) else t["text"]
-        langs, n, found = [], [], []
-        for code in range(len(dict_arr.dictionary)):
-            lang = dict_arr.dictionary[code].as_py()
-            mask = codes == code
-            h = hash_arrow_array(texts.filter(pa.array(mask)))
-            langs.append(lang)
-            n.append(int(mask.sum()))
-            found.append(int(fs[lang].find_hashes(h).sum()))
-        return pa.table({"lang": pa.array(langs, type=pa.string()),
-                         "n": pa.array(n, type=pa.int64()),
-                         "found": pa.array(found, type=pa.int64())})
+    from ..stages.sketch_build import grouped_probe_counts
+    probe = grouped_probe_counts(g_ref, TaffyCuckoo.from_bytes,
+                                 "lang", "text")
 
     out = ds.map_batches(probe, batch_format="pyarrow") \
         .groupby("lang").aggregate(
@@ -1463,33 +1452,11 @@ def q_bloom_per_lang_source(sf_dir: str) -> pd.DataFrame:
     keyed = ds.map_batches(composite, batch_format="pyarrow")
     built = build_grouped_sketches(keyed, "grp", "text", "block",
                                    {"bytes_": 1 << 14})
-    from ..stages.dedup import _cached_filter
+    from ..stages.sketch_build import grouped_probe_counts
     payloads = {row["grp"]: bytes(row["payload"])
                 for _, row in built.iterrows()}
     fref = ray.put(payloads)
-
-    def _mk(pl):
-        return {k: BlockBloom.from_bytes(v) for k, v in pl.items()}
-
-    def probe(t: pa.Table) -> pa.Table:
-        # deserialize the filter dict ONCE per worker process (memo), not
-        # per batch — the dict is cloudpickled, not zero-copy plasma
-        fs = _cached_filter(fref, _mk)
-        grp = _str(t["grp"])
-        dict_arr = pc.dictionary_encode(grp)
-        codes = np.asarray(dict_arr.indices)
-        texts = _str(t["text"])
-        out_g, out_n, out_f = [], [], []
-        for code in range(len(dict_arr.dictionary)):
-            g = dict_arr.dictionary[code].as_py()
-            mask = codes == code
-            h = hash_arrow_array(texts.filter(pa.array(mask)))
-            out_g.append(g)
-            out_n.append(int(mask.sum()))
-            out_f.append(int(fs[g].find_hashes(h).sum()))
-        return pa.table({"grp": pa.array(out_g, type=pa.string()),
-                         "n": pa.array(out_n, type=pa.int64()),
-                         "found": pa.array(out_f, type=pa.int64())})
+    probe = grouped_probe_counts(fref, BlockBloom.from_bytes, "grp", "text")
 
     agg = keyed.map_batches(probe, batch_format="pyarrow") \
         .groupby("grp").aggregate(

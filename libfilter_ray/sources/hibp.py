@@ -68,6 +68,8 @@ def parse_hibp_lines(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
     from ..sketch.hashing import _binary_array_parts
 
+    if len(col) == 0:  # empty read split: no lines, no keys
+        return np.empty(0, dtype=np.uint64)
     hex16 = pc.utf8_slice_codeunits(col, 24, 40)
     if isinstance(hex16, pa.ChunkedArray):
         hex16 = hex16.combine_chunks()

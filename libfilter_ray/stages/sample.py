@@ -27,19 +27,27 @@ def stratified_sample(ds, key: str, id_column: str, n_per_key: int, *,
     hash-rank hash_arrow_array(id, seed) is smallest within the key (ties on
     rank broken by id — fully deterministic)."""
 
+    def _rank(df: pd.DataFrame) -> np.ndarray:
+        ids = pa.array(df[id_column])
+        if pa.types.is_null(ids.type):  # empty/all-null object column
+            return np.zeros(len(df), dtype=np.int64)
+        return hash_arrow_array(ids, seed=seed).view(np.int64)
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # hash-rank via the generic column hasher: any id type (int,
         # string, ...) works and the rank is a pure function of the value
-        rank = hash_arrow_array(pa.array(df[id_column]),
-                                seed=seed).view(np.int64)
-        d = df.assign(__rank=rank).sort_values(
+        d = df.assign(__rank=_rank(df)).sort_values(
             ["__rank", id_column], kind="stable")
-        d = d[d.groupby(key, sort=False).cumcount() < n_per_key]
+        # dropna=False: a null stratum is still a stratum (SQL GROUP BY
+        # semantics) — the default silently dropped every null-key row
+        d = d[d.groupby(key, sort=False, dropna=False).cumcount()
+              < n_per_key]
         return d.assign(__shard=shard_of_values(d[key], num_shards))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["__rank", id_column], kind="stable")
-        d = d[d.groupby(key, sort=False).cumcount() < n_per_key]
+        d = d[d.groupby(key, sort=False, dropna=False).cumcount()
+              < n_per_key]
         return d.drop(columns=["__rank", "__shard"])
 
     return ds.map_batches(partial, batch_format="pandas") \

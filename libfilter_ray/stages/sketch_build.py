@@ -570,6 +570,49 @@ def build_sketch_actor_pool(ds, column: str, kind: str,
     return out.finalize()
 
 
+def grouped_probe_counts(payloads_ref, from_bytes, key: str, column: str, *,
+                         seed: int = DEFAULT_SEED, count_name: str = "n",
+                         found_name: str = "found"):
+    """A map_batches FUNCTION emitting per-key membership counts against a
+    broadcast dict of per-key serialized filters: dictionary-encode the key
+    column once per batch, one vectorized find_hashes per present key, one
+    tiny (key, n, found) row per key per batch for the downstream Sum.
+
+    `payloads_ref` = ray.put({key: filter_bytes}); filters deserialize ONCE
+    per worker process (stages/broadcast.py memo). The shared body behind
+    the flagship / per-(lang,source) / incremental-growth probes — fix a
+    probe bug here, not in three copies."""
+    import pyarrow.compute as pc
+
+    from .broadcast import cached_broadcast
+
+    def probe(t: pa.Table) -> pa.Table:
+        fs = cached_broadcast(
+            payloads_ref,
+            lambda pl: {k: from_bytes(v) for k, v in pl.items()})
+        keycol = t[key]
+        dict_arr = pc.dictionary_encode(
+            keycol.combine_chunks()
+            if isinstance(keycol, pa.ChunkedArray) else keycol)
+        codes = np.asarray(dict_arr.indices)
+        vals = t[column]
+        vals = vals.combine_chunks() \
+            if isinstance(vals, pa.ChunkedArray) else vals
+        keys, n, found = [], [], []
+        for code in range(len(dict_arr.dictionary)):
+            kv = dict_arr.dictionary[code].as_py()
+            mask = codes == code
+            h = hash_arrow_array(vals.filter(pa.array(mask)), seed=seed)
+            keys.append(kv)
+            n.append(int(mask.sum()))
+            found.append(int(fs[kv].find_hashes(h).sum()))
+        return pa.table({key: pa.array(keys, type=pa.string()),
+                         count_name: pa.array(n, type=pa.int64()),
+                         found_name: pa.array(found, type=pa.int64())})
+
+    return probe
+
+
 def probe_stage(sketch_bytes_ref, kind: str, column: str, *,
                 seed: int = DEFAULT_SEED, out_column: str = "found"):
     """A map_batches callable CLASS probing rows against a broadcast sketch.
