@@ -163,3 +163,37 @@ def test_values_flow_through_registry():
         assert kind in registry.kinds()
     assert registry.get("tdigest").input == "values"
     assert registry.get("hll").input == "hashes"
+
+
+def test_cms_deep_rows_are_independent():
+    """Regression: depth > 8 used to wrap multipliers (r % 8), making rows
+    8+ bit-identical to rows 0+ — zero added independence while delta()
+    advertised exp(-depth). Rows <= 7 keep the pinned table (payload
+    compat)."""
+    import numpy as np
+
+    from libfilter_ray.sketch.cms import CountMin
+
+    c = CountMin(width=4096, depth=12)
+    h = np.random.default_rng(3).integers(0, 2**63, 2000).astype(np.uint64)
+    idx = c._indices(h)
+    for r in range(8, 12):
+        assert not np.array_equal(idx[r], idx[r - 8]), r
+    # pinned multipliers for the first 8 rows
+    for r in range(8):
+        assert c._row_mult(r) == CountMin._ROW_MULT[r]
+
+
+def test_cms_weighted_update_overestimates_and_rejects_negative():
+    import numpy as np
+    import pytest
+
+    from libfilter_ray.sketch.cms import CountMin
+
+    c = CountMin(width=1 << 12, depth=4)
+    h = np.random.default_rng(4).integers(0, 2**63, 64).astype(np.uint64)
+    c.update(h, weights=np.full(64, 0.5))
+    # ceil keeps the count-min overestimate guarantee for fractional weights
+    assert (c.query(h) >= 1).all()  # true weight 0.5 -> estimate >= ceil
+    with pytest.raises(ValueError, match="non-negative"):
+        c.update(h[:2], weights=np.array([1.0, -0.5]))
