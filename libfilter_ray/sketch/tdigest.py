@@ -72,36 +72,35 @@ class TDigest:
         order = np.argsort(means, kind="stable")
         means, weights = means[order], weights[order]
         total = weights.sum()
-        # greedy merge pass under the k1 size bound. The k1 values of every
-        # candidate boundary are computed in ONE vectorized pass (cumsum of
-        # the elementwise q increments — the same sequential addition order
-        # as the old scalar loop, so results are bit-identical); the loop
-        # itself is scalar float compares only. The old per-element
-        # _k1(np.array([q]))[0] calls made compression ~350x slower than
-        # KLL's.
+        # greedy merge pass under the k1 size bound. kvals (the k1 value at
+        # each candidate boundary) is nondecreasing — qacc is a cumsum of
+        # non-negative terms and arcsin is monotone — so instead of scanning
+        # elements one by one, each segment boundary is found with a
+        # searchsorted JUMP: the segment starting at s absorbs every element
+        # i with kvals[i] <= kvals[s-1] + 1, i.e. it ends at the first index
+        # strictly greater (side="right"). The loop runs once per OUTPUT
+        # centroid (~delta), not once per input element (~buffer_size), and
+        # segment weights/means come from cumsum diffs.
         k_scale = self.delta / (2 * math.pi)
+        n = len(means)
         qacc_arr = np.cumsum(weights / total)
         kvals = k_scale * np.arcsin(np.clip(2 * qacc_arr - 1, -1.0, 1.0))
-
-        def k1s(q: float) -> float:
-            return k_scale * math.asin(min(max(2 * q - 1, -1.0), 1.0))
-
-        out_means, out_weights = [], []
-        cur_m, cur_w = means[0], weights[0]
-        klim = k1s(0.0) + 1.0
-        for i in range(1, len(means)):
-            if kvals[i] <= klim:
-                cur_w += weights[i]
-                cur_m += (means[i] - cur_m) * weights[i] / cur_w
-            else:
-                out_means.append(cur_m)
-                out_weights.append(cur_w)
-                klim = k1s(qacc_arr[i - 1]) + 1.0
-                cur_m, cur_w = means[i], weights[i]
-        out_means.append(cur_m)
-        out_weights.append(cur_w)
-        self.means = np.asarray(out_means)
-        self.weights = np.asarray(out_weights)
+        klim0 = k_scale * math.asin(-1.0) + 1.0  # k1(q=0) + 1
+        bounds = [0]
+        s = max(1, int(np.searchsorted(kvals, klim0, side="right")))
+        while s < n:
+            bounds.append(s)
+            nxt = int(np.searchsorted(kvals, kvals[s - 1] + 1.0,
+                                      side="right"))
+            s = max(s + 1, nxt)
+        starts = np.asarray(bounds, dtype=np.intp)
+        wm_acc = np.cumsum(weights * means)
+        w_acc = np.cumsum(weights)
+        ends = np.r_[starts[1:], n] - 1
+        seg_w = w_acc[ends] - np.where(starts > 0, w_acc[starts - 1], 0.0)
+        seg_wm = wm_acc[ends] - np.where(starts > 0, wm_acc[starts - 1], 0.0)
+        self.weights = seg_w
+        self.means = seg_wm / seg_w
 
     def merge(self, other: "TDigest") -> "TDigest":
         other._compress()
