@@ -1248,6 +1248,64 @@ FROM documents GROUP BY domain ORDER BY domain
 """
 
 
+def q_tcf_per_domain(sf_dir: str) -> pd.DataFrame:
+    """Per-domain GROWABLE taffy-cuckoo filters at high key cardinality —
+    the north star's "growable filters for hot domains" case: the same
+    synthetic ~2000-value domain key as `domain_doc_counts`, but the
+    grouped build produces one mergeable TCF per domain (union =
+    c/lib/taffy-cuckoo.c:260-348) through the salted two-stage merge,
+    where the raw-hash shuffle guard matters most (tiny domains ship 8-byte
+    hash lists, not 512-byte filters). Probe is a second streaming pass
+    against the broadcast payload dict. Zero false negatives make
+    members_found deterministic (= n_docs), so counts oracle; filter bytes
+    depend on the merge path and stay in-query-asserted only."""
+    import pyarrow.compute as pc
+
+    from ..sketch.taffy_cuckoo import TaffyCuckoo
+    from ..stages.sketch_build import (build_grouped_sketches,
+                                       grouped_probe_counts)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def with_domain(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        src = t["source"].combine_chunks() \
+            if isinstance(t["source"], pa.ChunkedArray) else t["source"]
+        dom = pc.binary_join_element_wise(
+            src, "-d", pc.cast(pa.array(ids % 97), pa.string()), "")
+        return pa.table({"domain": dom, "text": t["text"]})
+
+    keyed = ds.map_batches(with_domain, batch_format="pyarrow")
+    built = build_grouped_sketches(keyed, "domain", "text", "taffy_cuckoo",
+                                   {"bytes_": 512})
+    # growable contract: every per-domain filter holds at least its keys
+    # (capacity >= rows proves upsizing engaged where needed)
+    caps = np.array([TaffyCuckoo.from_bytes(p).capacity()
+                     for p in built["payload"]])
+    assert (caps >= built["rows"].to_numpy()).all()
+
+    payloads = {row["domain"]: bytes(row["payload"])
+                for _, row in built.iterrows()}
+    fref = ray.put(payloads)
+    probe = grouped_probe_counts(fref, TaffyCuckoo.from_bytes,
+                                 "domain", "text")
+    out = keyed.map_batches(probe, batch_format="pyarrow") \
+        .groupby("domain").aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("found", alias_name="members_found")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["members_found"] = out["members_found"].astype("int64")
+    assert (out["members_found"] == out["n_docs"]).all()
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+SQL_TCF_PER_DOMAIN = """
+SELECT source || '-d' || CAST(doc_id % 97 AS VARCHAR) AS domain,
+       count(*)::BIGINT AS n_docs, count(*)::BIGINT AS members_found
+FROM documents GROUP BY domain ORDER BY domain
+"""
+
+
 def q_tbf_exact_membership(sf_dir: str) -> pd.DataFrame:
     """Partition-invariant exact TaffyBlock build (raw-hash canonicalized
     single-writer finalize, stages/sketch_build.py:build_sketch_exact) over
@@ -2222,6 +2280,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "supplier_revenue": q_supplier_revenue,
     "bloom_per_lang_source": q_bloom_per_lang_source,
     "incremental_growable": q_incremental_growable,
+    "tcf_per_domain": q_tcf_per_domain,
 }
 
 ORACLES: dict[str, str] = {
@@ -2263,4 +2322,5 @@ ORACLES: dict[str, str] = {
     "supplier_revenue": SQL_SUPPLIER_REVENUE,
     "bloom_per_lang_source": SQL_BLOOM_PER_LANG_SOURCE,
     "incremental_growable": SQL_INCREMENTAL_GROWABLE,
+    "tcf_per_domain": SQL_TCF_PER_DOMAIN,
 }

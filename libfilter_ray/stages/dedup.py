@@ -84,30 +84,74 @@ def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64):
     payload, with driver/broadcast memory O(#duplicated hash groups) —
     independent of corpus size for realistic duplication rates.
 
+    Shape: `exact_dedup_drop_ids` (the shared, checkpointable core) yields
+    the sorted ids of the rows to REMOVE, then one streaming filter pass
+    drops them — no payload re-hash in the filter stage, just an int64
+    searchsorted against the broadcast drop set.
+    """
+    import ray
+
+    drop = exact_dedup_drop_ids(ds, column, id_column,
+                                num_shards=num_shards)
+    if not len(drop):
+        return ds  # every payload unique — nothing to drop
+    drop_ref = ray.put(drop)
+    return ds.map_batches(drop_id_filter(drop_ref, id_column),
+                          batch_format="pyarrow")
+
+
+def drop_id_filter(drop_ref, id_column: str):
+    """map_batches fn keeping rows whose id misses the broadcast sorted
+    int64 drop array (zero-copy plasma read per batch)."""
+    import ray
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx = np.searchsorted(drop, ids)
+        hit = (idx < len(drop)) & (drop[np.minimum(idx, len(drop) - 1)]
+                                   == ids)
+        return t.filter(pa.array(~hit))
+
+    return keep_filter
+
+
+def exact_dedup_drop_ids(ds, column: str, id_column: str, *,
+                         num_shards: int = 64,
+                         multi_hashes: np.ndarray | None = None
+                         ) -> np.ndarray:
+    """Sorted int64 ids of the rows exact dedup REMOVES (every multi-group
+    row except its group's min-id survivor). O(duplicate rows) memory —
+    singleton groups never reach the driver.
+
     1. groupby(content_hash) -> collect ONLY the hashes with >1 member
-       (singleton groups, the overwhelming majority, stay distributed).
+       (pass `multi_hashes` to skip this — e.g. a checkpointed job that
+       already built per-partition hash partials).
     2. Broadcast a BlockBloom of the dup-group hashes + the exact sorted
        hash array (the engine's own §2.5 bloom-prune/exact-confirm shape).
-    3. Distributed survivor confirm over ONLY the multi-group rows:
-       (hash, id, payload) sharded by hash, per-shard vectorized
-       min-id-per-(hash, payload) via sort + drop_duplicates. Collision-
-       proof: two distinct payloads sharing a 64-bit hash each keep their
-       own min id. Shuffle volume = the duplicate rows' payloads only.
-    4. Final streaming filter: a row survives iff its hash misses the
-       dup-group set, or its id is a confirmed multi-group survivor.
+    3. Distributed confirm over ONLY the multi-group rows: (hash, id,
+       payload) sharded by hash, per-shard vectorized min-id-per-(hash,
+       payload) via sort + drop_duplicates, emitting the DROPPED ids.
+       Collision-proof: two distinct payloads sharing a 64-bit hash each
+       keep their own min id. Shuffle volume = duplicate payloads only.
     """
     import ray
 
     from ..sketch import sizing
     from ..sketch.block_bloom import BlockBloom
 
-    agg = exact_dedup_keys(ds, column, id_column)
-    multi = agg.filter(expr="n_members > 1") \
-        .select_columns(["content_hash"]).to_pandas()
-    if not len(multi):
-        return ds  # every payload unique — nothing to drop
-    multi_hashes = np.sort(multi["content_hash"].to_numpy()
-                           .astype(np.int64))
+    if multi_hashes is None:
+        agg = exact_dedup_keys(ds, column, id_column)
+        multi = agg.filter(expr="n_members > 1") \
+            .select_columns(["content_hash"]).to_pandas()
+        if not len(multi) or "content_hash" not in multi.columns:
+            return np.empty(0, dtype=np.int64)  # every payload unique
+        multi_hashes = np.sort(multi["content_hash"].to_numpy()
+                               .astype(np.int64))
+    multi_hashes = np.ascontiguousarray(multi_hashes, dtype=np.int64)
+    if not len(multi_hashes):
+        return np.empty(0, dtype=np.int64)
     bloom = BlockBloom(sizing.block_bytes_needed(len(multi_hashes), 0.001))
     bloom.add_hashes(multi_hashes.view(np.uint64))
     bloom_ref = ray.put(bloom.to_bytes())
@@ -133,39 +177,22 @@ def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64):
             "content_hash", pa.array(h2, type=pa.int64())) \
             .append_column("shard", pa.array(shard, type=pa.int64()))
 
-    def confirm(df: pd.DataFrame) -> pd.DataFrame:
-        # min id per (hash, exact payload): stable sort then first-row keep
+    def confirm_drop(df: pd.DataFrame) -> pd.DataFrame:
+        # min id per (hash, exact payload) survives; emit the rest
         df = df.sort_values(["content_hash", column, id_column],
                             kind="stable")
-        keep = df.drop_duplicates(subset=["content_hash", column])
+        dropped = df[df.duplicated(subset=["content_hash", column])]
         return pd.DataFrame({
-            "survivor_id": keep[id_column].to_numpy().astype(np.int64)})
+            "drop_id": dropped[id_column].to_numpy().astype(np.int64)})
 
-    surv = ds.map_batches(pick_multi, batch_format="pyarrow") \
-        .groupby("shard").map_groups(confirm, batch_format="pandas") \
+    drop = ds.map_batches(pick_multi, batch_format="pyarrow") \
+        .groupby("shard").map_groups(confirm_drop, batch_format="pandas") \
         .to_pandas()
-    surv_ids = np.sort(surv["survivor_id"].to_numpy().astype(np.int64))
-    surv_ref = ray.put(surv_ids)
-
-    def keep_filter(t: pa.Table) -> pa.Table:
-        bloom = _cached_filter(bloom_ref, BlockBloom.from_bytes)
-        multi = ray.get(multi_ref)
-        surv = ray.get(surv_ref)
-        h = hash_arrow_array(t[column]).view(np.int64)
-        maybe = bloom.find_hashes(h.view(np.uint64))
-        keep = ~maybe  # bloom miss -> singleton group -> survivor
-        if maybe.any():
-            hm = h[maybe]
-            idx = np.searchsorted(multi, hm)
-            in_multi = (idx < len(multi)) & (
-                multi[np.minimum(idx, len(multi) - 1)] == hm)
-            ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)[maybe]
-            keep[np.flatnonzero(maybe)] = \
-                ~in_multi | np.isin(ids, surv)
-        return t.filter(pa.array(keep))
-
-    return ds.map_batches(keep_filter, batch_format="pyarrow")
+    if not len(drop) or "drop_id" not in drop.columns:
+        # all multi-group rows survived (hash collisions between distinct
+        # payloads): Ray drops the 0-row group outputs -> column-less frame
+        return np.empty(0, dtype=np.int64)
+    return np.sort(drop["drop_id"].to_numpy().astype(np.int64))
 
 
 # ---------------------------------------------------------------------------
