@@ -204,47 +204,27 @@ class _PartitionBuilder:
         })
 
 
-class CheckpointedBuild:
-    """A resumable distributed sketch-build job over parquet inputs.
+class _CheckpointedJob:
+    """Shared scaffolding for resumable per-partition jobs: deterministic
+    partition plan, immutable manifest (config + plan verified on resume),
+    orphan-tmp sweep, done/pending accounting, and the build loop that runs
+    only the missing partitions. Subclasses provide `_config()` (the
+    manifest-checked identity of the job) and `_make_builder()` (the
+    stateless per-partition map_batches callable)."""
 
-    >>> job = CheckpointedBuild(run_dir, paths, kind="block",
-    ...                         params={"bytes_": 4096}, column="url",
-    ...                         key="lang")
-    >>> job.run()              # builds missing partitions, returns merged
-    >>> job.status()           # {"total": ..., "done": ..., "pending": [...]}
-
-    ``run()`` after a crash (or a deliberate ``max_partitions`` cut) skips
-    finished partitions — the kill-and-resume test asserts byte-identity with
-    a clean single-shot build.
-
-    **Single-writer-per-run_dir contract**: at most one CheckpointedBuild
-    instance may be live per ``run_dir`` at a time. ``__init__`` sweeps
-    orphan ``.tmp-*`` files from the partials dir (crash debris from a
-    previous PROCESS), which would delete a concurrent instance's in-flight
-    atomic write. Resume = sequential re-instantiation, never concurrent
-    sharing; run concurrent builds in distinct run_dirs.
-
-    **Shared-filesystem contract**: ``run_dir`` must be visible to the
-    driver AND every Ray worker node (NFS / fuse-mounted object store on a
-    multi-node cluster) — workers write partials there and the driver
-    lists them for status/merge. A node-local path on a multi-node cluster
-    silently strands partials on remote disks.
-    """
-
-    def __init__(self, run_dir: str, input_paths: list[str], *, kind: str,
-                 params: dict | None = None, column: str,
-                 key: str | None = None, seed: int = DEFAULT_SEED,
-                 target_rows: int = 1 << 20,
-                 transform: Callable[[pa.Table], pa.Table] | None = None,
-                 read_columns: list[str] | None = None):
+    def __init__(self, run_dir: str, input_paths: list[str],
+                 target_rows: int = 1 << 20):
         self.run_dir = run_dir
-        self.kind, self.params = kind, dict(params or {})
-        self.column, self.key, self.seed = column, key, seed
-        self.transform, self.read_columns = transform, read_columns
         os.makedirs(os.path.join(run_dir, PARTIALS_DIR), exist_ok=True)
         self._sweep_tmps()
         self.partitions = plan_partitions(input_paths, target_rows)
         self._write_manifest()
+
+    def _config(self) -> dict:
+        raise NotImplementedError
+
+    def _make_builder(self):
+        raise NotImplementedError
 
     def _sweep_tmps(self) -> None:
         d = os.path.join(self.run_dir, PARTIALS_DIR)
@@ -254,14 +234,13 @@ class CheckpointedBuild:
 
     def _write_manifest(self) -> None:
         path = os.path.join(self.run_dir, MANIFEST)
+        mine = self._config()
         if os.path.exists(path):
             # resume: the manifest is immutable for the run — verify this
             # job's config matches it, otherwise partials from run 1 would
-            # silently merge into differently-parameterized sketches
+            # silently merge into a differently-parameterized job
             with open(path) as f:
                 old = json.load(f)
-            mine = {"kind": self.kind, "params": self.params,
-                    "column": self.column, "key": self.key, "seed": self.seed}
             theirs = {k: old.get(k) for k in mine}
             if mine != theirs:
                 raise ValueError(
@@ -277,15 +256,12 @@ class CheckpointedBuild:
                     "resume partition-plan mismatch (inputs or target_rows "
                     "changed since the original run)")
             return
-        manifest = {
-            "kind": self.kind, "params": self.params, "column": self.column,
-            "key": self.key, "seed": self.seed,
-            "engine_version": ENGINE_VERSION,
-            "partitions": [{"partition_id": p.partition_id, "path": p.path,
-                            "fragments": [list(fr) for fr in p.fragments],
-                            "rows": p.rows}
-                           for p in self.partitions],
-        }
+        manifest = dict(mine)
+        manifest["engine_version"] = ENGINE_VERSION
+        manifest["partitions"] = [
+            {"partition_id": p.partition_id, "path": p.path,
+             "fragments": [list(fr) for fr in p.fragments], "rows": p.rows}
+            for p in self.partitions]
         tmp = f"{path}.tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
@@ -324,13 +300,59 @@ class CheckpointedBuild:
         items = [{"partition_id": p.partition_id, "path": p.path,
                   "fragments": [list(fr) for fr in p.fragments]}
                  for p in pending]
-        builder = _PartitionBuilder(self.run_dir, self.kind, self.params,
-                                    self.column, self.key, self.seed,
-                                    self.transform, self.read_columns)
+        builder = self._make_builder()
         (ray.data.from_items(items, override_num_blocks=len(items))
          .map_batches(builder, batch_format="pyarrow", batch_size=1)
          .materialize())
         return len(pending)
+
+
+class CheckpointedBuild(_CheckpointedJob):
+    """A resumable distributed sketch-build job over parquet inputs.
+
+    >>> job = CheckpointedBuild(run_dir, paths, kind="block",
+    ...                         params={"bytes_": 4096}, column="url",
+    ...                         key="lang")
+    >>> job.run()              # builds missing partitions, returns merged
+    >>> job.status()           # {"total": ..., "done": ..., "pending": [...]}
+
+    ``run()`` after a crash (or a deliberate ``max_partitions`` cut) skips
+    finished partitions — the kill-and-resume test asserts byte-identity with
+    a clean single-shot build.
+
+    **Single-writer-per-run_dir contract**: at most one CheckpointedBuild
+    instance may be live per ``run_dir`` at a time. ``__init__`` sweeps
+    orphan ``.tmp-*`` files from the partials dir (crash debris from a
+    previous PROCESS), which would delete a concurrent instance's in-flight
+    atomic write. Resume = sequential re-instantiation, never concurrent
+    sharing; run concurrent builds in distinct run_dirs.
+
+    **Shared-filesystem contract**: ``run_dir`` must be visible to the
+    driver AND every Ray worker node (NFS / fuse-mounted object store on a
+    multi-node cluster) — workers write partials there and the driver
+    lists them for status/merge. A node-local path on a multi-node cluster
+    silently strands partials on remote disks.
+    """
+
+    def __init__(self, run_dir: str, input_paths: list[str], *, kind: str,
+                 params: dict | None = None, column: str,
+                 key: str | None = None, seed: int = DEFAULT_SEED,
+                 target_rows: int = 1 << 20,
+                 transform: Callable[[pa.Table], pa.Table] | None = None,
+                 read_columns: list[str] | None = None):
+        self.kind, self.params = kind, dict(params or {})
+        self.column, self.key, self.seed = column, key, seed
+        self.transform, self.read_columns = transform, read_columns
+        super().__init__(run_dir, input_paths, target_rows)
+
+    def _config(self) -> dict:
+        return {"kind": self.kind, "params": self.params,
+                "column": self.column, "key": self.key, "seed": self.seed}
+
+    def _make_builder(self):
+        return _PartitionBuilder(self.run_dir, self.kind, self.params,
+                                 self.column, self.key, self.seed,
+                                 self.transform, self.read_columns)
 
     def merge(self):
         """Idempotent final merge, pure function of the checkpoint dir:
@@ -380,6 +402,183 @@ class CheckpointedBuild:
                                          "input_fragments", "engine_version"])
                   .to_pandas()
                   for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+
+class _DedupPartitionHasher:
+    """Stateless per-partition worker for CheckpointedDedup: fragment list ->
+    one hash-histogram checkpoint file ``(content_hash, n_members)`` over the
+    partition's rows. Pure function of the partition spec (seed-free 64-bit
+    content hash, sketch/hashing.py:hash_arrow_array), so task retries and
+    job resumes write identical bytes."""
+
+    def __init__(self, run_dir: str, column: str,
+                 transform: Callable[[pa.Table], pa.Table] | None,
+                 read_columns: list[str] | None):
+        self.run_dir, self.column = run_dir, column
+        self.transform, self.read_columns = transform, read_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sketch.hashing import hash_arrow_array
+
+        out_rows = []
+        for row in batch.to_pylist():
+            pid = int(row["partition_id"])
+            dest = os.path.join(self.run_dir, PARTIALS_DIR,
+                                f"part-{pid:05d}.parquet")
+            if os.path.exists(dest):  # resumed + raced: already done
+                continue
+            t0 = time.perf_counter()
+            f = pq.ParquetFile(row["path"])
+            frags = [tuple(fr) for fr in row["fragments"]]
+            pieces = []
+            for rg, start, length in frags:
+                rg_table = f.read_row_group(rg, columns=self.read_columns)
+                pieces.append(rg_table.slice(start, length))
+            t = pa.concat_tables(pieces)
+            if self.transform is not None:
+                t = self.transform(t)
+            h = hash_arrow_array(t[self.column]).view(np.int64)
+            uniq, counts = np.unique(h, return_counts=True)
+            wall_ms = (time.perf_counter() - t0) * 1e3
+            lineage = json.dumps({"path": row["path"],
+                                  "fragments": [list(fr) for fr in frags]})
+            n = len(uniq)
+            # constant lineage/meta columns RLE/dict-encode to ~nothing in
+            # parquet; the partial is ~16 B x distinct-hashes-per-partition
+            ck = pa.table({
+                "partition_id": pa.array(np.full(n, pid), type=pa.int64()),
+                "content_hash": pa.array(uniq, type=pa.int64()),
+                "n_members": pa.array(counts, type=pa.int64()),
+                "rows_processed": pa.array(np.full(n, t.num_rows),
+                                           type=pa.int64()),
+                "input_fragments": pa.array([lineage] * n),
+                "wall_ms": pa.array(np.full(n, wall_ms), type=pa.float64()),
+                "engine_version": pa.array([ENGINE_VERSION] * n),
+            })
+            _atomic_write_table(ck, dest)
+            out_rows.append({"partition_id": pid, "rows": t.num_rows,
+                             "wall_ms": wall_ms})
+        return pa.table({
+            "partition_id": pa.array([r["partition_id"] for r in out_rows],
+                                     type=pa.int64()),
+            "rows": pa.array([r["rows"] for r in out_rows], type=pa.int64()),
+            "wall_ms": pa.array([r["wall_ms"] for r in out_rows],
+                                type=pa.float64()),
+        })
+
+
+class CheckpointedDedup(_CheckpointedJob):
+    """A resumable exact-dedup job over parquet inputs (north rule:
+    "resumable from checkpoint with per-partition lineage + metrics"
+    applied to the training-data family's most expensive scan).
+
+    Phase 1 — the checkpointed part — is the full-corpus content-hash scan:
+    each partition writes a ``(content_hash, n_members)`` histogram partial
+    (O(distinct hashes in the partition) x 16 B; the html/text payloads are
+    hashed in place and never persisted). A killed job resumes by listing
+    the partials dir and rebuilding only missing partitions.
+
+    Phase 2 — ``multi_hashes()`` — is an idempotent pure function of the
+    checkpoint dir: read_parquet(partials) -> groupby(content_hash) ->
+    Sum(n_members) -> the hashes with global count > 1. Driver memory is
+    O(#duplicated hash groups), same bound as stages/dedup.py:exact_dedup.
+
+    Phase 3 — ``drop_ids(ds)`` / ``dedup(ds)`` — reuses
+    stages/dedup.py:exact_dedup_drop_ids with the precomputed multi-hash
+    set: the streaming bloom-prune + exact payload confirm touches ONLY
+    duplicate-group rows (collision-proof min-id-per-(hash, payload)), so
+    re-running it after a resume is cheap — the expensive scan is what the
+    checkpoint protects.
+
+    Single-writer-per-run_dir and shared-filesystem contracts are inherited
+    from CheckpointedBuild (see its docstring).
+    """
+
+    def __init__(self, run_dir: str, input_paths: list[str], *, column: str,
+                 id_column: str, target_rows: int = 1 << 20,
+                 transform: Callable[[pa.Table], pa.Table] | None = None,
+                 read_columns: list[str] | None = None):
+        self.column, self.id_column = column, id_column
+        self.transform = transform
+        self.read_columns = read_columns if read_columns is not None \
+            else [column]
+        super().__init__(run_dir, input_paths, target_rows)
+
+    def _config(self) -> dict:
+        return {"kind": "exact_dedup", "column": self.column,
+                "key": self.id_column}
+
+    def _make_builder(self):
+        return _DedupPartitionHasher(self.run_dir, self.column,
+                                     self.transform, self.read_columns)
+
+    def multi_hashes(self) -> np.ndarray:
+        """Sorted int64 content hashes whose global member count exceeds 1 —
+        a distributed groupby over the (tiny) checkpoint rows; only the
+        duplicated groups ever reach the driver."""
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(self.run_dir, PARTIALS_DIR),
+            columns=["content_hash", "n_members"],
+            file_extensions=["parquet"])
+        multi = ds.groupby("content_hash") \
+            .aggregate(Sum("n_members", alias_name="n")) \
+            .filter(expr="n > 1").select_columns(["content_hash"]) \
+            .to_pandas()
+        if not len(multi) or "content_hash" not in multi.columns:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(multi["content_hash"].to_numpy().astype(np.int64))
+
+    def run(self, max_partitions: int | None = None) -> np.ndarray | None:
+        """Build missing partials; returns the duplicated-hash set, or None
+        if interrupted (`max_partitions` test hook) — resume later."""
+        self.build_partials(max_partitions)
+        if self.status()["pending"]:
+            return None
+        return self.multi_hashes()
+
+    def drop_ids(self, ds) -> np.ndarray:
+        """Sorted ids of the rows dedup removes (min-id-per-payload
+        survives), confirmed exactly against `ds` using the checkpointed
+        duplicate-hash set."""
+        from ..stages.dedup import exact_dedup_drop_ids
+
+        return exact_dedup_drop_ids(ds, self.column, self.id_column,
+                                    multi_hashes=self.multi_hashes())
+
+    def dedup(self, ds):
+        """The deduplicated Dataset: one streaming filter pass against the
+        broadcast drop-id set."""
+        import ray
+
+        from ..stages.dedup import drop_id_filter
+
+        drop = self.drop_ids(ds)
+        if not len(drop):
+            return ds
+        return ds.map_batches(drop_id_filter(ray.put(drop), self.id_column),
+                              batch_format="pyarrow")
+
+    def metrics(self) -> "pd.DataFrame":  # noqa: F821
+        """Per-partition lineage + timing straight from the checkpoint files
+        (one row per partition; the hash histogram is aggregated away)."""
+        import pandas as pd
+
+        d = os.path.join(self.run_dir, PARTIALS_DIR)
+        frames = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(
+                os.path.join(d, f),
+                columns=["partition_id", "rows_processed", "wall_ms",
+                         "input_fragments", "engine_version"]).to_pandas()
+            frames.append(t.iloc[:1])  # meta columns are partition-constant
         if not frames:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True)

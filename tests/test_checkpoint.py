@@ -118,3 +118,63 @@ def test_orphan_tmp_files_ignored(tmp_path, events_parquet, ray_session):
     job2 = CheckpointedBuild(str(tmp_path / "r"), events_parquet, **kw)
     assert not os.path.exists(orphan)  # swept at init
     assert job2.run()[""].to_bytes() == ref.to_bytes()
+
+
+def test_checkpointed_dedup_kill_resume_matches_exact(tmp_path, ray_session):
+    """CheckpointedDedup interrupted + resumed drops EXACTLY the rows the
+    single-shot stages/dedup.py:exact_dedup drops (duplicates planted by
+    unioning a doc_id-shifted copy), and the partials carry per-partition
+    lineage."""
+    import ray.data
+
+    from libfilter_ray.stages.dedup import exact_dedup, exact_dedup_drop_ids
+    from libfilter_ray.state.checkpoint import CheckpointedDedup
+
+    base = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    shifted = base.set_column(
+        base.schema.get_field_index("doc_id"), "doc_id",
+        pa.array(np.asarray(base["doc_id"], dtype=np.int64) + 100000,
+                 type=pa.int64()))
+    duped = pa.concat_tables([base, shifted])
+    paths = [str(tmp_path / "documents_duped.parquet")]
+    pq.write_table(duped, paths[0], row_group_size=256)
+    ds = ray.data.read_parquet(paths, columns=["doc_id", "text"])
+    ref_drop = exact_dedup_drop_ids(ds, "text", "doc_id")
+    assert len(ref_drop) > 0  # sf0.01 documents plants duplicates
+
+    kw = dict(column="text", id_column="doc_id", target_rows=256)
+    job = CheckpointedDedup(str(tmp_path / "r"), paths, **kw)
+    assert len(job.partitions) >= 3
+    assert job.run(max_partitions=2) is None  # "killed" mid-scan
+    assert job.status()["done"] == 2
+
+    job2 = CheckpointedDedup(str(tmp_path / "r"), paths, **kw)  # resume
+    assert job2.status()["done"] == 2  # picked up the checkpoint
+    multi = job2.run()
+    assert multi is not None and len(multi) > 0
+    np.testing.assert_array_equal(job2.drop_ids(ds), ref_drop)
+
+    # the deduped dataset == exact_dedup's output, row for row
+    a = sorted(job2.dedup(ds).select_columns(["doc_id"]).to_pandas()["doc_id"])
+    b = sorted(exact_dedup(ds, "text", "doc_id")
+               .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    assert a == b
+
+    m = job2.metrics()
+    assert len(m) == len(job2.partitions)  # one lineage row per partition
+    assert {"partition_id", "rows_processed", "wall_ms",
+            "input_fragments"} <= set(m.columns)
+    frag = json.loads(m["input_fragments"].iloc[0])
+    assert frag["path"].endswith("documents_duped.parquet")
+
+
+def test_checkpointed_dedup_config_mismatch_rejected(tmp_path, ray_session):
+    from libfilter_ray.state.checkpoint import CheckpointedDedup
+
+    paths = [f"{SF}/documents.parquet"]
+    CheckpointedDedup(str(tmp_path / "r"), paths, column="text",
+                      id_column="doc_id", target_rows=1024)
+    with pytest.raises(ValueError, match="config mismatch"):
+        CheckpointedDedup(str(tmp_path / "r"), paths, column="title",
+                          id_column="doc_id", target_rows=1024)
