@@ -1,0 +1,195 @@
+"""Cluster job entry point — the ``ray job submit`` surface the north rule
+names (the engine analogue of the reference's CLI-driven bench/build binaries,
+``cpp/extras/benchmarks/bench.cpp:124-240``).
+
+On a real multi-node cluster::
+
+    ray job submit --working-dir . -- \
+        python -m libfilter_ray.job build --config job.json \
+            --input s3://bucket/corpus --output /mnt/shared/out.parquet \
+            --checkpoint-dir /mnt/shared/ck/run1
+
+    ray job submit --working-dir . -- \
+        python -m libfilter_ray.job query --name pricing_summary \
+            --input s3://bucket/corpus --output /mnt/shared/q1
+
+In this sandbox the same commands run locally (``RAY_ADDRESS=local`` is
+preset; ``--num-cpus`` sizes the local session). The process attaches to an
+existing Ray session when one is up (the ``ray job submit`` case — the
+cluster owns the session) and initialises a local one otherwise, so the
+module never double-inits.
+
+Subcommands:
+
+- ``build``   run a config-described sketch job (``pipelines/config.py``
+  spec shape, JSON file) and write the payload frame to ``--output``
+  parquet. With ``--checkpoint-dir`` (single-sketch specs) the build runs
+  through ``CheckpointedBuild``: per-partition lineage + metrics, and a
+  resubmitted job resumes instead of recomputing — partials must live on
+  storage shared by all nodes.
+- ``query``   run one named pipeline from the engine's query registry over
+  ``--input`` and write/print its result.
+- ``list``    print every registered pipeline and whether it carries a
+  DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Any
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _ensure_ray(num_cpus: int | None) -> bool:
+    """Attach to the cluster session if one exists (ray job submit), else
+    start a local one. Returns True iff this process owns the session."""
+    import ray
+
+    if ray.is_initialized():
+        return False
+    kw: dict[str, Any] = {"include_dashboard": False,
+                          "logging_level": "ERROR"}
+    if num_cpus is not None:
+        kw["num_cpus"] = num_cpus
+    ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kw)
+    return True
+
+
+def _write_result(result: Any, output: str | None) -> None:
+    """Dataset -> partitioned parquet dir (streaming, resumable layout);
+    DataFrame/Table -> single parquet file; no --output -> print."""
+    import ray.data
+
+    if output is None:
+        if isinstance(result, ray.data.Dataset):
+            result = result.to_pandas()
+        print(result)
+        return
+    if isinstance(result, ray.data.Dataset):
+        result.write_parquet(output)
+        return
+    if isinstance(result, pd.DataFrame):
+        result = pa.Table.from_pandas(result, preserve_index=False)
+    pq.write_table(result, output)
+
+
+def _cmd_build(args: argparse.Namespace) -> int:
+    from .pipelines.config import run_config
+
+    with open(args.config) as f:
+        spec = json.load(f)
+    if args.checkpoint_dir:
+        from .state.checkpoint import CheckpointedBuild
+
+        sketches = spec.get("sketches", [])
+        if len(sketches) != 1:
+            raise SystemExit(
+                "--checkpoint-dir supports single-sketch specs (got "
+                f"{len(sketches)}); run multi-sketch jobs uncheckpointed or "
+                "as one job per sketch sharing the input scan cost")
+        if spec.get("filter") or spec.get("dedup"):
+            raise SystemExit(
+                "--checkpoint-dir does not compose with filter/dedup "
+                "pre-stages (the checkpointed unit must be a pure function "
+                "of the input partition)")
+        s = sketches[0]
+        key = spec.get("key")
+        path = f"{args.input}/{spec['table']}.parquet"
+        need = [s["column"]] + ([key] if key else [])
+        have = set(pq.read_schema(path).names)
+        if missing := [c for c in need if c not in have]:
+            raise SystemExit(f"column(s) {missing} not in {path} "
+                             f"(schema: {sorted(have)})")
+        job = CheckpointedBuild(
+            args.checkpoint_dir, [path],
+            kind=s["kind"], params=s.get("params", {}), column=s["column"],
+            key=key, target_rows=args.target_rows,
+            read_columns=need)
+        st = job.status()
+        print(f"checkpoint: {st['done']}/{st['total']} partitions done, "
+              f"resuming {len(st['pending'])}", file=sys.stderr)
+        merged = job.run()
+        if spec.get("key"):
+            rows = [{"key": k, "kind": s["kind"], "payload": v.to_bytes()}
+                    for k, v in sorted(merged.items())]
+        else:
+            rows = [{"name": s["name"], "kind": s["kind"],
+                     "payload": merged[""].to_bytes()}]
+        out = pd.DataFrame(rows)
+        print(job.metrics().to_string(index=False), file=sys.stderr)
+    else:
+        out = run_config(spec, args.input)
+    _write_result(out, args.output)
+    return 0
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    from .pipelines.queries import QUERIES
+
+    if args.name not in QUERIES:
+        raise SystemExit(f"unknown pipeline {args.name!r} — "
+                         "`python -m libfilter_ray.job list` enumerates")
+    _write_result(QUERIES[args.name](args.input), args.output)
+    return 0
+
+
+def _cmd_list(_: argparse.Namespace) -> int:
+    from .pipelines.queries import ORACLES, QUERIES
+
+    for name in sorted(QUERIES):
+        print(f"{name:36s} {'sql-oracled' if name in ORACLES else 'approx'}")
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m libfilter_ray.job",
+        description="libfilter_ray cluster job entry point")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="local-session CPU count (ignored when attaching "
+                        "to an existing cluster session)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="config-described sketch build")
+    b.add_argument("--config", required=True, help="JSON job spec "
+                   "(pipelines/config.py shape)")
+    b.add_argument("--input", required=True, help="input table directory")
+    b.add_argument("--output", default=None, help="output parquet path")
+    b.add_argument("--checkpoint-dir", default=None,
+                   help="shared-storage run dir: resumable per-partition "
+                        "build (single-sketch specs)")
+    b.add_argument("--target-rows", type=int, default=1 << 20,
+                   help="rows per checkpoint partition")
+    b.set_defaults(fn=_cmd_build)
+
+    q = sub.add_parser("query", help="run a named pipeline")
+    q.add_argument("--name", required=True)
+    q.add_argument("--input", required=True)
+    q.add_argument("--output", default=None)
+    q.set_defaults(fn=_cmd_query)
+
+    ls = sub.add_parser("list", help="enumerate pipelines")
+    ls.set_defaults(fn=_cmd_list)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+    owns = args.cmd != "list" and _ensure_ray(args.num_cpus)
+    try:
+        return args.fn(args)
+    finally:
+        if owns:
+            import ray
+
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

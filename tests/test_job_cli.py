@@ -1,0 +1,96 @@
+"""`python -m libfilter_ray.job` — the ray-job-submit entry surface.
+
+main() is driven in-process (the session fixture owns Ray; _ensure_ray
+attaches instead of initialising, exactly the `ray job submit` case where
+the cluster session already exists)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF_DIR_01
+from libfilter_ray.job import main
+
+
+def test_query_subcommand_writes_parquet(tmp_path, ray_session):
+    out = tmp_path / "q.parquet"
+    assert main(["query", "--name", "pricing_summary",
+                 "--input", SF_DIR_01, "--output", str(out)]) == 0
+    t = pq.read_table(out)
+    from libfilter_ray.pipelines.queries import QUERIES
+
+    direct = QUERIES["pricing_summary"](SF_DIR_01)
+    assert t.num_rows == len(direct)
+    assert set(direct.columns) <= set(t.column_names)
+
+
+def test_query_unknown_name_exits(ray_session):
+    with pytest.raises(SystemExit):
+        main(["query", "--name", "nope", "--input", SF_DIR_01])
+
+
+def test_list_enumerates_registry(capsys):
+    assert main(["list"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    from libfilter_ray.pipelines.queries import ORACLES, QUERIES
+
+    assert len(lines) == len(QUERIES)
+    assert sum("sql-oracled" in ln for ln in lines) == len(ORACLES)
+
+
+def test_build_subcommand_matches_run_config(tmp_path, ray_session):
+    spec = {"table": "events", "columns": ["event_type", "user_id"],
+            "key": "event_type",
+            "sketches": [{"name": "users", "kind": "hll",
+                          "params": {"p": 12}, "column": "user_id"}]}
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps(spec))
+    out = tmp_path / "build.parquet"
+    assert main(["build", "--config", str(cfg), "--input", SF_DIR_01,
+                 "--output", str(out)]) == 0
+    got = pq.read_table(out).to_pandas()
+    from libfilter_ray.pipelines.config import run_config
+
+    ref = run_config(spec, SF_DIR_01)
+    assert sorted(got["event_type"]) == sorted(ref["event_type"])
+    a = got.set_index("event_type")["payload_users"]
+    b = ref.set_index("event_type")["payload_users"]
+    assert all(a[k] == b[k] for k in a.index)
+
+
+def test_build_checkpointed_resumes_and_matches(tmp_path, ray_session):
+    """Same submit command twice against one checkpoint dir: run 2 finds all
+    partitions done (resume semantics) and the merged payload matches an
+    uncheckpointed build byte-for-byte."""
+    spec = {"table": "events",
+            "sketches": [{"name": "f", "kind": "block",
+                          "params": {"bytes_": 4096}, "column": "user_id"}]}
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps(spec))
+    args = ["build", "--config", str(cfg), "--input", SF_DIR_01,
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--target-rows", "4096"]
+    out1, out2 = tmp_path / "o1.parquet", tmp_path / "o2.parquet"
+    assert main(args + ["--output", str(out1)]) == 0
+    assert main(args + ["--output", str(out2)]) == 0  # resubmit: pure resume
+    p1 = pq.read_table(out1).to_pandas()["payload"].iloc[0]
+    assert p1 == pq.read_table(out2).to_pandas()["payload"].iloc[0]
+    from libfilter_ray.pipelines.config import run_config
+
+    assert p1 == run_config(spec, SF_DIR_01)["payload"].iloc[0]
+
+
+def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
+    spec = {"table": "events", "sketches": [
+        {"name": "a", "kind": "block", "params": {"bytes_": 1024},
+         "column": "user_id"},
+        {"name": "b", "kind": "hll", "params": {"p": 10},
+         "column": "user_id"}]}
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps(spec))
+    with pytest.raises(SystemExit, match="single-sketch"):
+        main(["build", "--config", str(cfg), "--input", SF_DIR_01,
+              "--checkpoint-dir", str(tmp_path / "ck")])
