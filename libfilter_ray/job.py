@@ -29,6 +29,9 @@ Subcommands:
   storage shared by all nodes.
 - ``query``   run one named pipeline from the engine's query registry over
   ``--input`` and write/print its result.
+- ``dedup``   checkpointed exact dedup of one table: the content-hash scan
+  is resumable per partition (``CheckpointedDedup``); the deduplicated
+  rows stream to ``--output`` as parquet.
 - ``list``    print every registered pipeline and whether it carries a
   DuckDB oracle.
 """
@@ -139,6 +142,30 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dedup(args: argparse.Namespace) -> int:
+    import ray.data
+
+    from .state.checkpoint import CheckpointedDedup
+
+    path = f"{args.input}/{args.table}.parquet"
+    have = set(pq.read_schema(path).names)
+    if missing := [c for c in (args.column, args.id_column)
+                   if c not in have]:
+        raise SystemExit(f"column(s) {missing} not in {path} "
+                         f"(schema: {sorted(have)})")
+    job = CheckpointedDedup(args.checkpoint_dir, [path],
+                            column=args.column, id_column=args.id_column,
+                            target_rows=args.target_rows)
+    st = job.status()
+    print(f"checkpoint: {st['done']}/{st['total']} partitions done, "
+          f"resuming {len(st['pending'])}", file=sys.stderr)
+    job.run()
+    print(job.metrics().to_string(index=False), file=sys.stderr)
+    ds = ray.data.read_parquet(path)
+    _write_result(job.dedup(ds), args.output)
+    return 0
+
+
 def _cmd_list(_: argparse.Namespace) -> int:
     from .pipelines.queries import ORACLES, QUERIES
 
@@ -173,6 +200,20 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--input", required=True)
     q.add_argument("--output", default=None)
     q.set_defaults(fn=_cmd_query)
+
+    d = sub.add_parser("dedup", help="checkpointed exact dedup of a table")
+    d.add_argument("--input", required=True)
+    d.add_argument("--table", required=True)
+    d.add_argument("--column", required=True,
+                   help="content column to dedup on")
+    d.add_argument("--id-column", required=True,
+                   help="unique id column (min id survives)")
+    d.add_argument("--checkpoint-dir", required=True,
+                   help="shared-storage run dir for the resumable scan")
+    d.add_argument("--output", default=None,
+                   help="deduped parquet output dir")
+    d.add_argument("--target-rows", type=int, default=1 << 20)
+    d.set_defaults(fn=_cmd_dedup)
 
     ls = sub.add_parser("list", help="enumerate pipelines")
     ls.set_defaults(fn=_cmd_list)

@@ -83,6 +83,39 @@ def test_build_checkpointed_resumes_and_matches(tmp_path, ray_session):
     assert p1 == run_config(spec, SF_DIR_01)["payload"].iloc[0]
 
 
+def test_dedup_subcommand_matches_exact_dedup(tmp_path, ray_session):
+    """`job dedup` over a table with planted duplicates keeps exactly the
+    rows stages/dedup.py:exact_dedup keeps, via the checkpointed scan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    base = pq.read_table(f"{SF_DIR_01}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    shifted = base.set_column(
+        base.schema.get_field_index("doc_id"), "doc_id",
+        pa.array(np.asarray(base["doc_id"], dtype=np.int64) + 100000,
+                 type=pa.int64()))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(pa.concat_tables([base, shifted]),
+                   str(inp / "documents.parquet"), row_group_size=512)
+    out = tmp_path / "deduped"
+    assert main(["dedup", "--input", str(inp), "--table", "documents",
+                 "--column", "text", "--id-column", "doc_id",
+                 "--checkpoint-dir", str(tmp_path / "ck"),
+                 "--target-rows", "512", "--output", str(out)]) == 0
+    got = sorted(pq.read_table(str(out), columns=["doc_id"])
+                 .to_pandas()["doc_id"])
+    from libfilter_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(str(inp / "documents.parquet"))
+    ref = sorted(exact_dedup(ds, "text", "doc_id")
+                 .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    assert got == ref
+    assert len(got) < 2 * base.num_rows  # duplicates actually dropped
+
+
 def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
     spec = {"table": "events", "sketches": [
         {"name": "a", "kind": "block", "params": {"bytes_": 1024},
