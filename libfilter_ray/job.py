@@ -32,6 +32,10 @@ Subcommands:
 - ``dedup``   checkpointed exact dedup of one table: the content-hash scan
   is resumable per partition (``CheckpointedDedup``); the deduplicated
   rows stream to ``--output`` as parquet.
+- ``probe``   membership-probe a table column against filters persisted by a
+  previous ``build`` job (broadcast once via ``ray.put``; grouped builds
+  probe per key). Build and probe compose across separate job
+  submissions — the filter parquet is the hand-off artifact.
 - ``list``    print every registered pipeline and whether it carries a
   DuckDB oracle.
 """
@@ -166,6 +170,63 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_probe(args: argparse.Namespace) -> int:
+    import ray
+    import ray.data
+
+    from .sketch import registry
+
+    filt = pq.read_table(args.filters).to_pandas()
+    kinds = set(filt["kind"])
+    if len(kinds) != 1:
+        raise SystemExit(f"filter file mixes sketch kinds {sorted(kinds)}")
+    kind = kinds.pop()
+    cls = registry.get(kind)
+    path = f"{args.input}/{args.table}.parquet"
+    grouped = "key" in filt.columns
+    if grouped and not args.key:
+        raise SystemExit("--key is required: the filter file is a "
+                         "grouped build (has a 'key' column)")
+    cols = [args.column] + ([args.key] if grouped else [])
+    have = set(pq.read_schema(path).names)
+    if missing := [c for c in cols if c not in have]:
+        raise SystemExit(f"column(s) {missing} not in {path} "
+                         f"(schema: {sorted(have)})")
+    ds = ray.data.read_parquet(path, columns=cols)
+    if grouped:
+        from ray.data.aggregate import Sum
+
+        from .stages.sketch_build import grouped_probe_counts
+
+        ref = ray.put(dict(zip(filt["key"], filt["payload"])))
+        out = ds.map_batches(
+            grouped_probe_counts(ref, cls.from_bytes, args.key,
+                                 args.column),
+            batch_format="pyarrow") \
+            .groupby(args.key) \
+            .aggregate(Sum("n", alias_name="n_probed"),
+                       Sum("found", alias_name="n_found")) \
+            .to_pandas().sort_values(args.key).reset_index(drop=True)
+        _write_result(out, args.output)
+        return 0
+    from .sketch.hashing import hash_arrow_array
+    from .stages.broadcast import cached_broadcast
+
+    ref = ray.put(bytes(filt["payload"].iloc[0]))
+    column = args.column
+
+    def probe(t: pa.Table) -> pa.Table:
+        sk = cached_broadcast(ref, cls.from_bytes)
+        found = sk.find_hashes(hash_arrow_array(t[column]))
+        return t.append_column("found", pa.array(found))
+
+    probed = ds.map_batches(probe, batch_format="pyarrow")
+    if args.only_hits:
+        probed = probed.filter(expr="found == True")
+    _write_result(probed, args.output)
+    return 0
+
+
 def _cmd_list(_: argparse.Namespace) -> int:
     from .pipelines.queries import ORACLES, QUERIES
 
@@ -214,6 +275,19 @@ def make_parser() -> argparse.ArgumentParser:
                    help="deduped parquet output dir")
     d.add_argument("--target-rows", type=int, default=1 << 20)
     d.set_defaults(fn=_cmd_dedup)
+
+    pr = sub.add_parser("probe", help="probe a column against built filters")
+    pr.add_argument("--filters", required=True,
+                    help="parquet written by `build`")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--table", required=True)
+    pr.add_argument("--column", required=True)
+    pr.add_argument("--key", default=None,
+                    help="group key column (grouped filter files)")
+    pr.add_argument("--only-hits", action="store_true",
+                    help="ungrouped: emit only rows the filter contains")
+    pr.add_argument("--output", default=None)
+    pr.set_defaults(fn=_cmd_probe)
 
     ls = sub.add_parser("list", help="enumerate pipelines")
     ls.set_defaults(fn=_cmd_list)

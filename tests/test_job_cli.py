@@ -116,6 +116,57 @@ def test_dedup_subcommand_matches_exact_dedup(tmp_path, ray_session):
     assert len(got) < 2 * base.num_rows  # duplicates actually dropped
 
 
+def test_probe_roundtrip_ungrouped(tmp_path, ray_session):
+    """build -> persist -> probe across separate main() invocations: every
+    inserted member is found (no false negatives through the file hand-off)."""
+    spec = {"table": "events", "sketches": [
+        {"name": "users", "kind": "block", "params": {"bytes_": 1 << 16},
+         "column": "user_id"}]}
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps(spec))
+    filt = tmp_path / "filters.parquet"
+    assert main(["build", "--config", str(cfg), "--input", SF_DIR_01,
+                 "--output", str(filt)]) == 0
+    out = tmp_path / "probed"
+    assert main(["probe", "--filters", str(filt), "--input", SF_DIR_01,
+                 "--table", "events", "--column", "user_id",
+                 "--output", str(out)]) == 0
+    t = pq.read_table(str(out), columns=["found"])
+    assert t.num_rows > 0
+    assert t.column("found").to_pandas().all()  # members: zero false negs
+
+    hits = tmp_path / "hits"
+    assert main(["probe", "--filters", str(filt), "--input", SF_DIR_01,
+                 "--table", "events", "--column", "user_id", "--only-hits",
+                 "--output", str(hits)]) == 0
+    assert pq.read_table(str(hits)).num_rows == t.num_rows
+
+
+def test_probe_grouped_counts(tmp_path, ray_session):
+    """Grouped build file + --key: per-key (n_probed, n_found) counts;
+    probing the build corpus finds every member of its own key."""
+    spec = {"table": "events", "key": "event_type", "sketches": [
+        {"name": "users", "kind": "block", "params": {"bytes_": 1 << 16},
+         "column": "user_id"}]}
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps(spec))
+    filt = tmp_path / "filters.parquet"
+    assert main(["build", "--config", str(cfg), "--input", SF_DIR_01,
+                 "--checkpoint-dir", str(tmp_path / "ck"),
+                 "--output", str(filt)]) == 0
+    out = tmp_path / "counts.parquet"
+    assert main(["probe", "--filters", str(filt), "--input", SF_DIR_01,
+                 "--table", "events", "--column", "user_id",
+                 "--key", "event_type", "--output", str(out)]) == 0
+    c = pq.read_table(str(out)).to_pandas()
+    assert len(c) == 5
+    assert (c["n_found"] == c["n_probed"]).all()
+
+    with pytest.raises(SystemExit, match="--key is required"):
+        main(["probe", "--filters", str(filt), "--input", SF_DIR_01,
+              "--table", "events", "--column", "user_id"])
+
+
 def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
     spec = {"table": "events", "sketches": [
         {"name": "a", "kind": "block", "params": {"bytes_": 1024},
