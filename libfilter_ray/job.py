@@ -68,6 +68,32 @@ def _ensure_ray(num_cpus: int | None) -> bool:
     return True
 
 
+def _table_paths(input_dir: str, table: str) -> list[str]:
+    """Resolve a table name to concrete parquet files: `{input}/{table}.parquet`
+    (single file) or `{input}/{table}/` (a directory shard set — the normal
+    layout for large corpora). Sorted for deterministic partition ids."""
+    import glob
+
+    f = os.path.join(input_dir, f"{table}.parquet")
+    if os.path.isfile(f):
+        return [f]
+    d = os.path.join(input_dir, table)
+    if os.path.isdir(d):
+        shards = sorted(glob.glob(os.path.join(d, "**", "*.parquet"),
+                                  recursive=True))
+        if shards:
+            return shards
+    raise SystemExit(f"table {table!r} not found under {input_dir} "
+                     f"(no {table}.parquet file or {table}/ shard dir)")
+
+
+def _check_columns(paths: list[str], need: list[str]) -> None:
+    have = set(pq.read_schema(paths[0]).names)
+    if missing := [c for c in need if c not in have]:
+        raise SystemExit(f"column(s) {missing} not in {paths[0]} "
+                         f"(schema: {sorted(have)})")
+
+
 def _write_result(result: Any, output: str | None) -> None:
     """Dataset -> partitioned parquet dir (streaming, resumable layout);
     DataFrame/Table -> single parquet file; no --output -> print."""
@@ -107,14 +133,11 @@ def _cmd_build(args: argparse.Namespace) -> int:
                 "of the input partition)")
         s = sketches[0]
         key = spec.get("key")
-        path = f"{args.input}/{spec['table']}.parquet"
+        paths = _table_paths(args.input, spec["table"])
         need = [s["column"]] + ([key] if key else [])
-        have = set(pq.read_schema(path).names)
-        if missing := [c for c in need if c not in have]:
-            raise SystemExit(f"column(s) {missing} not in {path} "
-                             f"(schema: {sorted(have)})")
+        _check_columns(paths, need)
         job = CheckpointedBuild(
-            args.checkpoint_dir, [path],
+            args.checkpoint_dir, paths,
             kind=s["kind"], params=s.get("params", {}), column=s["column"],
             key=key, target_rows=args.target_rows,
             read_columns=need)
@@ -151,13 +174,9 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
 
     from .state.checkpoint import CheckpointedDedup
 
-    path = f"{args.input}/{args.table}.parquet"
-    have = set(pq.read_schema(path).names)
-    if missing := [c for c in (args.column, args.id_column)
-                   if c not in have]:
-        raise SystemExit(f"column(s) {missing} not in {path} "
-                         f"(schema: {sorted(have)})")
-    job = CheckpointedDedup(args.checkpoint_dir, [path],
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, [args.column, args.id_column])
+    job = CheckpointedDedup(args.checkpoint_dir, paths,
                             column=args.column, id_column=args.id_column,
                             target_rows=args.target_rows)
     st = job.status()
@@ -165,7 +184,7 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
           f"resuming {len(st['pending'])}", file=sys.stderr)
     job.run()
     print(job.metrics().to_string(index=False), file=sys.stderr)
-    ds = ray.data.read_parquet(path)
+    ds = ray.data.read_parquet(paths)
     _write_result(job.dedup(ds), args.output)
     return 0
 
@@ -182,17 +201,14 @@ def _cmd_probe(args: argparse.Namespace) -> int:
         raise SystemExit(f"filter file mixes sketch kinds {sorted(kinds)}")
     kind = kinds.pop()
     cls = registry.get(kind)
-    path = f"{args.input}/{args.table}.parquet"
+    paths = _table_paths(args.input, args.table)
     grouped = "key" in filt.columns
     if grouped and not args.key:
         raise SystemExit("--key is required: the filter file is a "
                          "grouped build (has a 'key' column)")
     cols = [args.column] + ([args.key] if grouped else [])
-    have = set(pq.read_schema(path).names)
-    if missing := [c for c in cols if c not in have]:
-        raise SystemExit(f"column(s) {missing} not in {path} "
-                         f"(schema: {sorted(have)})")
-    ds = ray.data.read_parquet(path, columns=cols)
+    _check_columns(paths, cols)
+    ds = ray.data.read_parquet(paths, columns=cols)
     if grouped:
         from ray.data.aggregate import Sum
 

@@ -40,6 +40,8 @@ import pandas as pd
 def _load_table(spec: dict, sf_dir: str):
     import ray.data
 
+    import os
+
     table = spec["table"]
     cols = spec.get("columns")
     if table == "webpages":
@@ -47,7 +49,12 @@ def _load_table(spec: dict, sf_dir: str):
 
         ds = read_webpages(sf_dir, include_html=False)
         return ds.select_columns(cols) if cols else ds
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+    # `{dir}/{table}.parquet` single file, or `{dir}/{table}/` shard dir
+    # (the normal many-files layout for large corpora)
+    path = f"{sf_dir}/{table}.parquet"
+    if not os.path.isfile(path) and os.path.isdir(f"{sf_dir}/{table}"):
+        path = f"{sf_dir}/{table}"
+    return ray.data.read_parquet(path, columns=cols)
 
 
 def run_config(spec: dict[str, Any], sf_dir: str) -> pd.DataFrame:

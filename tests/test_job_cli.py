@@ -167,6 +167,50 @@ def test_probe_grouped_counts(tmp_path, ray_session):
               "--table", "events", "--column", "user_id"])
 
 
+def test_sharded_table_dir_inputs(tmp_path, ray_session):
+    """`{input}/{table}/` shard directories work for checkpointed build and
+    dedup: same merged payload as the single-file layout, partitions span
+    shards deterministically."""
+    import pyarrow as pa
+
+    full = pq.read_table(f"{SF_DIR_01}/events.parquet",
+                         columns=["event_type", "user_id"])
+    inp = tmp_path / "in" / "events"
+    inp.mkdir(parents=True)
+    third = full.num_rows // 3
+    for i in range(3):
+        n = third if i < 2 else full.num_rows - 2 * third
+        pq.write_table(full.slice(i * third, n),
+                       str(inp / f"shard-{i}.parquet"))
+    spec = {"table": "events", "sketches": [
+        {"name": "f", "kind": "block", "params": {"bytes_": 4096},
+         "column": "user_id"}]}
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps(spec))
+    out = tmp_path / "o.parquet"
+    assert main(["build", "--config", str(cfg),
+                 "--input", str(tmp_path / "in"),
+                 "--checkpoint-dir", str(tmp_path / "ck"),
+                 "--output", str(out)]) == 0
+    from libfilter_ray.pipelines.config import run_config
+
+    ref = run_config(spec, SF_DIR_01)  # single-file layout
+    assert pq.read_table(out).to_pandas()["payload"].iloc[0] \
+        == ref["payload"].iloc[0]
+    # uncheckpointed build reads the shard dir through run_config too
+    out2 = tmp_path / "o2.parquet"
+    assert main(["build", "--config", str(cfg),
+                 "--input", str(tmp_path / "in"),
+                 "--output", str(out2)]) == 0
+    assert pq.read_table(out2).to_pandas()["payload"].iloc[0] \
+        == ref["payload"].iloc[0]
+
+    with pytest.raises(SystemExit, match="not found under"):
+        main(["dedup", "--input", str(tmp_path / "in"), "--table", "nope",
+              "--column", "user_id", "--id-column", "event_id",
+              "--checkpoint-dir", str(tmp_path / "ck2")])
+
+
 def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
     spec = {"table": "events", "sketches": [
         {"name": "a", "kind": "block", "params": {"bytes_": 1024},
