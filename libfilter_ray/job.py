@@ -36,6 +36,9 @@ Subcommands:
   previous ``build`` job (broadcast once via ``ray.put``; grouped builds
   probe per key). Build and probe compose across separate job
   submissions — the filter parquet is the hand-off artifact.
+- ``neardup`` confirmed near-duplicate pairs over a text or embedding
+  column (minhash / simhash / embedding LSH, distributed banding +
+  sharded pair scan + exact verification), written as pair parquet.
 - ``list``    print every registered pipeline and whether it carries a
   DuckDB oracle.
 """
@@ -243,6 +246,34 @@ def _cmd_probe(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_neardup(args: argparse.Namespace) -> int:
+    import ray.data
+
+    from .stages import dedup as dd
+
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, [args.column, args.id_column])
+    ds = ray.data.read_parquet(paths, columns=[args.id_column, args.column])
+    if args.method == "minhash":
+        pairs = dd.minhash_near_dup_pairs(
+            ds, args.column, args.id_column, k=args.shingle_k,
+            threshold=args.threshold)
+    elif args.method == "simhash":
+        pairs = dd.simhash_near_dup_pairs(
+            ds, args.column, args.id_column, k=args.shingle_k,
+            max_hamming=args.max_hamming)
+    else:
+        if args.dim is None:
+            raise SystemExit("--dim is required for method=embedding "
+                             "(the fixed embedding width)")
+        pairs = dd.embedding_near_dup_pairs(
+            ds, args.column, args.id_column, dim=args.dim,
+            threshold=args.threshold)
+    print(f"{len(pairs)} confirmed pairs", file=sys.stderr)
+    _write_result(pairs, args.output)
+    return 0
+
+
 def _cmd_list(_: argparse.Namespace) -> int:
     from .pipelines.queries import ORACLES, QUERIES
 
@@ -304,6 +335,26 @@ def make_parser() -> argparse.ArgumentParser:
                     help="ungrouped: emit only rows the filter contains")
     pr.add_argument("--output", default=None)
     pr.set_defaults(fn=_cmd_probe)
+
+    nd = sub.add_parser("neardup", help="confirmed near-duplicate pairs")
+    nd.add_argument("--method", choices=["minhash", "simhash", "embedding"],
+                    default="minhash")
+    nd.add_argument("--input", required=True)
+    nd.add_argument("--table", required=True)
+    nd.add_argument("--column", required=True,
+                    help="text column (minhash/simhash) or list<float> "
+                         "embedding column")
+    nd.add_argument("--id-column", required=True)
+    nd.add_argument("--threshold", type=float, default=0.7,
+                    help="min Jaccard (minhash) / cosine (embedding)")
+    nd.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash: max 64-bit Hamming distance")
+    nd.add_argument("--shingle-k", type=int, default=5,
+                    help="word-shingle size for text methods")
+    nd.add_argument("--dim", type=int, default=None,
+                    help="embedding width (method=embedding)")
+    nd.add_argument("--output", default=None, help="pair parquet path")
+    nd.set_defaults(fn=_cmd_neardup)
 
     ls = sub.add_parser("list", help="enumerate pipelines")
     ls.set_defaults(fn=_cmd_list)

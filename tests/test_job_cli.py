@@ -211,6 +211,42 @@ def test_sharded_table_dir_inputs(tmp_path, ray_session):
               "--checkpoint-dir", str(tmp_path / "ck2")])
 
 
+def test_neardup_subcommand_finds_planted_clones(tmp_path, ray_session):
+    """`job neardup --method minhash` over a corpus with cloned texts emits
+    each planted (orig, clone) pair with jaccard == 1.0."""
+    import numpy as np
+    import pyarrow as pa
+
+    from conftest import SF_DIR
+
+    base = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    clones = base.slice(0, 40).set_column(
+        0, "doc_id",
+        pa.array(np.asarray(base["doc_id"])[:40].astype(np.int64) + 100000,
+                 type=pa.int64()))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(pa.concat_tables([base, clones]),
+                   str(inp / "documents.parquet"))
+    out = tmp_path / "pairs.parquet"
+    assert main(["neardup", "--method", "minhash", "--input", str(inp),
+                 "--table", "documents", "--column", "text",
+                 "--id-column", "doc_id", "--threshold", "0.9",
+                 "--output", str(out)]) == 0
+    pairs = pq.read_table(out).to_pandas()
+    exact = pairs[pairs["jaccard"] >= 1.0]
+    got = set(zip(exact["id_a"], exact["id_b"]))
+    want = {(int(d), int(d) + 100000)
+            for d in np.asarray(base["doc_id"])[:40]}
+    assert want <= got  # every planted clone pair confirmed
+
+    with pytest.raises(SystemExit, match="--dim is required"):
+        main(["neardup", "--method", "embedding", "--input", str(inp),
+              "--table", "documents", "--column", "text",
+              "--id-column", "doc_id"])
+
+
 def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
     spec = {"table": "events", "sketches": [
         {"name": "a", "kind": "block", "params": {"bytes_": 1024},
