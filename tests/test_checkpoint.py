@@ -169,6 +169,30 @@ def test_checkpointed_dedup_kill_resume_matches_exact(tmp_path, ray_session):
     assert frag["path"].endswith("documents_duped.parquet")
 
 
+def test_checkpointed_dedup_partitioning_invariance(tmp_path, ray_session):
+    """The duplicated-hash set and drop ids are pure functions of the data,
+    not the partition plan: wildly different target_rows (1 partition vs
+    many sub-row-group partitions) yield identical results."""
+    import ray.data
+
+    from libfilter_ray.state.checkpoint import CheckpointedDedup
+
+    paths = [f"{SF}/documents.parquet"]
+    ds = ray.data.read_parquet(paths, columns=["doc_id", "text"])
+    results = []
+    for i, target in enumerate((1 << 20, 257, 64)):
+        job = CheckpointedDedup(str(tmp_path / f"r{i}"), paths,
+                                column="text", id_column="doc_id",
+                                target_rows=target)
+        multi = job.run()
+        results.append((len(job.partitions), multi, job.drop_ids(ds)))
+    n_parts = [r[0] for r in results]
+    assert n_parts[0] == 1 and n_parts[1] < n_parts[2]  # plans truly differ
+    for _, multi, drops in results[1:]:
+        np.testing.assert_array_equal(multi, results[0][1])
+        np.testing.assert_array_equal(drops, results[0][2])
+
+
 def test_checkpointed_dedup_config_mismatch_rejected(tmp_path, ray_session):
     from libfilter_ray.state.checkpoint import CheckpointedDedup
 
