@@ -226,6 +226,10 @@ class _CheckpointedJob:
     def _make_builder(self):
         raise NotImplementedError
 
+    def _partial_files(self) -> list[str]:
+        d = os.path.join(self.run_dir, PARTIALS_DIR)
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
     def _sweep_tmps(self) -> None:
         d = os.path.join(self.run_dir, PARTIALS_DIR)
         for name in os.listdir(d):
@@ -363,6 +367,12 @@ class CheckpointedBuild(_CheckpointedJob):
         import ray.data
 
         cls = registry.get(self.kind)
+        if not self._partial_files():
+            # zero-row input planned zero partitions: an empty (never
+            # updated) sketch, same as a sequential build over no rows
+            if self.key is None:
+                return {"": registry.make(self.kind, **self.params)}
+            return {}
         # file_extensions guard: without it, orphan part-*.parquet.tmp-* files
         # from a crash inside _atomic_write_table would be ingested too,
         # double-counting partitions on resume
@@ -522,6 +532,8 @@ class CheckpointedDedup(_CheckpointedJob):
         import ray.data
         from ray.data.aggregate import Sum
 
+        if not self._partial_files():  # zero-row input: nothing duplicated
+            return np.empty(0, dtype=np.int64)
         ds = ray.data.read_parquet(
             os.path.join(self.run_dir, PARTIALS_DIR),
             columns=["content_hash", "n_members"],

@@ -193,6 +193,34 @@ def test_checkpointed_dedup_partitioning_invariance(tmp_path, ray_session):
         np.testing.assert_array_equal(drops, results[0][2])
 
 
+def test_empty_input_table(tmp_path, ray_session):
+    """A zero-row input plans zero partitions and must still complete: build
+    returns an empty (never-updated) sketch, dedup returns no duplicates —
+    not a crash on the empty partials dir."""
+    import ray.data
+
+    from libfilter_ray.state.checkpoint import (CheckpointedBuild,
+                                                CheckpointedDedup)
+
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string())}), path)
+    dd = CheckpointedDedup(str(tmp_path / "ck"), [path],
+                           column="text", id_column="doc_id")
+    assert len(dd.run()) == 0
+    ds = ray.data.read_parquet(path)
+    assert dd.dedup(ds).count() == 0
+
+    b = CheckpointedBuild(str(tmp_path / "ck2"), [path], kind="block",
+                          params={"bytes_": 1024}, column="text")
+    sk = b.run()[""]
+    assert sk.to_bytes() == bytes(1024)  # all-zero filter, correct size
+
+    g = CheckpointedBuild(str(tmp_path / "ck3"), [path], kind="hll",
+                          params={"p": 10}, column="text", key="doc_id")
+    assert g.run() == {}  # no keys exist in an empty corpus
+
+
 def test_checkpointed_dedup_config_mismatch_rejected(tmp_path, ray_session):
     from libfilter_ray.state.checkpoint import CheckpointedDedup
 
