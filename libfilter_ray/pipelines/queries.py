@@ -1077,6 +1077,100 @@ def q_checkpointed_dedup_resume(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_line_dedup_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level LINE dedup (C4/Gopher boilerplate removal): every
+    duplicated line keeps only its global first occurrence (min (doc_id,
+    ordinal)). Boilerplate is planted deterministically — each doc gains a
+    shared footer line and a per-lang header line (the real-world shape:
+    nav/footer lines repeated across a crawl). The engine explodes lines
+    (16 B/line shuffle), runs the collision-proof exact dedup over the line
+    table (stages/dedup.py:line_dedup_drop_ids), then computes per-lang
+    kept/dropped/char stats in a second streaming pass."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import LINE_ORD_BASE, exact_dedup_drop_ids, \
+        explode_lines
+
+    FOOTER = "COMMON FOOTER - ALL RIGHTS RESERVED"
+
+    def add_boilerplate(t: pa.Table) -> pa.Table:
+        hdr = pc.binary_join_element_wise("LANG HEADER", t["lang"], " ")
+        full = pc.binary_join_element_wise(t["text"], FOOTER, hdr, "\n")
+        return t.set_column(t.schema.get_field_index("text"), "text", full)
+
+    corpus = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .map_batches(add_boilerplate, batch_format="pyarrow")
+    lines = corpus.map_batches(
+        explode_lines("text", "doc_id", keep=("lang",)),
+        batch_format="pyarrow")
+    drop = exact_dedup_drop_ids(lines, "line", "line_id")
+    assert len(drop) > 0  # the planted boilerplate must collapse
+    ref = ray.put(drop)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        drop = ray.get(ref)  # zero-copy plasma read per task
+        ids = t["line_id"].to_numpy()
+        pos = np.searchsorted(drop, ids)
+        dropped = (pos < len(drop)) & (
+            drop[np.minimum(pos, len(drop) - 1)] == ids)
+        chars = np.asarray(pc.utf8_length(t["line"]), dtype=np.int64)
+        lang = t["lang"]
+        dict_arr = pc.dictionary_encode(
+            lang.combine_chunks() if isinstance(lang, pa.ChunkedArray)
+            else lang)
+        codes = np.asarray(dict_arr.indices)
+        n = len(dict_arr.dictionary)
+        return pa.table({
+            "lang": dict_arr.dictionary,
+            "lines_kept": pa.array(
+                np.bincount(codes[~dropped], minlength=n), type=pa.int64()),
+            "lines_dropped": pa.array(
+                np.bincount(codes[dropped], minlength=n), type=pa.int64()),
+            "chars_kept": pa.array(
+                np.bincount(codes[~dropped], weights=chars[~dropped],
+                            minlength=n).astype(np.int64),
+                type=pa.int64()),
+        })
+
+    out = lines.map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("lang") \
+        .aggregate(Sum("lines_kept", alias_name="lines_kept"),
+                   Sum("lines_dropped", alias_name="lines_dropped"),
+                   Sum("chars_kept", alias_name="chars_kept")) \
+        .to_pandas()
+    for c in ("lines_kept", "lines_dropped", "chars_kept"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_LINE_DEDUP_STATS = """
+WITH aug AS (
+  SELECT lang, doc_id,
+         text || chr(10) || 'COMMON FOOTER - ALL RIGHTS RESERVED'
+              || chr(10) || 'LANG HEADER ' || lang AS text
+  FROM documents
+), l AS (
+  SELECT lang,
+         doc_id * 1048576
+           + UNNEST(range(1, len(string_split(text, chr(10))) + 1))
+           AS line_id,
+         UNNEST(string_split(text, chr(10))) AS line
+  FROM aug
+), k AS (
+  SELECT lang, line, line_id,
+         MIN(line_id) OVER (PARTITION BY line) AS first_id
+  FROM l
+)
+SELECT lang,
+       (COUNT(*) FILTER (WHERE line_id = first_id))::BIGINT AS lines_kept,
+       (COUNT(*) FILTER (WHERE line_id <> first_id))::BIGINT
+         AS lines_dropped,
+       COALESCE(SUM(length(line)) FILTER (WHERE line_id = first_id),
+                0)::BIGINT AS chars_kept
+FROM k GROUP BY lang ORDER BY lang
+"""
+
+
 def q_ann_topk_brute(sf_dir: str) -> pd.DataFrame:
     """Exact distributed cosine top-5: queries = the 3 lowest-vec_id
     embeddings, broadcast once; per-block partial top-k then exact merge.
@@ -2327,6 +2421,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "incremental_growable": q_incremental_growable,
     "tcf_per_domain": q_tcf_per_domain,
     "checkpointed_dedup_resume": q_checkpointed_dedup_resume,
+    "line_dedup_stats": q_line_dedup_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2370,4 +2465,5 @@ ORACLES: dict[str, str] = {
     "incremental_growable": SQL_INCREMENTAL_GROWABLE,
     "tcf_per_domain": SQL_TCF_PER_DOMAIN,
     "checkpointed_dedup_resume": SQL_EXACT_DEDUP,
+    "line_dedup_stats": SQL_LINE_DEDUP_STATS,
 }

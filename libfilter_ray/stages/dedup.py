@@ -584,3 +584,110 @@ def embedding_near_dup_pairs(ds, column: str, id_column: str, *,
                           "cosine": cos[keep].astype(np.float64)})
     return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (C4/Gopher-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+#: ord fits in 20 bits -> packed line_id = doc_id * 2^20 + ord stays exact
+#: for doc_id < 2^43 and <= 2^20 - 1 lines per document.
+LINE_ORD_BASE = 1 << 20
+
+
+def explode_lines(column: str, id_column: str, *, sep: str = "\n",
+                  keep: tuple[str, ...] = ()):
+    """map_batches fn factory: one output row per line of `column` —
+    (line, line_id = id * LINE_ORD_BASE + 1-based ordinal, *keep columns).
+    Fully vectorized (split_pattern -> list_flatten + arange arithmetic);
+    null text explodes to zero rows (matches SQL UNNEST(string_split(NULL)))."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = _str(t[column])
+        lists = pc.split_pattern(col, sep)
+        lens = np.asarray(pc.fill_null(pc.list_value_length(lists), 0),
+                          dtype=np.int64)
+        if lens.max(initial=0) >= LINE_ORD_BASE:
+            raise ValueError(
+                f"document with >= {LINE_ORD_BASE} lines: packed line ids "
+                "would collide — raise LINE_ORD_BASE")
+        flat = pc.list_flatten(lists)
+        ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(ids) and np.abs(ids).max() >= (1 << 62) // LINE_ORD_BASE:
+            raise ValueError("id too large to pack with line ordinal")
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        total = int(lens.sum())
+        ord1 = np.arange(total, dtype=np.int64) - np.repeat(starts, lens) + 1
+        cols = {"line": flat,
+                "line_id": pa.array(np.repeat(ids, lens) * LINE_ORD_BASE
+                                    + ord1, type=pa.int64())}
+        row_idx = pa.array(np.repeat(np.arange(len(lens)), lens))
+        for k in keep:
+            cols[k] = _str(t[k]).take(row_idx)
+        return pa.table(cols)
+
+    return fn
+
+
+def line_dedup_drop_ids(ds, column: str, id_column: str, *,
+                        sep: str = "\n") -> np.ndarray:
+    """Sorted packed line_ids of every duplicated line occurrence EXCEPT the
+    global first (min (id, ordinal) survives) — exact dedup over the
+    exploded line table: 16 B/line shuffle, payload confirm only on
+    duplicated-hash groups (collision-proof), O(duplicate lines) driver
+    memory. The standard C4-style corpus-level boilerplate-line removal."""
+    lines = ds.map_batches(explode_lines(column, id_column, sep=sep),
+                           batch_format="pyarrow")
+    return exact_dedup_drop_ids(lines, "line", "line_id")
+
+
+def line_dedup(ds, column: str, id_column: str, *, sep: str = "\n"):
+    """The corpus with duplicated lines removed (first occurrence kept),
+    text rebuilt in place. Documents never shuffle: the rebuild is a
+    per-batch explode -> mask against the broadcast drop set ->
+    pc.binary_join, so only the 16 B/line dedup pass moves data."""
+    import ray
+    import pyarrow.compute as pc
+
+    drop = line_dedup_drop_ids(ds, column, id_column, sep=sep)
+    if not len(drop):
+        return ds
+    ref = ray.put(drop)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        drop = ray.get(ref)  # zero-copy plasma read per task
+        col = _str(t[column])
+        lists = pc.split_pattern(col, sep)
+        lens = np.asarray(pc.fill_null(pc.list_value_length(lists), 0),
+                          dtype=np.int64)
+        flat = pc.list_flatten(lists)
+        ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        total = int(lens.sum())
+        ord1 = np.arange(total, dtype=np.int64) - np.repeat(starts, lens) + 1
+        line_id = np.repeat(ids, lens) * LINE_ORD_BASE + ord1
+        pos = np.searchsorted(drop, line_id)
+        dropped = (pos < len(drop)) & (
+            drop[np.minimum(pos, len(drop) - 1)] == line_id)
+        kept = flat.filter(pa.array(~dropped))
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        kept_per_row = np.bincount(row_of[~dropped], minlength=len(lens)) \
+            .astype(np.int64)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(kept_per_row, out=offsets[1:])
+        rebuilt = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets),
+                                          kept.combine_chunks()
+                                          if isinstance(kept,
+                                                        pa.ChunkedArray)
+                                          else kept), sep)
+        # null text exploded to zero rows; keep it null, not ""
+        if col.null_count:
+            rebuilt = pc.if_else(pc.is_null(col), col, rebuilt)
+        return t.set_column(t.schema.get_field_index(column), column,
+                            rebuilt)
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

@@ -634,3 +634,62 @@ def test_lsh_band_keys_validates_band_divisibility():
         lsh_band_keys(sig, bands=16)
     with pytest.raises(ValueError, match="divide"):
         lsh_band_keys(sig, bands=3)
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (C4-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_matches_naive_reference(ray_session):
+    """line_dedup rebuilds each doc with duplicated lines removed (global
+    first occurrence by (doc_id, ordinal) survives) — checked line-for-line
+    against a naive single-process reference, including empty and null
+    texts."""
+    import ray.data
+
+    from libfilter_ray.stages.dedup import line_dedup
+
+    docs = {
+        1: "intro\nFOOTER\nbody one",
+        2: "other\nFOOTER\nintro",       # FOOTER + intro are repeats
+        3: "FOOTER",                      # all lines duplicated -> ""
+        4: "",                            # single empty line, first seen
+        5: None,                          # null stays null
+        6: "\nFOOTER\n",                  # "" dup of doc 4's line
+        7: "unique tail",
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), type=pa.int64()),
+                  "text": pa.array(list(docs.values()), type=pa.string())})
+
+    # naive reference
+    seen, want = set(), {}
+    for d, txt in docs.items():
+        if txt is None:
+            want[d] = None
+            continue
+        kept = []
+        for line in txt.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        want[d] = "\n".join(kept)
+
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = line_dedup(ds, "text", "doc_id").to_pandas() \
+        .set_index("doc_id")["text"].to_dict()
+    out = {k: (None if pd.isna(v) else v) for k, v in out.items()}
+    assert out == want
+    assert out[3] == ""       # fully-boilerplate doc collapses to empty
+    assert out[5] is None     # null preserved
+
+
+def test_line_dedup_noop_when_all_unique(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.dedup import line_dedup
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(["a\nb", "c\nd"])})
+    ds = ray.data.from_arrow(t)
+    out = line_dedup(ds, "text", "doc_id").to_pandas()
+    assert sorted(out["text"]) == ["a\nb", "c\nd"]
