@@ -1171,6 +1171,107 @@ FROM k GROUP BY lang ORDER BY lang
 """
 
 
+def q_doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style WITHIN-document repetition quality signal: per doc, the
+    lines that are exact repeats of an earlier line in the same doc
+    (occurrences beyond the first), plus the >30% duplicate-line-fraction
+    flag the Gopher filter uses. Purely streaming — repetition is a per-doc
+    property, so there is NO shuffle at all: one map_batches computes per-doc
+    counts and a tiny per-lang partial, then a 5-row groupby sums partials.
+    Repetition is planted deterministically (even doc_ids duplicate their
+    content line; every doc gains a unique tail line)."""
+    import pyarrow.compute as pc
+
+    def add_rep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        text = t["text"].combine_chunks() \
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        doubled = pc.binary_join_element_wise(text, text, "\n")
+        body = pc.if_else(pa.array(ids % 2 == 0), doubled, text)
+        tail = pc.binary_join_element_wise(
+            "UNIQ", pc.cast(t["doc_id"], pa.string()), " ")
+        full = pc.binary_join_element_wise(body, tail, "\n")
+        return t.set_column(t.schema.get_field_index("text"), "text", full)
+
+    def rep_partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"], "\n")
+        lens = np.asarray(pc.fill_null(pc.list_value_length(lists), 0),
+                          dtype=np.int64)
+        flat = pc.list_flatten(lists)
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        chars = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+        # exact within-doc repeat mask (beyond-first occurrences): pandas
+        # duplicated on (row, line string) — vectorized, collision-free
+        dup = pd.DataFrame({"r": row_of,
+                            "s": flat.to_pandas()}).duplicated().to_numpy()
+        n = len(lens)
+        dup_lines = np.bincount(row_of[dup], minlength=n)
+        dup_chars = np.bincount(row_of[dup], weights=chars[dup],
+                                minlength=n).astype(np.int64)
+        total_chars = np.bincount(row_of, weights=chars,
+                                  minlength=n).astype(np.int64)
+        flagged = dup_lines * 10 > 3 * lens  # dup fraction > 0.3, exact
+        lang = t["lang"]
+        dict_arr = pc.dictionary_encode(
+            lang.combine_chunks() if isinstance(lang, pa.ChunkedArray)
+            else lang)
+        codes = np.asarray(dict_arr.indices)
+        k = len(dict_arr.dictionary)
+        agg = lambda v: pa.array(  # noqa: E731
+            np.bincount(codes, weights=v, minlength=k).astype(np.int64),
+            type=pa.int64())
+        return pa.table({
+            "lang": dict_arr.dictionary,
+            "total_lines": agg(lens), "dup_lines": agg(dup_lines),
+            "total_chars": agg(total_chars), "dup_chars": agg(dup_chars),
+            "n_docs": agg(np.ones(n, dtype=np.int64)),
+            "n_docs_flagged": agg(flagged.astype(np.int64)),
+        })
+
+    cols = ["total_lines", "dup_lines", "total_chars", "dup_chars",
+            "n_docs", "n_docs_flagged"]
+    out = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .map_batches(add_rep, batch_format="pyarrow") \
+        .map_batches(rep_partial, batch_format="pyarrow") \
+        .groupby("lang") \
+        .aggregate(*[Sum(c, alias_name=c) for c in cols]).to_pandas()
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_DOC_REPETITION_STATS = """
+WITH aug AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 2 = 0 THEN text || chr(10) || text
+              ELSE text END || chr(10) || 'UNIQ ' || doc_id AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, chr(10))) AS line
+  FROM aug
+), g AS (
+  SELECT doc_id, lang, line, COUNT(*) AS n, length(line) AS len
+  FROM l GROUP BY doc_id, lang, line
+), d AS (
+  SELECT doc_id, lang,
+         SUM(n) AS total_lines, SUM(n - 1) AS dup_lines,
+         SUM(n * len) AS total_chars, SUM((n - 1) * len) AS dup_chars
+  FROM g GROUP BY doc_id, lang
+)
+SELECT lang,
+       SUM(total_lines)::BIGINT AS total_lines,
+       SUM(dup_lines)::BIGINT AS dup_lines,
+       SUM(total_chars)::BIGINT AS total_chars,
+       SUM(dup_chars)::BIGINT AS dup_chars,
+       COUNT(*)::BIGINT AS n_docs,
+       (COUNT(*) FILTER (WHERE dup_lines * 10 > 3 * total_lines))::BIGINT
+         AS n_docs_flagged
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
 def q_ann_topk_brute(sf_dir: str) -> pd.DataFrame:
     """Exact distributed cosine top-5: queries = the 3 lowest-vec_id
     embeddings, broadcast once; per-block partial top-k then exact merge.
@@ -2422,6 +2523,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tcf_per_domain": q_tcf_per_domain,
     "checkpointed_dedup_resume": q_checkpointed_dedup_resume,
     "line_dedup_stats": q_line_dedup_stats,
+    "doc_repetition_stats": q_doc_repetition_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2466,4 +2568,5 @@ ORACLES: dict[str, str] = {
     "tcf_per_domain": SQL_TCF_PER_DOMAIN,
     "checkpointed_dedup_resume": SQL_EXACT_DEDUP,
     "line_dedup_stats": SQL_LINE_DEDUP_STATS,
+    "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
 }
