@@ -169,3 +169,43 @@ def text_stats_stage(batch: pa.Table, column: str = "text") -> pa.Table:
                         pa.array(winnow_fingerprints(col).view(np.int64),
                                  type=pa.int64()))
     return t
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (corpus cleaning): email / URL / IPv4 masking
+# ---------------------------------------------------------------------------
+
+#: (name, RE2 pattern, replacement) applied IN ORDER — the same patterns are
+#: injected verbatim into the DuckDB oracle (both engines are RE2), so engine
+#: and SQL replace and count identically.
+SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("urls", r"https?://[^ \t\n]+", "[URL]"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def scrub_text(col) -> pa.Array:
+    """Mask emails, then URLs, then IPv4 literals (sequential RE2
+    replace-all passes over the whole column — no per-row Python). Null
+    text stays null (SQL regexp_replace semantics), unlike the stats
+    kernels' null-as-empty convention."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = col
+    for _, pattern, repl in SCRUB_RULES:
+        out = pc.replace_substring_regex(out, pattern=pattern,
+                                         replacement=repl)
+    return out
+
+
+def scrub_match_counts(col) -> dict[str, np.ndarray]:
+    """Per-row match counts of each scrub rule against the ORIGINAL text."""
+    import pyarrow.compute as pc
+
+    arr = _str(col)
+    return {name: np.asarray(pc.count_substring_regex(arr, pattern),
+                             dtype=np.int64)
+            for name, pattern, _ in SCRUB_RULES}

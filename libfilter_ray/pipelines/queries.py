@@ -1272,6 +1272,147 @@ FROM d GROUP BY lang ORDER BY lang
 """
 
 
+def q_top_words(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide top-25 words by occurrence — the canonical combiner
+    shape: per-batch np.unique partial counts collapse each batch to its
+    DISTINCT words before the shuffle (the all-to-all moves vocab-sized
+    partials, not one row per word occurrence), then a groupby-Sum and a
+    driver-side sort of the small vocab result. Ties broken (count DESC,
+    word ASC) for determinism. Empty tokens from repeated spaces are
+    dropped on both sides."""
+    import pyarrow.compute as pc
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"], " ")
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        words, counts = np.unique(np.asarray(flat), return_counts=True)
+        return pa.table({"word": pa.array(words.astype(str)),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    agg = _read(sf_dir, "documents", columns=["text"]) \
+        .map_batches(word_partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    out = agg.sort_values(["n", "word"], ascending=[False, True]) \
+        .head(25).reset_index(drop=True)
+    return out[["word", "n"]]
+
+
+SQL_TOP_WORDS = """
+WITH w AS (
+  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+)
+SELECT word, COUNT(*)::BIGINT AS n
+FROM w WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 25
+"""
+
+
+def q_pii_scrub_stats(sf_dir: str) -> pd.DataFrame:
+    """PII scrubbing (corpus cleaning): mask emails -> URLs -> IPv4 with the
+    shared SCRUB_RULES RE2 patterns (functions/textstats.py) — the SAME
+    pattern strings are injected into the DuckDB oracle, so replacement and
+    counting are bit-identical across engines. PII is planted
+    deterministically on 2/3 of docs (contact line with a per-doc email,
+    URL and IP); zero-shuffle streaming: one map_batches emits per-lang
+    partials, a 5-row groupby sums them."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import scrub_match_counts, scrub_text
+
+    def add_pii(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        ids_s = pc.cast(t["doc_id"], pa.string())
+        text = t["text"].combine_chunks() \
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        contact = pc.binary_join_element_wise(
+            " Contact user", ids_s, "@example.com or https://site",
+            pc.cast(pa.array(ids % 7), pa.string()),
+            ".example.org/page via 10.0.",
+            pc.cast(pa.array(ids % 256), pa.string()), ".",
+            pc.cast(pa.array(ids % 100), pa.string()), "")
+        full = pc.if_else(pa.array(ids % 3 != 2),
+                          pc.binary_join_element_wise(text, contact, ""),
+                          text)
+        return t.set_column(t.schema.get_field_index("text"), "text", full)
+
+    def scrub_partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        clean = scrub_text(text)
+        counts = scrub_match_counts(text)
+        removed = np.asarray(pc.utf8_length(text), dtype=np.int64) \
+            - np.asarray(pc.utf8_length(clean), dtype=np.int64)
+        scrubbed = ~np.asarray(pc.equal(clean, text), dtype=bool)
+        lang = t["lang"]
+        dict_arr = pc.dictionary_encode(
+            lang.combine_chunks() if isinstance(lang, pa.ChunkedArray)
+            else lang)
+        codes = np.asarray(dict_arr.indices)
+        k = len(dict_arr.dictionary)
+        agg = lambda v: pa.array(  # noqa: E731
+            np.bincount(codes, weights=v, minlength=k).astype(np.int64),
+            type=pa.int64())
+        return pa.table({
+            "lang": dict_arr.dictionary,
+            "n_docs": agg(np.ones(len(codes), dtype=np.int64)),
+            "n_scrubbed": agg(scrubbed.astype(np.int64)),
+            "emails": agg(counts["emails"]), "urls": agg(counts["urls"]),
+            "ips": agg(counts["ips"]), "chars_removed": agg(removed),
+        })
+
+    cols = ["n_docs", "n_scrubbed", "emails", "urls", "ips",
+            "chars_removed"]
+    out = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .map_batches(add_pii, batch_format="pyarrow") \
+        .map_batches(scrub_partial, batch_format="pyarrow") \
+        .groupby("lang") \
+        .aggregate(*[Sum(c, alias_name=c) for c in cols]).to_pandas()
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _sql_pii_scrub() -> str:
+    from ..functions.textstats import SCRUB_RULES
+
+    (em, em_re, em_sub), (u, u_re, u_sub), (ip, ip_re, ip_sub) = SCRUB_RULES
+    sql = """
+WITH aug AS (
+  SELECT lang, doc_id,
+         CASE WHEN doc_id % 3 <> 2 THEN
+           text || ' Contact user' || doc_id || '@example.com or https://site'
+                || (doc_id % 7) || '.example.org/page via 10.0.'
+                || (doc_id % 256) || '.' || (doc_id % 100)
+         ELSE text END AS text
+  FROM documents
+), s AS (
+  SELECT lang, text,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '<<EM>>', '[EMAIL]', 'g'),
+             '<<URL>>', '[URL]', 'g'),
+             '<<IP>>', '[IP]', 'g') AS clean,
+         len(regexp_extract_all(text, '<<EM>>')) AS emails,
+         len(regexp_extract_all(text, '<<URL>>')) AS urls,
+         len(regexp_extract_all(text, '<<IP>>')) AS ips
+  FROM aug
+)
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       (COUNT(*) FILTER (WHERE clean <> text))::BIGINT AS n_scrubbed,
+       SUM(emails)::BIGINT AS emails, SUM(urls)::BIGINT AS urls,
+       SUM(ips)::BIGINT AS ips,
+       SUM(length(text) - length(clean))::BIGINT AS chars_removed
+FROM s GROUP BY lang ORDER BY lang
+"""
+    return sql.replace("<<EM>>", em_re).replace("<<URL>>", u_re) \
+        .replace("<<IP>>", ip_re)
+
+
+SQL_PII_SCRUB_STATS = _sql_pii_scrub()
+
+
 def q_ann_topk_brute(sf_dir: str) -> pd.DataFrame:
     """Exact distributed cosine top-5: queries = the 3 lowest-vec_id
     embeddings, broadcast once; per-block partial top-k then exact merge.
@@ -2524,6 +2665,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "checkpointed_dedup_resume": q_checkpointed_dedup_resume,
     "line_dedup_stats": q_line_dedup_stats,
     "doc_repetition_stats": q_doc_repetition_stats,
+    "top_words": q_top_words,
+    "pii_scrub_stats": q_pii_scrub_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2569,4 +2712,6 @@ ORACLES: dict[str, str] = {
     "checkpointed_dedup_resume": SQL_EXACT_DEDUP,
     "line_dedup_stats": SQL_LINE_DEDUP_STATS,
     "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
+    "top_words": SQL_TOP_WORDS,
+    "pii_scrub_stats": SQL_PII_SCRUB_STATS,
 }

@@ -693,3 +693,18 @@ def test_line_dedup_noop_when_all_unique(ray_session):
     ds = ray.data.from_arrow(t)
     out = line_dedup(ds, "text", "doc_id").to_pandas()
     assert sorted(out["text"]) == ["a\nb", "c\nd"]
+
+
+def test_scrub_text_masks_and_preserves_nulls():
+    from libfilter_ray.functions.textstats import scrub_match_counts, \
+        scrub_text
+
+    a = pa.array(["bob+x@a.example.com wrote", "go to https://x.y/z?q=1",
+                  "ip 10.0.3.7 end", "clean", None, ""])
+    out = scrub_text(a).to_pylist()
+    assert out == ["[EMAIL] wrote", "go to [URL]", "ip [IP] end",
+                   "clean", None, ""]
+    c = scrub_match_counts(a)
+    assert c["emails"].tolist() == [1, 0, 0, 0, 0, 0]
+    assert c["urls"].tolist() == [0, 1, 0, 0, 0, 0]
+    assert c["ips"].tolist() == [0, 0, 1, 0, 0, 0]
