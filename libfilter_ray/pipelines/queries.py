@@ -1413,6 +1413,64 @@ FROM s GROUP BY lang ORDER BY lang
 SQL_PII_SCRUB_STATS = _sql_pii_scrub()
 
 
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid (class prototypes / IVF seeding): the
+    vector-aggregation pattern — each batch collapses to one partial
+    (label, dim) sum matrix, so the shuffle moves labels x dim rows per
+    batch, never per vector. Exactness across engines: floats are
+    quantized floor(v * 1e6) -> int64 BEFORE summing (identical IEEE
+    double multiply + floor on both sides; integer sums are
+    order-invariant), so the oracle hash-matches bit-for-bit — the
+    centroid is sum_q / (1e6 * n)."""
+    import pyarrow.compute as pc
+
+    def centroid_partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) \
+            else emb
+        lens = np.asarray(pc.list_value_length(emb), dtype=np.int64)
+        dim = int(lens[0]) if len(lens) else 0
+        assert dim and (lens == dim).all()  # fixed-width corpus
+        flat = np.asarray(pc.list_flatten(emb), dtype=np.float64)
+        q = np.floor(flat * 1e6).astype(np.int64).reshape(-1, dim)
+        labels = t["label"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), type=pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(uniq)), type=pa.int64()),
+            "sum_q": pa.array(sums.ravel(), type=pa.int64()),
+            "n": pa.array(np.repeat(counts, dim), type=pa.int64()),
+        })
+
+    out = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["label", "embedding"]) \
+        .map_batches(centroid_partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]) \
+        .aggregate(Sum("sum_q", alias_name="sum_q"),
+                   Sum("n", alias_name="n")).to_pandas()
+    out["sum_q"] = out["sum_q"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT label,
+         UNNEST(range(0, len(embedding))) AS dim,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS q
+  FROM embeddings
+)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+       SUM(q)::BIGINT AS sum_q, COUNT(*)::BIGINT AS n
+FROM e GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 def q_ann_topk_brute(sf_dir: str) -> pd.DataFrame:
     """Exact distributed cosine top-5: queries = the 3 lowest-vec_id
     embeddings, broadcast once; per-block partial top-k then exact merge.
@@ -2667,6 +2725,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "top_words": q_top_words,
     "pii_scrub_stats": q_pii_scrub_stats,
+    "label_centroids": q_label_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -2714,4 +2773,5 @@ ORACLES: dict[str, str] = {
     "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
     "top_words": SQL_TOP_WORDS,
     "pii_scrub_stats": SQL_PII_SCRUB_STATS,
+    "label_centroids": SQL_LABEL_CENTROIDS,
 }
