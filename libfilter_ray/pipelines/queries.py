@@ -1471,6 +1471,68 @@ FROM e GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def q_sequence_packing(sf_dir: str) -> pd.DataFrame:
+    """Training sequence packing: next-fit docs into 256-token sequences per
+    lang (deterministic doc_id order) — docs/seqs/tokens/waste per lang.
+    Stage 1 streams the narrow (lang, doc_id, n_tokens) projection (wide
+    text dies at the batch); stage 2 groups by lang and runs the
+    searchsorted boundary-jump packer (functions/packing.py) on the sorted
+    group — the shuffle moves 24 B/doc. At 10^12 scale pack per
+    (lang, shard) instead (see packing.py docstring)."""
+    from ..functions.packing import pack_stats
+    from ..functions.textstats import token_counts
+
+    BUDGET = 256
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"], "doc_id": t["doc_id"],
+            "n_tokens": pa.array(token_counts(t["text"]), type=pa.int64()),
+        })
+
+    def pack_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="stable")
+        st = pack_stats(df["n_tokens"].to_numpy(), BUDGET)
+        return pd.DataFrame([{"lang": df["lang"].iloc[0], **st}])
+
+    out = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .map_batches(tok_partial, batch_format="pyarrow") \
+        .groupby("lang").map_groups(pack_group, batch_format="pandas") \
+        .to_pandas()
+    for c in ("n_docs", "n_seqs", "total_tokens", "wasted_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_SEQUENCE_PACKING = r"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_extract_all(text, '\S+')) END AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), p AS (
+  SELECT lang, rn, n_tokens, 1 AS seq, n_tokens AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.rn, t.n_tokens,
+         CASE WHEN p.fill + t.n_tokens <= 256 THEN p.seq ELSE p.seq + 1 END,
+         CASE WHEN p.fill + t.n_tokens <= 256 THEN p.fill + t.n_tokens
+              ELSE t.n_tokens END
+  FROM p JOIN toks t ON t.lang = p.lang AND t.rn = p.rn + 1
+), bins AS (
+  SELECT lang, seq, SUM(n_tokens) AS fill FROM p GROUP BY lang, seq
+)
+SELECT lang,
+       (SELECT COUNT(*) FROM toks t WHERE t.lang = bins.lang)::BIGINT
+         AS n_docs,
+       COUNT(*)::BIGINT AS n_seqs,
+       SUM(fill)::BIGINT AS total_tokens,
+       SUM(GREATEST(0, 256 - fill))::BIGINT AS wasted_tokens
+FROM bins GROUP BY lang ORDER BY lang
+"""
+
+
 def q_ann_topk_brute(sf_dir: str) -> pd.DataFrame:
     """Exact distributed cosine top-5: queries = the 3 lowest-vec_id
     embeddings, broadcast once; per-block partial top-k then exact merge.
@@ -2726,6 +2788,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_words": q_top_words,
     "pii_scrub_stats": q_pii_scrub_stats,
     "label_centroids": q_label_centroids,
+    "sequence_packing": q_sequence_packing,
 }
 
 ORACLES: dict[str, str] = {
@@ -2774,4 +2837,5 @@ ORACLES: dict[str, str] = {
     "top_words": SQL_TOP_WORDS,
     "pii_scrub_stats": SQL_PII_SCRUB_STATS,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
 }

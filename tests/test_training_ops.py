@@ -708,3 +708,29 @@ def test_scrub_text_masks_and_preserves_nulls():
     assert c["emails"].tolist() == [1, 0, 0, 0, 0, 0]
     assert c["urls"].tolist() == [0, 1, 0, 0, 0, 0]
     assert c["ips"].tolist() == [0, 0, 1, 0, 0, 0]
+
+
+def test_next_fit_pack_matches_naive():
+    """Boundary-jump packer == the sequential next-fit definition, across
+    random token streams incl. zeros and oversize docs."""
+    from libfilter_ray.functions.packing import next_fit_pack, pack_stats
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n = int(rng.integers(0, 40))
+        toks = rng.integers(0, 120, n)
+        budget = int(rng.integers(1, 100))
+        # naive sequential reference
+        want, fill, b = [], None, -1
+        for t in toks:
+            if fill is None or fill + t > budget:
+                b, fill = b + 1, int(t)
+            else:
+                fill += int(t)
+            want.append(b)
+        got = next_fit_pack(toks, budget)
+        assert got.tolist() == want, (trial, toks.tolist(), budget)
+        st = pack_stats(toks, budget)
+        assert st["n_docs"] == n and st["total_tokens"] == int(toks.sum())
+        if n:
+            assert st["n_seqs"] == want[-1] + 1
