@@ -142,6 +142,10 @@ def run_bench() -> dict:
     timed("ngram_jaccard_near_dup", q.q_ngram_jaccard_near_dup)
     # composed prep: quality filter -> exact dedup -> per-lang stats
     timed("training_prep_pipeline", q.q_training_prep_pipeline)
+    # corpus-level line dedup (exploded-line exact dedup + stats pass)
+    timed("line_dedup_stats", q.q_line_dedup_stats)
+    # zero-shuffle streaming cleaning: RE2 scrub + per-lang partials
+    timed("pii_scrub_stats", q.q_pii_scrub_stats)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)
