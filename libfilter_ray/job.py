@@ -39,6 +39,9 @@ Subcommands:
 - ``neardup`` confirmed near-duplicate pairs over a text or embedding
   column (minhash / simhash / embedding LSH, distributed banding +
   sharded pair scan + exact verification), written as pair parquet.
+- ``clean``   the composed corpus-cleaning job: PII scrub (email/URL/IP
+  masking) -> corpus-level line dedup (boilerplate removal) -> exact
+  document dedup, each stage optional, streaming to cleaned parquet.
 - ``list``    print every registered pipeline and whether it carries a
   DuckDB oracle.
 """
@@ -274,6 +277,39 @@ def _cmd_neardup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_clean(args: argparse.Namespace) -> int:
+    import ray.data
+
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, [args.column, args.id_column])
+    stages = [s for s, on in (("scrub", not args.no_scrub),
+                              ("line-dedup", not args.no_line_dedup),
+                              ("doc-dedup", not args.no_doc_dedup)) if on]
+    if not stages:
+        raise SystemExit("all cleaning stages disabled — nothing to do")
+    print("stages: " + " -> ".join(stages), file=sys.stderr)
+    ds = ray.data.read_parquet(paths)
+    column = args.column
+    if not args.no_scrub:
+        from .functions.textstats import scrub_text
+
+        def scrub(t: pa.Table) -> pa.Table:
+            return t.set_column(t.schema.get_field_index(column), column,
+                                scrub_text(t[column]))
+
+        ds = ds.map_batches(scrub, batch_format="pyarrow")
+    if not args.no_line_dedup:
+        from .stages.dedup import line_dedup
+
+        ds = line_dedup(ds, column, args.id_column)
+    if not args.no_doc_dedup:
+        from .stages.dedup import exact_dedup
+
+        ds = exact_dedup(ds, column, args.id_column)
+    _write_result(ds, args.output)
+    return 0
+
+
 def _cmd_list(_: argparse.Namespace) -> int:
     from .pipelines.queries import ORACLES, QUERIES
 
@@ -355,6 +391,21 @@ def make_parser() -> argparse.ArgumentParser:
                     help="embedding width (method=embedding)")
     nd.add_argument("--output", default=None, help="pair parquet path")
     nd.set_defaults(fn=_cmd_neardup)
+
+    cl = sub.add_parser("clean", help="composed corpus cleaning job")
+    cl.add_argument("--input", required=True)
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--column", required=True, help="text column to clean")
+    cl.add_argument("--id-column", required=True)
+    cl.add_argument("--no-scrub", action="store_true",
+                    help="skip PII masking")
+    cl.add_argument("--no-line-dedup", action="store_true",
+                    help="skip corpus-level duplicated-line removal")
+    cl.add_argument("--no-doc-dedup", action="store_true",
+                    help="skip exact document dedup")
+    cl.add_argument("--output", default=None,
+                    help="cleaned parquet output dir")
+    cl.set_defaults(fn=_cmd_clean)
 
     ls = sub.add_parser("list", help="enumerate pipelines")
     ls.set_defaults(fn=_cmd_list)

@@ -247,6 +247,52 @@ def test_neardup_subcommand_finds_planted_clones(tmp_path, ray_session):
               "--id-column", "doc_id"])
 
 
+def test_clean_subcommand_composes_all_stages(tmp_path, ray_session):
+    """`job clean` = scrub -> line dedup -> doc dedup, verified against the
+    same stages composed directly on the library surface."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    texts = [
+        "intro line\nFOOTER\nmail bob@x.example.com",   # PII + boilerplate
+        "other intro\nFOOTER\nmail bob@x.example.com",  # same mail line
+        "intro line\nFOOTER\nmail bob@x.example.com",   # full dup of doc 1
+        "standalone doc",
+    ]
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array(texts)}),
+        str(inp / "documents.parquet"))
+    out = tmp_path / "cleaned"
+    assert main(["clean", "--input", str(inp), "--table", "documents",
+                 "--column", "text", "--id-column", "doc_id",
+                 "--output", str(out)]) == 0
+    got = pq.read_table(str(out)).to_pandas() \
+        .set_index("doc_id")["text"].to_dict()
+
+    from libfilter_ray.functions.textstats import scrub_text
+    from libfilter_ray.stages.dedup import exact_dedup, line_dedup
+
+    ds = ray.data.read_parquet(str(inp / "documents.parquet"))
+    ds = ds.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("text"), "text",
+                               scrub_text(t["text"])),
+        batch_format="pyarrow")
+    ds = line_dedup(ds, "text", "doc_id")
+    ref = exact_dedup(ds, "text", "doc_id").to_pandas() \
+        .set_index("doc_id")["text"].to_dict()
+    assert got == ref
+    # semantic spot checks: PII masked, boilerplate collapsed, dup dropped
+    assert got[1] == "intro line\nFOOTER\nmail [EMAIL]"
+    assert got[2] == "other intro"      # FOOTER + mail line deduped away
+    assert 3 in got or got.keys() == ref.keys()
+    # docs 2 and 3 both collapse to distinct texts; doc 3 ("") may remain
+    assert got[4] == "standalone doc"
+
+
 def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
     spec = {"table": "events", "sketches": [
         {"name": "a", "kind": "block", "params": {"bytes_": 1024},
