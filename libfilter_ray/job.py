@@ -42,6 +42,9 @@ Subcommands:
 - ``clean``   the composed corpus-cleaning job: PII scrub (email/URL/IP
   masking) -> corpus-level line dedup (boilerplate removal) -> exact
   document dedup, each stage optional, streaming to cleaned parquet.
+- ``pack``    training sequence packing: next-fit docs into fixed
+  token-budget sequences per key, writing (id, key, n_tokens, seq_id)
+  assignments.
 - ``list``    print every registered pipeline and whether it carries a
   DuckDB oracle.
 """
@@ -310,6 +313,46 @@ def _cmd_clean(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_pack(args: argparse.Namespace) -> int:
+    import ray.data
+
+    from .functions.packing import next_fit_pack
+    from .functions.textstats import token_counts
+
+    paths = _table_paths(args.input, args.table)
+    need = [args.column, args.id_column] + ([args.key] if args.key else [])
+    _check_columns(paths, need)
+    column, id_column, key = args.column, args.id_column, args.key
+    budget = args.budget
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        cols = {id_column: t[id_column],
+                "n_tokens": pa.array(token_counts(t[column]),
+                                     type=pa.int64())}
+        if key:
+            cols[key] = t[key]
+        return pa.table(cols)
+
+    def pack_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(id_column, kind="stable") \
+            .reset_index(drop=True)
+        df["seq_id"] = next_fit_pack(df["n_tokens"].to_numpy(), budget)
+        return df
+
+    ds = ray.data.read_parquet(paths, columns=need) \
+        .map_batches(tok_partial, batch_format="pyarrow")
+    if key:
+        out = ds.groupby(key).map_groups(pack_group, batch_format="pandas")
+    else:
+        # global packing is a single ordered chain: narrow (id, n_tokens)
+        # rows only — at 10^12 scale pass --key to shard the chain
+        import pandas as pd
+
+        out = pack_group(ds.to_pandas())
+    _write_result(out, args.output)
+    return 0
+
+
 def _cmd_list(_: argparse.Namespace) -> int:
     from .pipelines.queries import ORACLES, QUERIES
 
@@ -406,6 +449,20 @@ def make_parser() -> argparse.ArgumentParser:
     cl.add_argument("--output", default=None,
                     help="cleaned parquet output dir")
     cl.set_defaults(fn=_cmd_clean)
+
+    pk = sub.add_parser("pack", help="sequence-packing assignments")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--table", required=True)
+    pk.add_argument("--column", required=True, help="text column to count")
+    pk.add_argument("--id-column", required=True,
+                    help="order + output id column")
+    pk.add_argument("--key", default=None,
+                    help="pack independently per this key (recommended at "
+                         "scale; omit for one global chain)")
+    pk.add_argument("--budget", type=int, default=2048,
+                    help="tokens per packed sequence")
+    pk.add_argument("--output", default=None)
+    pk.set_defaults(fn=_cmd_pack)
 
     ls = sub.add_parser("list", help="enumerate pipelines")
     ls.set_defaults(fn=_cmd_list)

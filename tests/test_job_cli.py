@@ -293,6 +293,32 @@ def test_clean_subcommand_composes_all_stages(tmp_path, ray_session):
     assert got[4] == "standalone doc"
 
 
+def test_pack_subcommand_assignments(tmp_path, ray_session):
+    """`job pack --key lang` emits per-lang next-fit sequence ids matching
+    the kernel run directly on the sorted token stream."""
+    import numpy as np
+
+    out = tmp_path / "packed"
+    assert main(["pack", "--input", SF_DIR_01, "--table", "documents",
+                 "--column", "text", "--id-column", "doc_id",
+                 "--key", "lang", "--budget", "256",
+                 "--output", str(out)]) == 0
+    got = pq.read_table(str(out)).to_pandas()
+    assert {"doc_id", "lang", "n_tokens", "seq_id"} <= set(got.columns)
+
+    from libfilter_ray.functions.packing import next_fit_pack
+
+    for lang, g in got.groupby("lang"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        np.testing.assert_array_equal(
+            g["seq_id"].to_numpy(),
+            next_fit_pack(g["n_tokens"].to_numpy(), 256))
+        # every sequence within budget unless it is a single oversize doc
+        fills = g.groupby("seq_id")["n_tokens"].agg(["sum", "count"])
+        bad = fills[(fills["sum"] > 256) & (fills["count"] > 1)]
+        assert bad.empty
+
+
 def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
     spec = {"table": "events", "sketches": [
         {"name": "a", "kind": "block", "params": {"bytes_": 1024},

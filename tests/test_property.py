@@ -136,3 +136,41 @@ def test_kll_rank_sanity(vals):
     assert lo <= k.quantile(0.5) <= hi
     assert k.quantile(0.0) >= lo - 1e-9
     assert k.quantile(1.0) <= hi + 1e-9
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.lists(st.sampled_from(["a", "bb", "ccc", ""]),
+                                   max_size=6).map("\n".join)),
+                max_size=24),
+       st.integers(min_value=1, max_value=4))
+def test_line_dedup_matches_naive_any_corpus(ray_session, docs, nparts):
+    """Property: line_dedup == the sequential first-occurrence reference for
+    ANY corpus (tiny alphabet forces heavy cross-doc collisions), any
+    partitioning."""
+    import pyarrow as pa
+    import pandas as pd
+    import ray.data
+
+    from libfilter_ray.stages.dedup import line_dedup
+
+    t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs, type=pa.string())})
+    seen, want = set(), {}
+    for d, txt in enumerate(docs):
+        if txt is None:
+            want[d] = None
+            continue
+        kept = [ln for ln in txt.split("\n")
+                if ln not in seen and not seen.add(ln)]
+        want[d] = "\n".join(kept)
+    ds = ray.data.from_arrow(t)
+    if len(docs) > 1:
+        ds = ds.repartition(min(nparts, len(docs)))
+    res = line_dedup(ds, "text", "doc_id").to_pandas()
+    # an empty corpus yields a column-less empty frame (Ray drops the
+    # schema of zero-row outputs) — the contract is just "no rows"
+    out = {} if res.empty else \
+        {k: (None if pd.isna(v) else v)
+         for k, v in res.set_index("doc_id")["text"].to_dict().items()}
+    assert out == want
