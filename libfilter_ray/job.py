@@ -71,9 +71,13 @@ def _ensure_ray(num_cpus: int | None) -> bool:
         return False
     kw: dict[str, Any] = {"include_dashboard": False,
                           "logging_level": "ERROR"}
-    if num_cpus is not None:
+    address = os.environ.get("RAY_ADDRESS", "local")
+    # num_cpus only sizes a NEW local session; passing it while attaching
+    # to an existing cluster (the ray-job-submit case, RAY_ADDRESS set by
+    # the job runtime) is a ray.init ValueError
+    if num_cpus is not None and address == "local":
         kw["num_cpus"] = num_cpus
-    ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kw)
+    ray.init(address=address, **kw)
     return True
 
 
@@ -140,6 +144,13 @@ def _cmd_build(args: argparse.Namespace) -> int:
                 "--checkpoint-dir does not compose with filter/dedup "
                 "pre-stages (the checkpointed unit must be a pure function "
                 "of the input partition)")
+        if sketches[0].get("exact"):
+            raise SystemExit(
+                "--checkpoint-dir does not support \"exact\" specs: the "
+                "checkpointed build merges per-partition sketches, which "
+                "is partition-plan-dependent for growth-order-sensitive "
+                "kinds — run the exact build uncheckpointed (run_config "
+                "routes it through build_sketch_exact)")
         s = sketches[0]
         key = spec.get("key")
         paths = _table_paths(args.input, spec["table"])
@@ -205,10 +216,21 @@ def _cmd_probe(args: argparse.Namespace) -> int:
     from .sketch import registry
 
     filt = pq.read_table(args.filters).to_pandas()
+    if "kind" not in filt.columns or "payload" not in filt.columns:
+        raise SystemExit(
+            f"{args.filters} is not a probe-able filter file (needs "
+            "'kind' + 'payload' columns — grouped builds must run with "
+            "--checkpoint-dir; uncheckpointed grouped output is the "
+            "per-key payload_<name> frame, which probe cannot consume)")
     kinds = set(filt["kind"])
     if len(kinds) != 1:
         raise SystemExit(f"filter file mixes sketch kinds {sorted(kinds)}")
     kind = kinds.pop()
+    if "key" not in filt.columns and len(filt) != 1:
+        raise SystemExit(
+            f"{args.filters} holds {len(filt)} ungrouped sketches "
+            f"({sorted(filt.get('name', []))}) — probe expects exactly "
+            "one; re-run build with a single-sketch spec")
     cls = registry.get(kind)
     paths = _table_paths(args.input, args.table)
     grouped = "key" in filt.columns

@@ -595,35 +595,48 @@ def embedding_near_dup_pairs(ds, column: str, id_column: str, *,
 LINE_ORD_BASE = 1 << 20
 
 
+def _packed_lines(t: pa.Table, column: str, id_column: str, sep: str):
+    """Shared line-explosion core: split `column` on `sep` and pack each
+    line's global id as ``id * LINE_ORD_BASE + 1-based ordinal``. Returns
+    (col, lens, flat_lines, line_id, row_of) — the ONE place the packing
+    scheme lives, used by both explode_lines and line_dedup's rebuild so
+    the two can never drift. Null text yields zero lines (matches SQL
+    UNNEST(string_split(NULL)))."""
+    import pyarrow.compute as pc
+
+    col = _str(t[column])
+    lists = pc.split_pattern(col, sep)
+    lens = np.asarray(pc.fill_null(pc.list_value_length(lists), 0),
+                      dtype=np.int64)
+    if lens.max(initial=0) >= LINE_ORD_BASE:
+        raise ValueError(
+            f"document with >= {LINE_ORD_BASE} lines: packed line ids "
+            "would collide — raise LINE_ORD_BASE")
+    flat = pc.list_flatten(lists)
+    ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if len(ids) and np.abs(ids).max() >= (1 << 62) // LINE_ORD_BASE:
+        raise ValueError("id too large to pack with line ordinal")
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    total = int(lens.sum())
+    ord1 = np.arange(total, dtype=np.int64) - np.repeat(starts, lens) + 1
+    line_id = np.repeat(ids, lens) * LINE_ORD_BASE + ord1
+    row_of = np.repeat(np.arange(len(lens)), lens)
+    return col, lens, flat, line_id, row_of
+
+
 def explode_lines(column: str, id_column: str, *, sep: str = "\n",
                   keep: tuple[str, ...] = ()):
     """map_batches fn factory: one output row per line of `column` —
     (line, line_id = id * LINE_ORD_BASE + 1-based ordinal, *keep columns).
-    Fully vectorized (split_pattern -> list_flatten + arange arithmetic);
-    null text explodes to zero rows (matches SQL UNNEST(string_split(NULL)))."""
-    import pyarrow.compute as pc
+    Fully vectorized (split_pattern -> list_flatten + arange arithmetic)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        col = _str(t[column])
-        lists = pc.split_pattern(col, sep)
-        lens = np.asarray(pc.fill_null(pc.list_value_length(lists), 0),
-                          dtype=np.int64)
-        if lens.max(initial=0) >= LINE_ORD_BASE:
-            raise ValueError(
-                f"document with >= {LINE_ORD_BASE} lines: packed line ids "
-                "would collide — raise LINE_ORD_BASE")
-        flat = pc.list_flatten(lists)
-        ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        if len(ids) and np.abs(ids).max() >= (1 << 62) // LINE_ORD_BASE:
-            raise ValueError("id too large to pack with line ordinal")
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        total = int(lens.sum())
-        ord1 = np.arange(total, dtype=np.int64) - np.repeat(starts, lens) + 1
+        _, _, flat, line_id, row_of = _packed_lines(t, column, id_column,
+                                                    sep)
         cols = {"line": flat,
-                "line_id": pa.array(np.repeat(ids, lens) * LINE_ORD_BASE
-                                    + ord1, type=pa.int64())}
-        row_idx = pa.array(np.repeat(np.arange(len(lens)), lens))
+                "line_id": pa.array(line_id, type=pa.int64())}
+        row_idx = pa.array(row_of)
         for k in keep:
             cols[k] = _str(t[k]).take(row_idx)
         return pa.table(cols)
@@ -658,22 +671,12 @@ def line_dedup(ds, column: str, id_column: str, *, sep: str = "\n"):
 
     def rebuild(t: pa.Table) -> pa.Table:
         drop = ray.get(ref)  # zero-copy plasma read per task
-        col = _str(t[column])
-        lists = pc.split_pattern(col, sep)
-        lens = np.asarray(pc.fill_null(pc.list_value_length(lists), 0),
-                          dtype=np.int64)
-        flat = pc.list_flatten(lists)
-        ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        total = int(lens.sum())
-        ord1 = np.arange(total, dtype=np.int64) - np.repeat(starts, lens) + 1
-        line_id = np.repeat(ids, lens) * LINE_ORD_BASE + ord1
+        col, lens, flat, line_id, row_of = _packed_lines(t, column,
+                                                         id_column, sep)
         pos = np.searchsorted(drop, line_id)
         dropped = (pos < len(drop)) & (
             drop[np.minimum(pos, len(drop) - 1)] == line_id)
         kept = flat.filter(pa.array(~dropped))
-        row_of = np.repeat(np.arange(len(lens)), lens)
         kept_per_row = np.bincount(row_of[~dropped], minlength=len(lens)) \
             .astype(np.int64)
         offsets = np.zeros(len(lens) + 1, dtype=np.int64)

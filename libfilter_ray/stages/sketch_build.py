@@ -602,10 +602,16 @@ def grouped_probe_counts(payloads_ref, from_bytes, key: str, column: str, *,
         for code in range(len(dict_arr.dictionary)):
             kv = dict_arr.dictionary[code].as_py()
             mask = codes == code
-            h = hash_arrow_array(vals.filter(pa.array(mask)), seed=seed)
             keys.append(kv)
             n.append(int(mask.sum()))
-            found.append(int(fs[kv].find_hashes(h).sum()))
+            f = fs.get(kv)
+            if f is None:
+                # key absent from the broadcast filter set (probe corpus
+                # wider than the build corpus): nothing can be a member
+                found.append(0)
+                continue
+            h = hash_arrow_array(vals.filter(pa.array(mask)), seed=seed)
+            found.append(int(f.find_hashes(h).sum()))
         return pa.table({key: pa.array(keys, type=pa.string()),
                          count_name: pa.array(n, type=pa.int64()),
                          found_name: pa.array(found, type=pa.int64())})

@@ -108,25 +108,25 @@ def _atomic_write_table(table: pa.Table, dest: str) -> None:
     os.replace(tmp, dest)  # atomic on POSIX: a crash never leaves a partial
 
 
-class _PartitionBuilder:
-    """Stateless per-partition worker: fragment list -> one checkpoint file.
+class _PartitionWorker:
+    """Shared per-partition scaffolding for checkpointed jobs: skip-if-done
+    race guard, fragment read + slice, transform hook, lineage/meta
+    columns, atomic write, per-partition summary rows. Subclasses implement
+    ``_partial_columns(t) -> (data_columns, rows_processed)`` — the
+    job-specific checkpoint payload (equal-length column dict + the
+    rows_processed column, both sized to the partial's row count)."""
 
-    Pure function of the partition spec (deterministic salt-free build), so
-    both Ray task retries and whole-job resumes produce identical bytes for
-    order-invariant sketches (BlockBloom/TaffyBlock/HLL/CMS/KLL)."""
-
-    def __init__(self, run_dir: str, kind: str, params: dict, column: str,
-                 key: str | None, seed: int,
+    def __init__(self, run_dir: str,
                  transform: Callable[[pa.Table], pa.Table] | None,
                  read_columns: list[str] | None):
-        self.run_dir, self.kind, self.params = run_dir, kind, params
-        self.column, self.key, self.seed = column, key, seed
+        self.run_dir = run_dir
         self.transform = transform
         self.read_columns = read_columns
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..stages.sketch_build import _updates_from
+    def _partial_columns(self, t: pa.Table):
+        raise NotImplementedError
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out_rows = []
         for row in batch.to_pylist():
             pid = int(row["partition_id"])
@@ -144,53 +144,18 @@ class _PartitionBuilder:
             t = pa.concat_tables(pieces)
             if self.transform is not None:
                 t = self.transform(t)
-            keys, payloads, counts = [], [], []
-            if self.key is None:
-                sk = registry.make(self.kind, **self.params)
-                _updates_from(t[self.column], sk, self.seed)
-                keys, payloads, counts = [""], [sk.to_bytes()], [t.num_rows]
-            else:
-                import pyarrow.compute as pc
-                keycol = t[self.key]
-                dict_arr = pc.dictionary_encode(
-                    keycol.combine_chunks()
-                    if isinstance(keycol, pa.ChunkedArray) else keycol)
-                codes = np.asarray(dict_arr.indices)
-                col = t[self.column]
-                col = col.combine_chunks() \
-                    if isinstance(col, pa.ChunkedArray) else col
-                # sort-split (one stable argsort + zero-copy slices), not a
-                # per-key mask scan — linear at thousands of keys, same
-                # shape as sketch_build._GroupedPartialBuilder; null-key
-                # rows sort past the last bound and are excluded
-                uniq = dict_arr.dictionary
-                order = np.argsort(codes, kind="stable")
-                bounds = np.searchsorted(codes[order],
-                                         np.arange(len(uniq) + 1))
-                need_take = len(uniq) > 1 or dict_arr.indices.null_count > 0
-                col_sorted = col.take(pa.array(order)) if need_take else col
-                for code in range(len(uniq)):
-                    b0, b1 = int(bounds[code]), int(bounds[code + 1])
-                    sk = registry.make(self.kind, **self.params)
-                    _updates_from(col_sorted.slice(b0, b1 - b0), sk,
-                                  self.seed)
-                    keys.append(uniq[code].as_py())
-                    payloads.append(sk.to_bytes())
-                    counts.append(b1 - b0)
+            data, rows_processed = self._partial_columns(t)
             wall_ms = (time.perf_counter() - t0) * 1e3
             lineage = json.dumps({"path": row["path"],
                                   "fragments": [list(fr) for fr in frags]})
+            n = len(rows_processed)
             ck = pa.table({
-                "partition_id": pa.array([pid] * len(keys), type=pa.int64()),
-                "key": pa.array(keys, type=pa.string()),
-                "kind": pa.array([self.kind] * len(keys)),
-                "params": pa.array([json.dumps(self.params)] * len(keys)),
-                "seed": pa.array([self.seed] * len(keys), type=pa.int64()),
-                "payload": pa.array(payloads, type=pa.large_binary()),
-                "rows_processed": pa.array(counts, type=pa.int64()),
-                "input_fragments": pa.array([lineage] * len(keys)),
-                "wall_ms": pa.array([wall_ms] * len(keys), type=pa.float64()),
-                "engine_version": pa.array([ENGINE_VERSION] * len(keys)),
+                "partition_id": pa.array([pid] * n, type=pa.int64()),
+                **data,
+                "rows_processed": pa.array(rows_processed, type=pa.int64()),
+                "input_fragments": pa.array([lineage] * n),
+                "wall_ms": pa.array([wall_ms] * n, type=pa.float64()),
+                "engine_version": pa.array([ENGINE_VERSION] * n),
             })
             _atomic_write_table(ck, dest)
             out_rows.append({"partition_id": pid, "rows": t.num_rows,
@@ -202,6 +167,67 @@ class _PartitionBuilder:
             "wall_ms": pa.array([r["wall_ms"] for r in out_rows],
                                 type=pa.float64()),
         })
+
+
+class _PartitionBuilder(_PartitionWorker):
+    """Per-partition sketch build: fragment list -> one checkpoint file.
+
+    Pure function of the partition spec (deterministic salt-free build), so
+    both Ray task retries and whole-job resumes produce identical bytes for
+    order-invariant sketches (BlockBloom/TaffyBlock/HLL/CMS/KLL)."""
+
+    def __init__(self, run_dir: str, kind: str, params: dict, column: str,
+                 key: str | None, seed: int,
+                 transform: Callable[[pa.Table], pa.Table] | None,
+                 read_columns: list[str] | None):
+        super().__init__(run_dir, transform, read_columns)
+        self.kind, self.params = kind, params
+        self.column, self.key, self.seed = column, key, seed
+
+    def _partial_columns(self, t: pa.Table):
+        from ..stages.sketch_build import _updates_from
+
+        keys, payloads, counts = [], [], []
+        if self.key is None:
+            sk = registry.make(self.kind, **self.params)
+            _updates_from(t[self.column], sk, self.seed)
+            keys, payloads, counts = [""], [sk.to_bytes()], [t.num_rows]
+        else:
+            import pyarrow.compute as pc
+            keycol = t[self.key]
+            dict_arr = pc.dictionary_encode(
+                keycol.combine_chunks()
+                if isinstance(keycol, pa.ChunkedArray) else keycol)
+            codes = np.asarray(dict_arr.indices)
+            col = t[self.column]
+            col = col.combine_chunks() \
+                if isinstance(col, pa.ChunkedArray) else col
+            # sort-split (one stable argsort + zero-copy slices), not a
+            # per-key mask scan — linear at thousands of keys, same
+            # shape as sketch_build._GroupedPartialBuilder; null-key
+            # rows sort past the last bound and are excluded
+            uniq = dict_arr.dictionary
+            order = np.argsort(codes, kind="stable")
+            bounds = np.searchsorted(codes[order],
+                                     np.arange(len(uniq) + 1))
+            need_take = len(uniq) > 1 or dict_arr.indices.null_count > 0
+            col_sorted = col.take(pa.array(order)) if need_take else col
+            for code in range(len(uniq)):
+                b0, b1 = int(bounds[code]), int(bounds[code + 1])
+                sk = registry.make(self.kind, **self.params)
+                _updates_from(col_sorted.slice(b0, b1 - b0), sk,
+                              self.seed)
+                keys.append(uniq[code].as_py())
+                payloads.append(sk.to_bytes())
+                counts.append(b1 - b0)
+        n = len(keys)
+        return ({
+            "key": pa.array(keys, type=pa.string()),
+            "kind": pa.array([self.kind] * n),
+            "params": pa.array([json.dumps(self.params)] * n),
+            "seed": pa.array([self.seed] * n, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        }, counts)
 
 
 class _CheckpointedJob:
@@ -229,6 +255,23 @@ class _CheckpointedJob:
     def _partial_files(self) -> list[str]:
         d = os.path.join(self.run_dir, PARTIALS_DIR)
         return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    def _metrics(self, columns: list[str],
+                 first_row_only: bool = False) -> "pd.DataFrame":  # noqa: F821
+        """Concatenate the requested meta columns across partial files;
+        `first_row_only` collapses partials whose meta columns are
+        partition-constant (data rows carry the same values)."""
+        import pandas as pd
+
+        d = os.path.join(self.run_dir, PARTIALS_DIR)
+        frames = []
+        for f in self._partial_files():
+            t = pq.read_table(os.path.join(d, f), columns=columns) \
+                .to_pandas()
+            frames.append(t.iloc[:1] if first_row_only else t)
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
 
     def _sweep_tmps(self) -> None:
         d = os.path.join(self.run_dir, PARTIALS_DIR)
@@ -402,24 +445,16 @@ class CheckpointedBuild(_CheckpointedJob):
 
     def metrics(self) -> "pd.DataFrame":  # noqa: F821
         """Per-partition lineage + timing table straight from the checkpoint
-        files (the job's observability surface)."""
-        import pandas as pd
-
-        d = os.path.join(self.run_dir, PARTIALS_DIR)
-        frames = [pq.read_table(os.path.join(d, f),
-                                columns=["partition_id", "key",
-                                         "rows_processed", "wall_ms",
-                                         "input_fragments", "engine_version"])
-                  .to_pandas()
-                  for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-        if not frames:
-            return pd.DataFrame()
-        return pd.concat(frames, ignore_index=True)
+        files, one row per (partition, key) (the job's observability
+        surface)."""
+        return self._metrics(["partition_id", "key", "rows_processed",
+                              "wall_ms", "input_fragments",
+                              "engine_version"])
 
 
-class _DedupPartitionHasher:
-    """Stateless per-partition worker for CheckpointedDedup: fragment list ->
-    one hash-histogram checkpoint file ``(content_hash, n_members)`` over the
+class _DedupPartitionHasher(_PartitionWorker):
+    """Per-partition worker for CheckpointedDedup: fragment list -> one
+    hash-histogram checkpoint file ``(content_hash, n_members)`` over the
     partition's rows. Pure function of the partition spec (seed-free 64-bit
     content hash, sketch/hashing.py:hash_arrow_array), so task retries and
     job resumes write identical bytes."""
@@ -427,57 +462,20 @@ class _DedupPartitionHasher:
     def __init__(self, run_dir: str, column: str,
                  transform: Callable[[pa.Table], pa.Table] | None,
                  read_columns: list[str] | None):
-        self.run_dir, self.column = run_dir, column
-        self.transform, self.read_columns = transform, read_columns
+        super().__init__(run_dir, transform, read_columns)
+        self.column = column
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _partial_columns(self, t: pa.Table):
         from ..sketch.hashing import hash_arrow_array
 
-        out_rows = []
-        for row in batch.to_pylist():
-            pid = int(row["partition_id"])
-            dest = os.path.join(self.run_dir, PARTIALS_DIR,
-                                f"part-{pid:05d}.parquet")
-            if os.path.exists(dest):  # resumed + raced: already done
-                continue
-            t0 = time.perf_counter()
-            f = pq.ParquetFile(row["path"])
-            frags = [tuple(fr) for fr in row["fragments"]]
-            pieces = []
-            for rg, start, length in frags:
-                rg_table = f.read_row_group(rg, columns=self.read_columns)
-                pieces.append(rg_table.slice(start, length))
-            t = pa.concat_tables(pieces)
-            if self.transform is not None:
-                t = self.transform(t)
-            h = hash_arrow_array(t[self.column]).view(np.int64)
-            uniq, counts = np.unique(h, return_counts=True)
-            wall_ms = (time.perf_counter() - t0) * 1e3
-            lineage = json.dumps({"path": row["path"],
-                                  "fragments": [list(fr) for fr in frags]})
-            n = len(uniq)
-            # constant lineage/meta columns RLE/dict-encode to ~nothing in
-            # parquet; the partial is ~16 B x distinct-hashes-per-partition
-            ck = pa.table({
-                "partition_id": pa.array(np.full(n, pid), type=pa.int64()),
-                "content_hash": pa.array(uniq, type=pa.int64()),
-                "n_members": pa.array(counts, type=pa.int64()),
-                "rows_processed": pa.array(np.full(n, t.num_rows),
-                                           type=pa.int64()),
-                "input_fragments": pa.array([lineage] * n),
-                "wall_ms": pa.array(np.full(n, wall_ms), type=pa.float64()),
-                "engine_version": pa.array([ENGINE_VERSION] * n),
-            })
-            _atomic_write_table(ck, dest)
-            out_rows.append({"partition_id": pid, "rows": t.num_rows,
-                             "wall_ms": wall_ms})
-        return pa.table({
-            "partition_id": pa.array([r["partition_id"] for r in out_rows],
-                                     type=pa.int64()),
-            "rows": pa.array([r["rows"] for r in out_rows], type=pa.int64()),
-            "wall_ms": pa.array([r["wall_ms"] for r in out_rows],
-                                type=pa.float64()),
-        })
+        h = hash_arrow_array(t[self.column]).view(np.int64)
+        uniq, counts = np.unique(h, return_counts=True)
+        # constant lineage/meta columns RLE/dict-encode to ~nothing in
+        # parquet; the partial is ~16 B x distinct-hashes-per-partition
+        return ({
+            "content_hash": pa.array(uniq, type=pa.int64()),
+            "n_members": pa.array(counts, type=pa.int64()),
+        }, np.full(len(uniq), t.num_rows))
 
 
 class CheckpointedDedup(_CheckpointedJob):
@@ -532,6 +530,13 @@ class CheckpointedDedup(_CheckpointedJob):
         import ray.data
         from ray.data.aggregate import Sum
 
+        pending = self.status()["pending"]
+        if pending:
+            # an incomplete scan would silently UNDER-deduplicate (a text
+            # split across a scanned and an unscanned partition counts 1)
+            raise RuntimeError(
+                f"dedup scan incomplete: {len(pending)} partition(s) "
+                "pending — call run() to finish before querying results")
         if not self._partial_files():  # zero-row input: nothing duplicated
             return np.empty(0, dtype=np.int64)
         ds = ray.data.read_parquet(
@@ -579,18 +584,6 @@ class CheckpointedDedup(_CheckpointedJob):
     def metrics(self) -> "pd.DataFrame":  # noqa: F821
         """Per-partition lineage + timing straight from the checkpoint files
         (one row per partition; the hash histogram is aggregated away)."""
-        import pandas as pd
-
-        d = os.path.join(self.run_dir, PARTIALS_DIR)
-        frames = []
-        for f in sorted(os.listdir(d)):
-            if not f.endswith(".parquet"):
-                continue
-            t = pq.read_table(
-                os.path.join(d, f),
-                columns=["partition_id", "rows_processed", "wall_ms",
-                         "input_fragments", "engine_version"]).to_pandas()
-            frames.append(t.iloc[:1])  # meta columns are partition-constant
-        if not frames:
-            return pd.DataFrame()
-        return pd.concat(frames, ignore_index=True)
+        return self._metrics(["partition_id", "rows_processed", "wall_ms",
+                              "input_fragments", "engine_version"],
+                             first_row_only=True)

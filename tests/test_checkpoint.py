@@ -193,6 +193,24 @@ def test_checkpointed_dedup_partitioning_invariance(tmp_path, ray_session):
         np.testing.assert_array_equal(drops, results[0][2])
 
 
+def test_checkpointed_dedup_incomplete_scan_guard(tmp_path, ray_session):
+    """Querying dedup results from a partially-scanned checkpoint raises
+    instead of silently under-deduplicating (review regression)."""
+    import ray.data
+
+    from libfilter_ray.state.checkpoint import CheckpointedDedup
+
+    paths = [f"{SF}/documents.parquet"]
+    job = CheckpointedDedup(str(tmp_path / "r"), paths, column="text",
+                            id_column="doc_id", target_rows=128)
+    assert job.run(max_partitions=1) is None  # interrupted
+    ds = ray.data.read_parquet(paths)
+    with pytest.raises(RuntimeError, match="scan incomplete"):
+        job.multi_hashes()
+    with pytest.raises(RuntimeError, match="scan incomplete"):
+        job.dedup(ds)
+
+
 def test_empty_input_table(tmp_path, ray_session):
     """A zero-row input plans zero partitions and must still complete: build
     returns an empty (never-updated) sketch, dedup returns no duplicates —

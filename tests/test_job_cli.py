@@ -319,6 +319,59 @@ def test_pack_subcommand_assignments(tmp_path, ray_session):
         assert bad.empty
 
 
+def test_review_fix_regressions(tmp_path, ray_session):
+    """Code-review regressions: (a) exact spec + --checkpoint-dir is
+    rejected, not silently merge-built; (b) probing a corpus with keys the
+    filter file lacks reports n_found=0 instead of a worker KeyError;
+    (c) probe on run_config's grouped payload_<name> frame exits cleanly."""
+    import pyarrow as pa
+
+    # (a)
+    spec = {"table": "events", "sketches": [
+        {"name": "f", "kind": "taffy_block", "params": {"ndv": 256},
+         "column": "user_id", "exact": True}]}
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps(spec))
+    with pytest.raises(SystemExit, match="exact"):
+        main(["build", "--config", str(cfg), "--input", SF_DIR_01,
+              "--checkpoint-dir", str(tmp_path / "ck")])
+
+    # (b): filter built on a single-key slice, probed against all keys
+    inp = tmp_path / "narrow"
+    inp.mkdir()
+    full = pq.read_table(f"{SF_DIR_01}/events.parquet",
+                         columns=["event_type", "user_id"])
+    one = full.filter(pa.compute.equal(full["event_type"], "click"))
+    pq.write_table(one, str(inp / "events.parquet"))
+    spec2 = {"table": "events", "key": "event_type", "sketches": [
+        {"name": "u", "kind": "block", "params": {"bytes_": 1 << 14},
+         "column": "user_id"}]}
+    cfg2 = tmp_path / "job2.json"
+    cfg2.write_text(json.dumps(spec2))
+    filt = tmp_path / "filters.parquet"
+    assert main(["build", "--config", str(cfg2), "--input", str(inp),
+                 "--checkpoint-dir", str(tmp_path / "ck2"),
+                 "--output", str(filt)]) == 0
+    out = tmp_path / "counts.parquet"
+    assert main(["probe", "--filters", str(filt), "--input", SF_DIR_01,
+                 "--table", "events", "--column", "user_id",
+                 "--key", "event_type", "--output", str(out)]) == 0
+    c = pq.read_table(str(out)).to_pandas().set_index("event_type")
+    assert len(c) == 5                       # all probe-corpus keys present
+    assert c.loc["click", "n_found"] == c.loc["click", "n_probed"]
+    absent = c.drop(index="click")
+    assert (absent["n_found"] == 0).all()    # unseen keys: nothing found
+
+    # (c)
+    ungrouped_frame = tmp_path / "run_config_style.parquet"
+    assert main(["build", "--config", str(cfg2), "--input", str(inp),
+                 "--output", str(ungrouped_frame)]) == 0  # payload_<name>
+    with pytest.raises(SystemExit, match="not a probe-able"):
+        main(["probe", "--filters", str(ungrouped_frame),
+              "--input", SF_DIR_01, "--table", "events",
+              "--column", "user_id", "--key", "event_type"])
+
+
 def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
     spec = {"table": "events", "sketches": [
         {"name": "a", "kind": "block", "params": {"bytes_": 1024},
