@@ -175,6 +175,18 @@ def _cmd_build(args: argparse.Namespace) -> int:
         print(job.metrics().to_string(index=False), file=sys.stderr)
     else:
         out = run_config(spec, args.input)
+        sketches = spec.get("sketches", [])
+        key = spec.get("key")
+        if key and len(sketches) == 1:
+            # normalize the grouped single-sketch frame (key column +
+            # payload_<name>) to the probe-able (key, kind, payload) layout
+            # the checkpointed path writes — build output stays one format
+            s = sketches[0]
+            out = pd.DataFrame({
+                "key": out[key].astype(str),
+                "kind": s["kind"],
+                "payload": out[f"payload_{s['name']}"],
+            }).sort_values("key").reset_index(drop=True)
     _write_result(out, args.output)
     return 0
 

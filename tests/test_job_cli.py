@@ -55,8 +55,10 @@ def test_build_subcommand_matches_run_config(tmp_path, ray_session):
     from libfilter_ray.pipelines.config import run_config
 
     ref = run_config(spec, SF_DIR_01)
-    assert sorted(got["event_type"]) == sorted(ref["event_type"])
-    a = got.set_index("event_type")["payload_users"]
+    # grouped single-sketch output is normalized to (key, kind, payload) —
+    # the same probe-able layout the checkpointed path writes
+    assert sorted(got["key"]) == sorted(ref["event_type"])
+    a = got.set_index("key")["payload"]
     b = ref.set_index("event_type")["payload_users"]
     assert all(a[k] == b[k] for k in a.index)
 
@@ -362,12 +364,31 @@ def test_review_fix_regressions(tmp_path, ray_session):
     absent = c.drop(index="click")
     assert (absent["n_found"] == 0).all()    # unseen keys: nothing found
 
-    # (c)
-    ungrouped_frame = tmp_path / "run_config_style.parquet"
+    # (c) grouped single-sketch uncheckpointed output is normalized and
+    # probe-able; MULTI-sketch grouped output stays the payload_<name>
+    # frame and probe rejects it cleanly
+    normalized = tmp_path / "normalized.parquet"
     assert main(["build", "--config", str(cfg2), "--input", str(inp),
-                 "--output", str(ungrouped_frame)]) == 0  # payload_<name>
+                 "--output", str(normalized)]) == 0
+    out_c = tmp_path / "counts_c.parquet"
+    assert main(["probe", "--filters", str(normalized),
+                 "--input", str(inp), "--table", "events",
+                 "--column", "user_id", "--key", "event_type",
+                 "--output", str(out_c)]) == 0
+    cc = pq.read_table(str(out_c)).to_pandas()
+    assert (cc["n_found"] == cc["n_probed"]).all()
+    spec3 = {"table": "events", "key": "event_type", "sketches": [
+        {"name": "a", "kind": "block", "params": {"bytes_": 1 << 12},
+         "column": "user_id"},
+        {"name": "b", "kind": "hll", "params": {"p": 10},
+         "column": "user_id"}]}
+    cfg3 = tmp_path / "job3.json"
+    cfg3.write_text(json.dumps(spec3))
+    multi_frame = tmp_path / "multi.parquet"
+    assert main(["build", "--config", str(cfg3), "--input", str(inp),
+                 "--output", str(multi_frame)]) == 0
     with pytest.raises(SystemExit, match="not a probe-able"):
-        main(["probe", "--filters", str(ungrouped_frame),
+        main(["probe", "--filters", str(multi_frame),
               "--input", SF_DIR_01, "--table", "events",
               "--column", "user_id", "--key", "event_type"])
 
