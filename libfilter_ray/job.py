@@ -45,6 +45,10 @@ Subcommands:
 - ``pack``    training sequence packing: next-fit docs into fixed
   token-budget sequences per key, writing (id, key, n_tokens, seq_id)
   assignments.
+- ``profile`` one-pass column profile: rows, distinct estimate (HLL) and,
+  for numeric columns, quantiles (KLL) — per key with ``--key``. The
+  "what is in this corpus" first look, one streaming pass regardless of
+  corpus size.
 - ``list``    print every registered pipeline and whether it carries a
   DuckDB oracle.
 """
@@ -387,6 +391,66 @@ def _cmd_pack(args: argparse.Namespace) -> int:
     return 0
 
 
+_PROFILE_QS = (0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def _cmd_profile(args: argparse.Namespace) -> int:
+    import ray.data
+
+    from .sketch.hll import HyperLogLog
+    from .sketch.kll import KLL
+    from .stages.sketch_build import build_grouped_multi
+
+    paths = _table_paths(args.input, args.table)
+    need = [args.column] + ([args.key] if args.key else [])
+    _check_columns(paths, need)
+    ds = ray.data.read_parquet(paths, columns=need)
+    ftype = pq.read_schema(paths[0]).field(args.column).type
+    numeric = pa.types.is_integer(ftype) or pa.types.is_floating(ftype)
+    ndv_col = args.column
+    if pa.types.is_floating(ftype):
+        # floats aren't hashable sketch keys — count distinctness on the
+        # float64 bit pattern (injective for float32->64; nulls become the
+        # single NaN pattern, matching the string path's null sentinel)
+        import numpy as np
+
+        ndv_col = f"__{args.column}_bits__"
+        column = args.column
+
+        def add_bits(t: pa.Table) -> pa.Table:
+            bits = t[column].to_numpy(zero_copy_only=False) \
+                .astype(np.float64).view(np.int64)
+            return t.append_column(ndv_col,
+                                   pa.array(bits, type=pa.int64()))
+
+        ds = ds.map_batches(add_bits, batch_format="pyarrow")
+    key = args.key
+    if not key:
+        # constant key -> the same one-pass multi-sketch machinery
+        key = "__all__"
+        ds = ds.map_batches(
+            lambda t: t.append_column("__all__",
+                                      pa.array(["all"] * len(t))),
+            batch_format="pyarrow")
+    specs = [("ndv", "hll", {"p": args.p}, ndv_col)]
+    if numeric:
+        specs.append(("q", "kll", {"k": args.k}, args.column))
+    out = build_grouped_multi(ds, key, specs)
+    rows = []
+    for _, r in out.iterrows():
+        row = {key: r[key], "rows": int(r["rows"]),
+               "ndv_est": round(
+                   HyperLogLog.from_bytes(r["payload_ndv"]).estimate(), 1)}
+        if numeric:
+            kll = KLL.from_bytes(r["payload_q"])
+            for q, v in zip(_PROFILE_QS, kll.quantiles(_PROFILE_QS)):
+                row[f"p{int(q * 100):02d}"] = round(float(v), 4)
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values(key).reset_index(drop=True)
+    _write_result(out, args.output)
+    return 0
+
+
 def _cmd_list(_: argparse.Namespace) -> int:
     from .pipelines.queries import ORACLES, QUERIES
 
@@ -497,6 +561,16 @@ def make_parser() -> argparse.ArgumentParser:
                     help="tokens per packed sequence")
     pk.add_argument("--output", default=None)
     pk.set_defaults(fn=_cmd_pack)
+
+    pf = sub.add_parser("profile", help="one-pass column profile")
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--table", required=True)
+    pf.add_argument("--column", required=True)
+    pf.add_argument("--key", default=None, help="profile per this key")
+    pf.add_argument("--p", type=int, default=14, help="HLL precision")
+    pf.add_argument("--k", type=int, default=200, help="KLL parameter")
+    pf.add_argument("--output", default=None)
+    pf.set_defaults(fn=_cmd_profile)
 
     ls = sub.add_parser("list", help="enumerate pipelines")
     ls.set_defaults(fn=_cmd_list)

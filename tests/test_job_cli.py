@@ -393,6 +393,45 @@ def test_review_fix_regressions(tmp_path, ray_session):
               "--column", "user_id", "--key", "event_type"])
 
 
+def test_profile_subcommand_within_sketch_bounds(tmp_path, ray_session):
+    """`job profile` estimates stay inside their published error bounds vs
+    exact DuckDB stats — keyed numeric column and ungrouped string column."""
+    import duckdb
+
+    out = tmp_path / "prof.parquet"
+    assert main(["profile", "--input", SF_DIR_01, "--table", "events",
+                 "--column", "value", "--key", "event_type",
+                 "--output", str(out)]) == 0
+    prof = pq.read_table(str(out)).to_pandas().set_index("event_type")
+    con = duckdb.connect()
+    exact = con.sql(
+        "SELECT event_type, COUNT(*) n, COUNT(DISTINCT value) ndv,"
+        " median(value) p50 FROM"
+        f" read_parquet('{SF_DIR_01}/events.parquet')"
+        " GROUP BY event_type").df().set_index("event_type")
+    for k in exact.index:
+        assert prof.loc[k, "rows"] == exact.loc[k, "n"]
+        # HLL p=14: ~0.8% std error; allow 5 sigma
+        assert abs(prof.loc[k, "ndv_est"] - exact.loc[k, "ndv"]) \
+            <= 0.05 * exact.loc[k, "ndv"]
+        # KLL k=200 rank error ~1.3%: p50 value within the p45-p55 band
+        lo, hi = con.sql(
+            "SELECT quantile_cont(value, 0.44), quantile_cont(value, 0.56)"
+            f" FROM read_parquet('{SF_DIR_01}/events.parquet')"
+            f" WHERE event_type = '{k}'").fetchone()
+        assert lo <= prof.loc[k, "p50"] <= hi
+
+    out2 = tmp_path / "prof2.parquet"
+    assert main(["profile", "--input", SF_DIR_01, "--table", "documents",
+                 "--column", "text", "--output", str(out2)]) == 0
+    p2 = pq.read_table(str(out2)).to_pandas()
+    ndv_exact = con.sql(
+        "SELECT COUNT(DISTINCT text) FROM"
+        f" read_parquet('{SF_DIR_01}/documents.parquet')").fetchone()[0]
+    assert abs(p2["ndv_est"].iloc[0] - ndv_exact) <= 0.05 * ndv_exact
+    assert "p50" not in p2.columns  # string column: no quantiles
+
+
 def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
     spec = {"table": "events", "sketches": [
         {"name": "a", "kind": "block", "params": {"bytes_": 1024},
