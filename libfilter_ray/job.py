@@ -235,9 +235,10 @@ def _cmd_probe(args: argparse.Namespace) -> int:
     if "kind" not in filt.columns or "payload" not in filt.columns:
         raise SystemExit(
             f"{args.filters} is not a probe-able filter file (needs "
-            "'kind' + 'payload' columns — grouped builds must run with "
-            "--checkpoint-dir; uncheckpointed grouped output is the "
-            "per-key payload_<name> frame, which probe cannot consume)")
+            "'kind' + 'payload' columns). Multi-sketch grouped builds "
+            "write the per-key payload_<name> frame, which probe cannot "
+            "consume — re-run build with a SINGLE-sketch spec (with or "
+            "without --checkpoint-dir); its output is probe-able")
     kinds = set(filt["kind"])
     if len(kinds) != 1:
         raise SystemExit(f"filter file mixes sketch kinds {sorted(kinds)}")
@@ -407,6 +408,14 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     ds = ray.data.read_parquet(paths, columns=need)
     ftype = pq.read_schema(paths[0]).field(args.column).type
     numeric = pa.types.is_integer(ftype) or pa.types.is_floating(ftype)
+    if not (numeric or pa.types.is_string(ftype)
+            or pa.types.is_large_string(ftype)
+            or pa.types.is_binary(ftype)
+            or pa.types.is_large_binary(ftype)):
+        raise SystemExit(
+            f"cannot profile column of type {ftype} — supported: "
+            "string/binary (NDV) and integer/float (NDV + quantiles); "
+            "cast timestamps/bools to a supported type first")
     ndv_col = args.column
     if pa.types.is_floating(ftype):
         # floats aren't hashable sketch keys — count distinctness on the
@@ -426,12 +435,19 @@ def _cmd_profile(args: argparse.Namespace) -> int:
         ds = ds.map_batches(add_bits, batch_format="pyarrow")
     key = args.key
     if not key:
-        # constant key -> the same one-pass multi-sketch machinery
+        # constant key -> the same one-pass multi-sketch machinery; a
+        # typed nullary-cost constant (no per-row Python strings, and a
+        # stable schema even for zero-row batches)
+        import numpy as np
+
         key = "__all__"
-        ds = ds.map_batches(
-            lambda t: t.append_column("__all__",
-                                      pa.array(["all"] * len(t))),
-            batch_format="pyarrow")
+
+        def add_const(t: pa.Table) -> pa.Table:
+            const = pa.array(["all"], type=pa.string()).take(
+                pa.array(np.zeros(len(t), dtype=np.int64)))
+            return t.append_column("__all__", const)
+
+        ds = ds.map_batches(add_const, batch_format="pyarrow")
     specs = [("ndv", "hll", {"p": args.p}, ndv_col)]
     if numeric:
         specs.append(("q", "kll", {"k": args.k}, args.column))
@@ -446,7 +462,11 @@ def _cmd_profile(args: argparse.Namespace) -> int:
             for q, v in zip(_PROFILE_QS, kll.quantiles(_PROFILE_QS)):
                 row[f"p{int(q * 100):02d}"] = round(float(v), 4)
         rows.append(row)
-    out = pd.DataFrame(rows).sort_values(key).reset_index(drop=True)
+    out = pd.DataFrame(rows)
+    if len(out):
+        out = out.sort_values(key).reset_index(drop=True)
+    if not args.key and f"{key}" in out.columns:
+        out = out.drop(columns=[key])  # internal sentinel, not user data
     _write_result(out, args.output)
     return 0
 

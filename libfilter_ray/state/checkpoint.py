@@ -409,6 +409,13 @@ class CheckpointedBuild(_CheckpointedJob):
 
         import ray.data
 
+        pending = self.status()["pending"]
+        if pending:
+            # merging a partial scan would silently return under-counted
+            # sketches — same guard as CheckpointedDedup.multi_hashes
+            raise RuntimeError(
+                f"build incomplete: {len(pending)} partition(s) pending — "
+                "call run() to finish before merging")
         cls = registry.get(self.kind)
         if not self._partial_files():
             # zero-row input planned zero partitions: an empty (never

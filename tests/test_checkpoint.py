@@ -211,6 +211,20 @@ def test_checkpointed_dedup_incomplete_scan_guard(tmp_path, ray_session):
         job.dedup(ds)
 
 
+def test_checkpointed_build_incomplete_merge_guard(tmp_path, ray_session):
+    """merge() on a partially-built checkpoint raises instead of silently
+    returning under-counted sketches (review regression)."""
+    from libfilter_ray.state.checkpoint import CheckpointedBuild
+
+    paths = [f"{SF}/documents.parquet"]
+    job = CheckpointedBuild(str(tmp_path / "r"), paths, kind="block",
+                            params={"bytes_": 1024}, column="text",
+                            target_rows=128)
+    assert job.run(max_partitions=1) is None  # interrupted
+    with pytest.raises(RuntimeError, match="build incomplete"):
+        job.merge()
+
+
 def test_empty_input_table(tmp_path, ray_session):
     """A zero-row input plans zero partitions and must still complete: build
     returns an empty (never-updated) sketch, dedup returns no duplicates —

@@ -432,6 +432,39 @@ def test_profile_subcommand_within_sketch_bounds(tmp_path, ray_session):
     assert "p50" not in p2.columns  # string column: no quantiles
 
 
+def test_profile_edge_cases(tmp_path, ray_session):
+    """Profile review regressions: unsupported column types exit cleanly;
+    zero-row tables produce an empty profile, not a KeyError; ungrouped
+    output carries no internal sentinel column."""
+    import pyarrow as pa
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2], type=pa.timestamp("us")),
+                  "v": pa.array([1.0, 2.0])}),
+        str(inp / "t.parquet"))
+    with pytest.raises(SystemExit, match="cannot profile column"):
+        main(["profile", "--input", str(inp), "--table", "t",
+              "--column", "ts"])
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(pa.table({"v": pa.array([], type=pa.float64())}),
+                   str(empty / "t.parquet"))
+    out = tmp_path / "p.parquet"
+    assert main(["profile", "--input", str(empty), "--table", "t",
+                 "--column", "v", "--output", str(out)]) == 0
+    assert pq.read_table(str(out)).num_rows == 0
+
+    out2 = tmp_path / "p2.parquet"
+    assert main(["profile", "--input", str(inp), "--table", "t",
+                 "--column", "v", "--output", str(out2)]) == 0
+    p2 = pq.read_table(str(out2)).to_pandas()
+    assert "__all__" not in p2.columns
+    assert p2["rows"].iloc[0] == 2
+
+
 def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
     spec = {"table": "events", "sketches": [
         {"name": "a", "kind": "block", "params": {"bytes_": 1024},
