@@ -319,6 +319,27 @@ def _cmd_neardup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _scrub_fn(column: str):
+    from .functions.textstats import scrub_text
+
+    def scrub(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index(column), column,
+                            scrub_text(t[column]))
+
+    return scrub
+
+
+def _compose(*fns):
+    fns = [f for f in fns if f is not None]
+
+    def fn(t: pa.Table) -> pa.Table:
+        for f in fns:
+            t = f(t)
+        return t
+
+    return fn
+
+
 def _cmd_clean(args: argparse.Namespace) -> int:
     import ray.data
 
@@ -329,26 +350,121 @@ def _cmd_clean(args: argparse.Namespace) -> int:
                               ("doc-dedup", not args.no_doc_dedup)) if on]
     if not stages:
         raise SystemExit("all cleaning stages disabled — nothing to do")
-    print("stages: " + " -> ".join(stages), file=sys.stderr)
+    mode = "checkpointed" if args.checkpoint_dir else "streaming"
+    print(f"stages ({mode}): " + " -> ".join(stages), file=sys.stderr)
+    column, id_column = args.column, args.id_column
+    scrub = None if args.no_scrub else _scrub_fn(column)
+    if args.checkpoint_dir:
+        return _clean_checkpointed(args, paths, scrub)
     ds = ray.data.read_parquet(paths)
-    column = args.column
-    if not args.no_scrub:
-        from .functions.textstats import scrub_text
-
-        def scrub(t: pa.Table) -> pa.Table:
-            return t.set_column(t.schema.get_field_index(column), column,
-                                scrub_text(t[column]))
-
+    if scrub is not None:
         ds = ds.map_batches(scrub, batch_format="pyarrow")
     if not args.no_line_dedup:
         from .stages.dedup import line_dedup
 
-        ds = line_dedup(ds, column, args.id_column)
+        ds = line_dedup(ds, column, id_column)
     if not args.no_doc_dedup:
         from .stages.dedup import exact_dedup
 
-        ds = exact_dedup(ds, column, args.id_column)
+        ds = exact_dedup(ds, column, id_column)
     _write_result(ds, args.output)
+    return 0
+
+
+def _cached_drop_ids(cache_path: str, compute):
+    """Persist the (small) confirmed drop-id set next to its scan's
+    checkpoint so a resubmit after the scan completed skips the confirm
+    pass entirely; atomic write, same shared-storage contract."""
+    import numpy as np
+
+    if os.path.exists(cache_path):
+        return pq.read_table(cache_path)["drop_id"].to_numpy() \
+            .astype(np.int64)
+    drop = compute()
+    tmp = f"{cache_path}.tmp-{os.getpid()}"
+    pq.write_table(
+        pa.table({"drop_id": pa.array(drop, type=pa.int64())}), tmp)
+    os.replace(tmp, cache_path)
+    return drop
+
+
+def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
+                        scrub) -> int:
+    """Resumable clean: each dedup family's expensive full-corpus hash scan
+    is a CheckpointedDedup job (per-partition lineage + resume) — the line
+    scan hashes scrubbed exploded lines, the doc scan hashes scrubbed
+    line-deduped text — and the final filtered corpus streams to parquet.
+    Kill it at any point and resubmit: finished partitions are skipped."""
+    import ray
+    import ray.data
+
+    from .stages.dedup import (exact_dedup_drop_ids, drop_id_filter,
+                               explode_lines, line_rebuild_fn)
+    from .state.checkpoint import CheckpointedDedup
+
+    column, id_column = args.column, args.id_column
+    ck = args.checkpoint_dir
+    read_cols = [column, id_column]
+    rebuild = None
+    if not args.no_line_dedup:
+        line_job = CheckpointedDedup(
+            os.path.join(ck, "lines"), paths, column="line",
+            id_column="line_id", target_rows=args.target_rows,
+            transform=_compose(scrub, explode_lines(column, id_column)),
+            read_columns=read_cols,
+            config_extra={"clean_stage": "lines",
+                          "scrub": not args.no_scrub,
+                          "source_column": column})
+        st = line_job.status()
+        print(f"line scan: {st['done']}/{st['total']} partitions done",
+              file=sys.stderr)
+        line_multi = line_job.run()
+
+        def compute_line_drop():
+            lines_ds = ray.data.read_parquet(paths, columns=read_cols)
+            if scrub is not None:
+                lines_ds = lines_ds.map_batches(scrub,
+                                                batch_format="pyarrow")
+            lines_ds = lines_ds.map_batches(
+                explode_lines(column, id_column), batch_format="pyarrow")
+            return exact_dedup_drop_ids(lines_ds, "line", "line_id",
+                                        multi_hashes=line_multi)
+
+        line_drop = _cached_drop_ids(
+            os.path.join(ck, "lines", "drop_ids.parquet"),
+            compute_line_drop)
+        if len(line_drop):
+            # the drop set pickles into the doc-scan transform: O(duplicate
+            # lines), the same bound as the streaming path's broadcast
+            rebuild = line_rebuild_fn(line_drop, column, id_column)
+    cleaned = _compose(scrub, rebuild)
+    ds = ray.data.read_parquet(paths, columns=read_cols)
+    out_ds = ray.data.read_parquet(paths)
+    if not args.no_doc_dedup:
+        doc_job = CheckpointedDedup(
+            os.path.join(ck, "docs"), paths, column=column,
+            id_column=id_column, target_rows=args.target_rows,
+            transform=cleaned, read_columns=read_cols,
+            config_extra={"clean_stage": "docs",
+                          "scrub": not args.no_scrub,
+                          "line_dedup": not args.no_line_dedup})
+        st = doc_job.status()
+        print(f"doc scan: {st['done']}/{st['total']} partitions done",
+              file=sys.stderr)
+        doc_multi = doc_job.run()
+        doc_drop = _cached_drop_ids(
+            os.path.join(ck, "docs", "drop_ids.parquet"),
+            lambda: exact_dedup_drop_ids(
+                ds.map_batches(cleaned, batch_format="pyarrow"),
+                column, id_column, multi_hashes=doc_multi))
+    else:
+        doc_drop = None
+    out_ds = out_ds.map_batches(cleaned, batch_format="pyarrow")
+    if doc_drop is not None and len(doc_drop):
+        out_ds = out_ds.map_batches(
+            drop_id_filter(ray.put(doc_drop), id_column),
+            batch_format="pyarrow")
+    _write_result(out_ds, args.output)
     return 0
 
 
@@ -564,6 +680,10 @@ def make_parser() -> argparse.ArgumentParser:
                     help="skip corpus-level duplicated-line removal")
     cl.add_argument("--no-doc-dedup", action="store_true",
                     help="skip exact document dedup")
+    cl.add_argument("--checkpoint-dir", default=None,
+                    help="shared-storage run dir: both dedup hash scans "
+                         "become resumable per-partition jobs")
+    cl.add_argument("--target-rows", type=int, default=1 << 20)
     cl.add_argument("--output", default=None,
                     help="cleaned parquet output dir")
     cl.set_defaults(fn=_cmd_clean)

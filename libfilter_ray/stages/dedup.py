@@ -656,21 +656,19 @@ def line_dedup_drop_ids(ds, column: str, id_column: str, *,
     return exact_dedup_drop_ids(lines, "line", "line_id")
 
 
-def line_dedup(ds, column: str, id_column: str, *, sep: str = "\n"):
-    """The corpus with duplicated lines removed (first occurrence kept),
-    text rebuilt in place. Documents never shuffle: the rebuild is a
-    per-batch explode -> mask against the broadcast drop set ->
-    pc.binary_join, so only the 16 B/line dedup pass moves data."""
+def line_rebuild_fn(drop_source, column: str, id_column: str,
+                    sep: str = "\n"):
+    """map_batches fn factory: rebuild `column` with the lines whose packed
+    ids appear in the sorted drop set removed (pc.binary_join of the kept
+    lines — no per-row Python). `drop_source` is a sorted int64 ndarray
+    (pickled into the closure, O(duplicate lines)) or an ObjectRef to one
+    (zero-copy plasma read per task)."""
     import ray
     import pyarrow.compute as pc
 
-    drop = line_dedup_drop_ids(ds, column, id_column, sep=sep)
-    if not len(drop):
-        return ds
-    ref = ray.put(drop)
-
     def rebuild(t: pa.Table) -> pa.Table:
-        drop = ray.get(ref)  # zero-copy plasma read per task
+        drop = ray.get(drop_source) \
+            if isinstance(drop_source, ray.ObjectRef) else drop_source
         col, lens, flat, line_id, row_of = _packed_lines(t, column,
                                                          id_column, sep)
         pos = np.searchsorted(drop, line_id)
@@ -693,4 +691,23 @@ def line_dedup(ds, column: str, id_column: str, *, sep: str = "\n"):
         return t.set_column(t.schema.get_field_index(column), column,
                             rebuilt)
 
-    return ds.map_batches(rebuild, batch_format="pyarrow")
+    return rebuild
+
+
+def line_dedup(ds, column: str, id_column: str, *, sep: str = "\n",
+               drop: np.ndarray | None = None):
+    """The corpus with duplicated lines removed (first occurrence kept),
+    text rebuilt in place. Documents never shuffle: the rebuild is a
+    per-batch explode -> mask against the broadcast drop set ->
+    pc.binary_join, so only the 16 B/line dedup pass moves data. Pass a
+    precomputed `drop` set (e.g. from a checkpointed scan) to skip the
+    dedup pass."""
+    import ray
+
+    if drop is None:
+        drop = line_dedup_drop_ids(ds, column, id_column, sep=sep)
+    if not len(drop):
+        return ds
+    return ds.map_batches(
+        line_rebuild_fn(ray.put(drop), column, id_column, sep),
+        batch_format="pyarrow")

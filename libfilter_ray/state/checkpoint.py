@@ -515,16 +515,22 @@ class CheckpointedDedup(_CheckpointedJob):
     def __init__(self, run_dir: str, input_paths: list[str], *, column: str,
                  id_column: str, target_rows: int = 1 << 20,
                  transform: Callable[[pa.Table], pa.Table] | None = None,
-                 read_columns: list[str] | None = None):
+                 read_columns: list[str] | None = None,
+                 config_extra: dict | None = None):
         self.column, self.id_column = column, id_column
         self.transform = transform
         self.read_columns = read_columns if read_columns is not None \
             else [column]
+        # transforms aren't content-hashable — callers whose transform
+        # varies by options pass their identity here so a resume with
+        # different options is REJECTED instead of mixing partial hashes
+        # computed under different transforms
+        self.config_extra = dict(config_extra or {})
         super().__init__(run_dir, input_paths, target_rows)
 
     def _config(self) -> dict:
         return {"kind": "exact_dedup", "column": self.column,
-                "key": self.id_column}
+                "key": self.id_column, **self.config_extra}
 
     def _make_builder(self):
         return _DedupPartitionHasher(self.run_dir, self.column,

@@ -465,6 +465,55 @@ def test_profile_edge_cases(tmp_path, ray_session):
     assert p2["rows"].iloc[0] == 2
 
 
+def test_clean_checkpointed_matches_streaming(tmp_path, ray_session):
+    """`clean --checkpoint-dir` == streaming clean row-for-row; a resubmit
+    resumes (both scans report all partitions done) and still matches; a
+    resume with different stage flags is rejected."""
+    import numpy as np
+    import pyarrow as pa
+
+    base = pq.read_table(f"{SF_DIR_01}/documents.parquet",
+                         columns=["doc_id", "text"])
+    footer = pa.array(["SHARED FOOTER mail x@y.example.com"] *
+                      base.num_rows)
+    import pyarrow.compute as pc
+    with_footer = base.set_column(
+        base.schema.get_field_index("text"), "text",
+        pc.binary_join_element_wise(base["text"], footer, "\n"))
+    shifted = with_footer.set_column(
+        with_footer.schema.get_field_index("doc_id"), "doc_id",
+        pa.array(np.asarray(with_footer["doc_id"], dtype=np.int64)
+                 + 100000, type=pa.int64()))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(pa.concat_tables([with_footer, shifted]),
+                   str(inp / "documents.parquet"), row_group_size=256)
+
+    common = ["clean", "--input", str(inp), "--table", "documents",
+              "--column", "text", "--id-column", "doc_id"]
+    stream_out = tmp_path / "stream"
+    assert main(common + ["--output", str(stream_out)]) == 0
+    ck = str(tmp_path / "ck")
+    ck_out1, ck_out2 = tmp_path / "ck1", tmp_path / "ck2"
+    assert main(common + ["--checkpoint-dir", ck, "--target-rows", "256",
+                          "--output", str(ck_out1)]) == 0
+    assert main(common + ["--checkpoint-dir", ck, "--target-rows", "256",
+                          "--output", str(ck_out2)]) == 0  # pure resume
+
+    def load(p):
+        return pq.read_table(str(p), columns=["doc_id", "text"]) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    a, b, c = load(stream_out), load(ck_out1), load(ck_out2)
+    assert a.equals(b) and b.equals(c)
+    assert "[EMAIL]" in " ".join(a["text"].head(3))  # scrub ran
+    assert len(a) < 2 * base.num_rows                # doc dups dropped
+
+    with pytest.raises(ValueError, match="config mismatch"):
+        main(common + ["--checkpoint-dir", ck, "--target-rows", "256",
+                       "--no-scrub"])
+
+
 def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
     spec = {"table": "events", "sketches": [
         {"name": "a", "kind": "block", "params": {"bytes_": 1024},
