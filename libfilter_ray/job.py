@@ -371,21 +371,27 @@ def _cmd_clean(args: argparse.Namespace) -> int:
     return 0
 
 
-def _cached_drop_ids(cache_path: str, compute):
-    """Persist the (small) confirmed drop-id set next to its scan's
-    checkpoint so a resubmit after the scan completed skips the confirm
-    pass entirely; atomic write, same shared-storage contract."""
+def _load_drop_cache(cache_path: str):
+    """The persisted confirmed drop-id set, or None. Also clears any
+    crash-orphaned .tmp left by an interrupted cache write (the cache
+    lives at the run_dir root, outside the partials sweep)."""
     import numpy as np
 
+    try:
+        os.unlink(f"{cache_path}.tmp")
+    except FileNotFoundError:
+        pass
     if os.path.exists(cache_path):
         return pq.read_table(cache_path)["drop_id"].to_numpy() \
             .astype(np.int64)
-    drop = compute()
-    tmp = f"{cache_path}.tmp-{os.getpid()}"
+    return None
+
+
+def _save_drop_cache(cache_path: str, drop) -> None:
+    tmp = f"{cache_path}.tmp"
     pq.write_table(
         pa.table({"drop_id": pa.array(drop, type=pa.int64())}), tmp)
     os.replace(tmp, cache_path)
-    return drop
 
 
 def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
@@ -404,8 +410,16 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
 
     column, id_column = args.column, args.id_column
     ck = args.checkpoint_dir
+    if args.output and os.path.isdir(args.output) \
+            and os.listdir(args.output):
+        # the final write streams uuid-named files; rerunning into a dir
+        # holding a killed attempt's partial files would duplicate rows
+        raise SystemExit(
+            f"--output {args.output} exists and is not empty — remove it "
+            "or point at a fresh dir (the checkpoint makes the SCANS "
+            "resumable; the output write restarts clean)")
     read_cols = [column, id_column]
-    rebuild = None
+    line_drop, rebuild = None, None
     if not args.no_line_dedup:
         line_job = CheckpointedDedup(
             os.path.join(ck, "lines"), paths, column="line",
@@ -414,32 +428,37 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
             read_columns=read_cols,
             config_extra={"clean_stage": "lines",
                           "scrub": not args.no_scrub,
-                          "source_column": column})
+                          "source_column": column,
+                          "source_id_column": id_column})
         st = line_job.status()
         print(f"line scan: {st['done']}/{st['total']} partitions done",
               file=sys.stderr)
-        line_multi = line_job.run()
+        line_cache = os.path.join(ck, "lines", "drop_ids.parquet")
+        line_drop = _load_drop_cache(line_cache)
+        if line_drop is None:
+            line_multi = line_job.run()
 
-        def compute_line_drop():
             lines_ds = ray.data.read_parquet(paths, columns=read_cols)
             if scrub is not None:
                 lines_ds = lines_ds.map_batches(scrub,
                                                 batch_format="pyarrow")
             lines_ds = lines_ds.map_batches(
                 explode_lines(column, id_column), batch_format="pyarrow")
-            return exact_dedup_drop_ids(lines_ds, "line", "line_id",
-                                        multi_hashes=line_multi)
-
-        line_drop = _cached_drop_ids(
-            os.path.join(ck, "lines", "drop_ids.parquet"),
-            compute_line_drop)
+            line_drop = exact_dedup_drop_ids(lines_ds, "line", "line_id",
+                                             multi_hashes=line_multi)
+            _save_drop_cache(line_cache, line_drop)
+        elif st["pending"]:
+            raise SystemExit(
+                f"stale cache: {line_cache} exists but the scan has "
+                f"{len(st['pending'])} pending partition(s) — remove the "
+                "cache file to recompute")
         if len(line_drop):
-            # the drop set pickles into the doc-scan transform: O(duplicate
-            # lines), the same bound as the streaming path's broadcast
-            rebuild = line_rebuild_fn(line_drop, column, id_column)
+            # broadcast ONCE via plasma: the rebuild closure is pickled
+            # into three Ray ops (doc scan, doc confirm, final write) and
+            # each worker reads the shared object zero-copy
+            rebuild = line_rebuild_fn(ray.put(line_drop), column,
+                                      id_column)
     cleaned = _compose(scrub, rebuild)
-    ds = ray.data.read_parquet(paths, columns=read_cols)
-    out_ds = ray.data.read_parquet(paths)
     if not args.no_doc_dedup:
         doc_job = CheckpointedDedup(
             os.path.join(ck, "docs"), paths, column=column,
@@ -451,15 +470,29 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
         st = doc_job.status()
         print(f"doc scan: {st['done']}/{st['total']} partitions done",
               file=sys.stderr)
-        doc_multi = doc_job.run()
-        doc_drop = _cached_drop_ids(
-            os.path.join(ck, "docs", "drop_ids.parquet"),
-            lambda: exact_dedup_drop_ids(
+        doc_cache = os.path.join(ck, "docs", "drop_ids.parquet")
+        doc_drop = _load_drop_cache(doc_cache)
+        if doc_drop is None:
+            doc_multi = doc_job.run()
+            ds = ray.data.read_parquet(paths, columns=read_cols)
+            doc_drop = exact_dedup_drop_ids(
                 ds.map_batches(cleaned, batch_format="pyarrow"),
-                column, id_column, multi_hashes=doc_multi))
+                column, id_column, multi_hashes=doc_multi)
+            _save_drop_cache(doc_cache, doc_drop)
+        elif st["pending"]:
+            raise SystemExit(
+                f"stale cache: {doc_cache} exists but the scan has "
+                f"{len(st['pending'])} pending partition(s) — remove the "
+                "cache file to recompute")
     else:
         doc_drop = None
-    out_ds = out_ds.map_batches(cleaned, batch_format="pyarrow")
+    out_ds = ray.data.read_parquet(paths)
+    if scrub is not None:
+        out_ds = out_ds.map_batches(scrub, batch_format="pyarrow")
+    if line_drop is not None and len(line_drop):
+        from .stages.dedup import line_dedup
+
+        out_ds = line_dedup(out_ds, column, id_column, drop=line_drop)
     if doc_drop is not None and len(doc_drop):
         out_ds = out_ds.map_batches(
             drop_id_filter(ray.put(doc_drop), id_column),

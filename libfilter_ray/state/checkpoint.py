@@ -288,7 +288,12 @@ class _CheckpointedJob:
             # silently merge into a differently-parameterized job
             with open(path) as f:
                 old = json.load(f)
-            theirs = {k: old.get(k) for k in mine}
+            # full two-sided comparison: a job with FEWER config keys must
+            # not adopt partials written under a richer config (e.g. a
+            # transform-tagged clean checkpoint resumed by a plain dedup) —
+            # every manifest key except the bookkeeping fields is config
+            theirs = {k: v for k, v in old.items()
+                      if k not in ("engine_version", "partitions")}
             if mine != theirs:
                 raise ValueError(
                     f"resume config mismatch vs manifest at {path}: "

@@ -486,8 +486,12 @@ def test_clean_checkpointed_matches_streaming(tmp_path, ray_session):
                  + 100000, type=pa.int64()))
     inp = tmp_path / "in"
     inp.mkdir()
-    pq.write_table(pa.concat_tables([with_footer, shifted]),
-                   str(inp / "documents.parquet"), row_group_size=256)
+    duped = pa.concat_tables([with_footer, shifted])
+    duped = duped.append_column(
+        "alt_id", pa.array(np.arange(duped.num_rows, dtype=np.int64)
+                           + 5_000_000, type=pa.int64()))
+    pq.write_table(duped, str(inp / "documents.parquet"),
+                   row_group_size=256)
 
     common = ["clean", "--input", str(inp), "--table", "documents",
               "--column", "text", "--id-column", "doc_id"]
@@ -509,9 +513,34 @@ def test_clean_checkpointed_matches_streaming(tmp_path, ray_session):
     assert "[EMAIL]" in " ".join(a["text"].head(3))  # scrub ran
     assert len(a) < 2 * base.num_rows                # doc dups dropped
 
+    # simulate a mid-scan kill: destroy one line partial + both drop
+    # caches; resubmit must rebuild just that partition and still match
+    import glob
+    import os
+
+    partials = sorted(glob.glob(f"{ck}/lines/partials/*.parquet"))
+    assert len(partials) >= 2
+    os.unlink(partials[0])
+    os.unlink(f"{ck}/lines/drop_ids.parquet")
+    os.unlink(f"{ck}/docs/drop_ids.parquet")
+    ck_out3 = tmp_path / "ck3"
+    assert main(common + ["--checkpoint-dir", ck, "--target-rows", "256",
+                          "--output", str(ck_out3)]) == 0
+    assert a.equals(load(ck_out3))
+
+    # flag/identity mismatches on resume are rejected, not silently mixed
     with pytest.raises(ValueError, match="config mismatch"):
         main(common + ["--checkpoint-dir", ck, "--target-rows", "256",
                        "--no-scrub"])
+    with pytest.raises(ValueError, match="config mismatch"):
+        main(["clean", "--input", str(inp), "--table", "documents",
+              "--column", "text", "--id-column", "alt_id",
+              "--checkpoint-dir", ck, "--target-rows", "256"])
+
+    # a non-empty output dir from a killed write attempt is refused
+    with pytest.raises(SystemExit, match="not empty"):
+        main(common + ["--checkpoint-dir", ck, "--target-rows", "256",
+                       "--output", str(ck_out1)])
 
 
 def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
