@@ -299,10 +299,30 @@ def _cmd_neardup(args: argparse.Namespace) -> int:
     paths = _table_paths(args.input, args.table)
     _check_columns(paths, [args.column, args.id_column])
     ds = ray.data.read_parquet(paths, columns=[args.id_column, args.column])
+    if args.checkpoint_dir and args.method != "minhash":
+        raise SystemExit("--checkpoint-dir is minhash-only (the signature "
+                         "scan is the checkpointable unit)")
     if args.method == "minhash":
-        pairs = dd.minhash_near_dup_pairs(
-            ds, args.column, args.id_column, k=args.shingle_k,
-            threshold=args.threshold)
+        if args.checkpoint_dir:
+            from .state.checkpoint import CheckpointedBands
+
+            job = CheckpointedBands(
+                args.checkpoint_dir, paths, column=args.column,
+                id_column=args.id_column, k=args.shingle_k)
+            st = job.status()
+            print(f"band scan: {st['done']}/{st['total']} partitions "
+                  "done", file=sys.stderr)
+            buckets = job.run().map_batches(
+                lambda t: t.rename_columns(
+                    ["band_key", args.id_column]),
+                batch_format="pyarrow")
+            pairs = dd.minhash_pairs_from_buckets(
+                buckets, ds, args.column, args.id_column,
+                k=args.shingle_k, threshold=args.threshold)
+        else:
+            pairs = dd.minhash_near_dup_pairs(
+                ds, args.column, args.id_column, k=args.shingle_k,
+                threshold=args.threshold)
     elif args.method == "simhash":
         pairs = dd.simhash_near_dup_pairs(
             ds, args.column, args.id_column, k=args.shingle_k,
@@ -699,6 +719,10 @@ def make_parser() -> argparse.ArgumentParser:
                     help="word-shingle size for text methods")
     nd.add_argument("--dim", type=int, default=None,
                     help="embedding width (method=embedding)")
+    nd.add_argument("--checkpoint-dir", default=None,
+                    help="minhash only: resumable per-partition signature "
+                         "scan; the pair scan reads the checkpointed "
+                         "bucket table, never re-signaturing")
     nd.add_argument("--output", default=None, help="pair parquet path")
     nd.set_defaults(fn=_cmd_neardup)
 

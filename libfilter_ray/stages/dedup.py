@@ -353,18 +353,40 @@ def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
 
     buckets = ds.map_batches(sig_stage, batch_format="pyarrow",
                              batch_size=batch_size)
-    cand = _candidate_pairs(buckets, "band_key", id_column)
-    if not len(cand):
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    return minhash_pairs_from_buckets(buckets, ds, column, id_column,
+                                      k=k, threshold=threshold)
 
-    # verification: fetch candidate texts once (ids are rare), broadcast
+
+def _verify_jaccard_pairs(cand: pd.DataFrame, ds, column: str,
+                          id_column: str, k: int,
+                          threshold: float) -> pd.DataFrame:
+    """Exact k-shingle Jaccard on candidate pairs only — texts fetched via
+    one broadcast gather of the (rare) candidate ids. The shared verify
+    tail of the minhash and blocked-ngram paths."""
+    if not len(cand):
+        return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                             "id_b": np.array([], dtype=np.int64),
+                             "jaccard": np.array([], dtype=np.float64)})
     need = np.unique(np.concatenate([cand["id_a"], cand["id_b"]]))
     texts = _collect_texts(ds, column, id_column, need)
-    ta = pa.array([texts[int(i)] for i in cand["id_a"]], type=pa.large_string())
-    tb = pa.array([texts[int(i)] for i in cand["id_b"]], type=pa.large_string())
+    ta = pa.array([texts[int(i)] for i in cand["id_a"]],
+                  type=pa.large_string())
+    tb = pa.array([texts[int(i)] for i in cand["id_b"]],
+                  type=pa.large_string())
     jac = jaccard_pairwise(ta, tb, k=k)
     out = cand.assign(jaccard=jac)
-    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+    return out[out["jaccard"] >= threshold] \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def minhash_pairs_from_buckets(buckets, ds, column: str, id_column: str,
+                               *, k: int = 5,
+                               threshold: float = 0.7) -> pd.DataFrame:
+    """Stages 2+3 of the minhash pipeline from a prebuilt (band_key, id)
+    bucket Dataset — e.g. read back from a CheckpointedBands run, where
+    the expensive signature scan is never repeated."""
+    cand = _candidate_pairs(buckets, "band_key", id_column)
+    return _verify_jaccard_pairs(cand, ds, column, id_column, k, threshold)
 
 
 def ngram_jaccard_pairs(ds, column: str, id_column: str, *, k: int = 5,
@@ -403,20 +425,7 @@ def ngram_jaccard_pairs(ds, column: str, id_column: str, *, k: int = 5,
                              batch_size=batch_size)
     cand = _candidate_pairs(buckets, "bucket", id_column,
                             max_bucket=max_bucket)
-    if not len(cand):
-        return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
-                             "id_b": np.array([], dtype=np.int64),
-                             "jaccard": np.array([], dtype=np.float64)})
-    need = np.unique(np.concatenate([cand["id_a"], cand["id_b"]]))
-    texts = _collect_texts(ds, column, id_column, need)
-    ta = pa.array([texts[int(i)] for i in cand["id_a"]],
-                  type=pa.large_string())
-    tb = pa.array([texts[int(i)] for i in cand["id_b"]],
-                  type=pa.large_string())
-    jac = jaccard_pairwise(ta, tb, k=k)
-    out = cand.assign(jaccard=jac)
-    return out[out["jaccard"] >= threshold] \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return _verify_jaccard_pairs(cand, ds, column, id_column, k, threshold)
 
 
 def _broadcast_pick(ds, id_column: str, columns: list[str],

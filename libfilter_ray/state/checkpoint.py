@@ -605,3 +605,110 @@ class CheckpointedDedup(_CheckpointedJob):
         return self._metrics(["partition_id", "rows_processed", "wall_ms",
                               "input_fragments", "engine_version"],
                              first_row_only=True)
+
+
+class _BandPartitionWorker(_PartitionWorker):
+    """Per-partition worker for CheckpointedBands: fragment list -> one
+    checkpoint file of (band_key, id) LSH bucket rows (n_rows x bands).
+    Pure function of the partition spec — the minhash permutations are
+    seeded constants — so retries and resumes write identical bytes."""
+
+    def __init__(self, run_dir: str, column: str, id_column: str, k: int,
+                 num_perm: int, bands: int,
+                 transform: Callable[[pa.Table], pa.Table] | None,
+                 read_columns: list[str] | None):
+        super().__init__(run_dir, transform, read_columns)
+        self.column, self.id_column = column, id_column
+        self.k, self.num_perm, self.bands = k, num_perm, bands
+
+    def _partial_columns(self, t: pa.Table):
+        from ..functions.shingles import lsh_band_keys, minhash_signatures
+
+        sig = minhash_signatures(t[self.column], k=self.k,
+                                 num_perm=self.num_perm)
+        keys = lsh_band_keys(sig, bands=self.bands)
+        col = t[self.id_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return ({
+            "band_key": pa.array(keys.ravel().view(np.int64),
+                                 type=pa.int64()),
+            "id": pa.array(np.repeat(ids, self.bands), type=pa.int64()),
+        }, np.full(t.num_rows * self.bands, t.num_rows))
+
+
+class CheckpointedBands(_CheckpointedJob):
+    """A resumable MinHash+LSH banding scan — the dominant compute of the
+    near-dup pipeline (the num_perm-pass signature kernel over every
+    document) checkpointed per partition. The pair scan + exact-Jaccard
+    verify then run FROM THE CHECKPOINT (the partials ARE the bucket
+    table) plus one tiny candidate-text gather from the source — a
+    resubmitted job never re-signatures finished partitions.
+
+    >>> job = CheckpointedBands(run_dir, paths, column="text",
+    ...                         id_column="doc_id")
+    >>> buckets = job.run()          # None if interrupted; resume later
+    >>> pairs = minhash_pairs_from_buckets(buckets, source_ds,
+    ...                                    "text", "doc_id")
+
+    Single-writer and shared-filesystem contracts as CheckpointedBuild.
+    """
+
+    def __init__(self, run_dir: str, input_paths: list[str], *,
+                 column: str, id_column: str, k: int = 5,
+                 num_perm: int = 128, bands: int = 16,
+                 target_rows: int = 1 << 20,
+                 transform: Callable[[pa.Table], pa.Table] | None = None,
+                 read_columns: list[str] | None = None,
+                 config_extra: dict | None = None):
+        self.column, self.id_column = column, id_column
+        self.k, self.num_perm, self.bands = k, num_perm, bands
+        self.transform = transform
+        self.read_columns = read_columns if read_columns is not None \
+            else [column, id_column]
+        self.config_extra = dict(config_extra or {})
+        super().__init__(run_dir, input_paths, target_rows)
+
+    def _config(self) -> dict:
+        return {"kind": "minhash_bands", "column": self.column,
+                "key": self.id_column, "k": self.k,
+                "num_perm": self.num_perm, "bands": self.bands,
+                **self.config_extra}
+
+    def _make_builder(self):
+        return _BandPartitionWorker(self.run_dir, self.column,
+                                    self.id_column, self.k, self.num_perm,
+                                    self.bands, self.transform,
+                                    self.read_columns)
+
+    def buckets(self):
+        """The (band_key, id) bucket Dataset straight from the checkpoint
+        files — guards against reading an incomplete scan."""
+        import ray.data
+
+        pending = self.status()["pending"]
+        if pending:
+            raise RuntimeError(
+                f"band scan incomplete: {len(pending)} partition(s) "
+                "pending — call run() to finish before pairing")
+        if not self._partial_files():
+            return ray.data.from_arrow(pa.table({
+                "band_key": pa.array([], type=pa.int64()),
+                "id": pa.array([], type=pa.int64())}))
+        return ray.data.read_parquet(
+            os.path.join(self.run_dir, PARTIALS_DIR),
+            columns=["band_key", "id"], file_extensions=["parquet"])
+
+    def run(self, max_partitions: int | None = None):
+        """Build missing partials; returns the bucket Dataset, or None if
+        interrupted (`max_partitions` test hook) — resume later."""
+        self.build_partials(max_partitions)
+        if self.status()["pending"]:
+            return None
+        return self.buckets()
+
+    def metrics(self) -> "pd.DataFrame":  # noqa: F821
+        return self._metrics(["partition_id", "rows_processed", "wall_ms",
+                              "input_fragments", "engine_version"],
+                             first_row_only=True)

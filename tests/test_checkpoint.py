@@ -8,6 +8,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -251,6 +252,52 @@ def test_empty_input_table(tmp_path, ray_session):
     g = CheckpointedBuild(str(tmp_path / "ck3"), [path], kind="hll",
                           params={"p": 10}, column="text", key="doc_id")
     assert g.run() == {}  # no keys exist in an empty corpus
+
+
+def test_checkpointed_bands_kill_resume_same_pairs(tmp_path, ray_session):
+    """CheckpointedBands interrupted + resumed yields EXACTLY the pairs the
+    single-shot minhash pipeline finds (planted clone duplicates), and an
+    incomplete scan refuses to pair."""
+    import ray.data
+
+    from libfilter_ray.stages.dedup import (minhash_near_dup_pairs,
+                                            minhash_pairs_from_buckets)
+    from libfilter_ray.state.checkpoint import CheckpointedBands
+
+    base = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).slice(0, 200)
+    shifted = base.set_column(
+        base.schema.get_field_index("doc_id"), "doc_id",
+        pa.array(np.asarray(base["doc_id"], dtype=np.int64) + 100000,
+                 type=pa.int64()))
+    paths = [str(tmp_path / "docs.parquet")]
+    pq.write_table(pa.concat_tables([base, shifted]), paths[0],
+                   row_group_size=128)
+    ds = ray.data.read_parquet(paths)
+    ref = minhash_near_dup_pairs(ds, "text", "doc_id", threshold=0.9)
+    assert len(ref) >= 200  # every planted clone pair confirmed
+
+    job = CheckpointedBands(str(tmp_path / "r"), paths, column="text",
+                            id_column="doc_id", target_rows=128)
+    assert len(job.partitions) >= 3
+    assert job.run(max_partitions=1) is None  # killed mid-scan
+    with pytest.raises(RuntimeError, match="band scan incomplete"):
+        job.buckets()
+
+    job2 = CheckpointedBands(str(tmp_path / "r"), paths, column="text",
+                             id_column="doc_id", target_rows=128)
+    assert job2.status()["done"] == 1  # resumed from checkpoint
+    buckets = job2.run().map_batches(
+        lambda t: t.rename_columns(["band_key", "doc_id"]),
+        batch_format="pyarrow")
+    got = minhash_pairs_from_buckets(buckets, ds, "text", "doc_id",
+                                     threshold=0.9)
+    pd.testing.assert_frame_equal(got, ref)
+
+    with pytest.raises(ValueError, match="config mismatch"):
+        CheckpointedBands(str(tmp_path / "r"), paths, column="text",
+                          id_column="doc_id", num_perm=64,
+                          target_rows=128)
 
 
 def test_checkpointed_dedup_config_mismatch_rejected(tmp_path, ray_session):
