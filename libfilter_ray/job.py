@@ -122,6 +122,14 @@ def _write_result(result: Any, output: str | None) -> None:
         print(result)
         return
     if isinstance(result, ray.data.Dataset):
+        # write_parquet streams uuid-named files INTO the dir: writing
+        # beside a killed attempt's partial files would duplicate rows on
+        # read-back, so refuse a non-empty target for every Dataset write
+        if os.path.isdir(output) and os.listdir(output):
+            raise SystemExit(
+                f"--output {output} exists and is not empty — remove it "
+                "or point at a fresh dir (checkpoints make scans "
+                "resumable; the output write restarts clean)")
         result.write_parquet(output)
         return
     if isinstance(result, pd.DataFrame):
@@ -308,16 +316,13 @@ def _cmd_neardup(args: argparse.Namespace) -> int:
 
             job = CheckpointedBands(
                 args.checkpoint_dir, paths, column=args.column,
-                id_column=args.id_column, k=args.shingle_k)
+                id_column=args.id_column, k=args.shingle_k,
+                target_rows=args.target_rows)
             st = job.status()
             print(f"band scan: {st['done']}/{st['total']} partitions "
                   "done", file=sys.stderr)
-            buckets = job.run().map_batches(
-                lambda t: t.rename_columns(
-                    ["band_key", args.id_column]),
-                batch_format="pyarrow")
             pairs = dd.minhash_pairs_from_buckets(
-                buckets, ds, args.column, args.id_column,
+                job.run(), ds, args.column, args.id_column,
                 k=args.shingle_k, threshold=args.threshold)
         else:
             pairs = dd.minhash_near_dup_pairs(
@@ -432,12 +437,11 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
     ck = args.checkpoint_dir
     if args.output and os.path.isdir(args.output) \
             and os.listdir(args.output):
-        # the final write streams uuid-named files; rerunning into a dir
-        # holding a killed attempt's partial files would duplicate rows
+        # fail BEFORE the scans, not after minutes of work (_write_result
+        # re-checks for every Dataset write)
         raise SystemExit(
             f"--output {args.output} exists and is not empty — remove it "
-            "or point at a fresh dir (the checkpoint makes the SCANS "
-            "resumable; the output write restarts clean)")
+            "or point at a fresh dir")
     read_cols = [column, id_column]
     line_drop, rebuild = None, None
     if not args.no_line_dedup:
@@ -476,8 +480,8 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
             # broadcast ONCE via plasma: the rebuild closure is pickled
             # into three Ray ops (doc scan, doc confirm, final write) and
             # each worker reads the shared object zero-copy
-            rebuild = line_rebuild_fn(ray.put(line_drop), column,
-                                      id_column)
+            line_drop_ref = ray.put(line_drop)
+            rebuild = line_rebuild_fn(line_drop_ref, column, id_column)
     cleaned = _compose(scrub, rebuild)
     if not args.no_doc_dedup:
         doc_job = CheckpointedDedup(
@@ -512,7 +516,8 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
     if line_drop is not None and len(line_drop):
         from .stages.dedup import line_dedup
 
-        out_ds = line_dedup(out_ds, column, id_column, drop=line_drop)
+        out_ds = line_dedup(out_ds, column, id_column,
+                            drop=line_drop_ref)  # same plasma object
     if doc_drop is not None and len(doc_drop):
         out_ds = out_ds.map_batches(
             drop_id_filter(ray.put(doc_drop), id_column),
@@ -723,6 +728,9 @@ def make_parser() -> argparse.ArgumentParser:
                     help="minhash only: resumable per-partition signature "
                          "scan; the pair scan reads the checkpointed "
                          "bucket table, never re-signaturing")
+    nd.add_argument("--target-rows", type=int, default=1 << 16,
+                    help="docs per checkpoint partition (band partials "
+                         "are docs x bands rows)")
     nd.add_argument("--output", default=None, help="pair parquet path")
     nd.set_defaults(fn=_cmd_neardup)
 

@@ -704,19 +704,23 @@ def line_rebuild_fn(drop_source, column: str, id_column: str,
 
 
 def line_dedup(ds, column: str, id_column: str, *, sep: str = "\n",
-               drop: np.ndarray | None = None):
+               drop=None):
     """The corpus with duplicated lines removed (first occurrence kept),
     text rebuilt in place. Documents never shuffle: the rebuild is a
     per-batch explode -> mask against the broadcast drop set ->
     pc.binary_join, so only the 16 B/line dedup pass moves data. Pass a
-    precomputed `drop` set (e.g. from a checkpointed scan) to skip the
-    dedup pass."""
+    precomputed `drop` set (ndarray, or an ObjectRef to one already in
+    plasma — e.g. from a checkpointed scan) to skip the dedup pass."""
     import ray
 
     if drop is None:
         drop = line_dedup_drop_ids(ds, column, id_column, sep=sep)
-    if not len(drop):
-        return ds
+    if isinstance(drop, ray.ObjectRef):
+        source = drop  # caller already broadcast it (and knows it's
+    else:              # non-empty — an empty set never gets a ref)
+        if not len(drop):
+            return ds
+        source = ray.put(drop)
     return ds.map_batches(
-        line_rebuild_fn(ray.put(drop), column, id_column, sep),
+        line_rebuild_fn(source, column, id_column, sep),
         batch_format="pyarrow")

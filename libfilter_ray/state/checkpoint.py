@@ -149,13 +149,24 @@ class _PartitionWorker:
             lineage = json.dumps({"path": row["path"],
                                   "fragments": [list(fr) for fr in frags]})
             n = len(rows_processed)
+
+            def const_str(v: str):
+                # partition-constant strings as dictionary arrays: O(1)
+                # payload however many data rows the partial has (band
+                # partials are rows x bands), and parquet stores the
+                # dictionary once
+                return pa.DictionaryArray.from_arrays(
+                    pa.array(np.zeros(n, dtype=np.int32)),
+                    pa.array([v], type=pa.string()))
+
             ck = pa.table({
-                "partition_id": pa.array([pid] * n, type=pa.int64()),
+                "partition_id": pa.array(np.full(n, pid), type=pa.int64()),
                 **data,
                 "rows_processed": pa.array(rows_processed, type=pa.int64()),
-                "input_fragments": pa.array([lineage] * n),
-                "wall_ms": pa.array([wall_ms] * n, type=pa.float64()),
-                "engine_version": pa.array([ENGINE_VERSION] * n),
+                "input_fragments": const_str(lineage),
+                "wall_ms": pa.array(np.full(n, wall_ms),
+                                    type=pa.float64()),
+                "engine_version": const_str(ENGINE_VERSION),
             })
             _atomic_write_table(ck, dest)
             out_rows.append({"partition_id": pid, "rows": t.num_rows,
@@ -621,20 +632,31 @@ class _BandPartitionWorker(_PartitionWorker):
         self.column, self.id_column = column, id_column
         self.k, self.num_perm, self.bands = k, num_perm, bands
 
+    #: signature kernel chunk: bounds the flat shingle-hash and per-perm
+    #: temporaries to ~512 docs regardless of partition size (the same
+    #: batch bound the streaming sig_stage uses)
+    CHUNK = 512
+
     def _partial_columns(self, t: pa.Table):
         from ..functions.shingles import lsh_band_keys, minhash_signatures
 
-        sig = minhash_signatures(t[self.column], k=self.k,
-                                 num_perm=self.num_perm)
-        keys = lsh_band_keys(sig, bands=self.bands)
         col = t[self.id_column]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
             else col
         ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        key_chunks = []
+        for s in range(0, t.num_rows, self.CHUNK):
+            sig = minhash_signatures(t[self.column].slice(s, self.CHUNK),
+                                     k=self.k, num_perm=self.num_perm)
+            key_chunks.append(
+                lsh_band_keys(sig, bands=self.bands).ravel()
+                .view(np.int64))
+        keys = np.concatenate(key_chunks) if key_chunks \
+            else np.empty(0, dtype=np.int64)
         return ({
-            "band_key": pa.array(keys.ravel().view(np.int64),
-                                 type=pa.int64()),
-            "id": pa.array(np.repeat(ids, self.bands), type=pa.int64()),
+            "band_key": pa.array(keys, type=pa.int64()),
+            self.id_column: pa.array(np.repeat(ids, self.bands),
+                                     type=pa.int64()),
         }, np.full(t.num_rows * self.bands, t.num_rows))
 
 
@@ -658,10 +680,14 @@ class CheckpointedBands(_CheckpointedJob):
     def __init__(self, run_dir: str, input_paths: list[str], *,
                  column: str, id_column: str, k: int = 5,
                  num_perm: int = 128, bands: int = 16,
-                 target_rows: int = 1 << 20,
+                 target_rows: int = 1 << 16,
                  transform: Callable[[pa.Table], pa.Table] | None = None,
                  read_columns: list[str] | None = None,
                  config_extra: dict | None = None):
+        # NB: target_rows defaults 16x smaller than the other jobs — band
+        # partials are rows x bands x 16 B, so 65k docs ≈ 16 MB partials
+        if id_column == "band_key":
+            raise ValueError("id_column may not be named 'band_key'")
         self.column, self.id_column = column, id_column
         self.k, self.num_perm, self.bands = k, num_perm, bands
         self.transform = transform
@@ -683,8 +709,8 @@ class CheckpointedBands(_CheckpointedJob):
                                     self.read_columns)
 
     def buckets(self):
-        """The (band_key, id) bucket Dataset straight from the checkpoint
-        files — guards against reading an incomplete scan."""
+        """The (band_key, <id_column>) bucket Dataset straight from the
+        checkpoint files — guards against reading an incomplete scan."""
         import ray.data
 
         pending = self.status()["pending"]
@@ -695,10 +721,11 @@ class CheckpointedBands(_CheckpointedJob):
         if not self._partial_files():
             return ray.data.from_arrow(pa.table({
                 "band_key": pa.array([], type=pa.int64()),
-                "id": pa.array([], type=pa.int64())}))
+                self.id_column: pa.array([], type=pa.int64())}))
         return ray.data.read_parquet(
             os.path.join(self.run_dir, PARTIALS_DIR),
-            columns=["band_key", "id"], file_extensions=["parquet"])
+            columns=["band_key", self.id_column],
+            file_extensions=["parquet"])
 
     def run(self, max_partitions: int | None = None):
         """Build missing partials; returns the bucket Dataset, or None if

@@ -287,10 +287,7 @@ def test_checkpointed_bands_kill_resume_same_pairs(tmp_path, ray_session):
     job2 = CheckpointedBands(str(tmp_path / "r"), paths, column="text",
                              id_column="doc_id", target_rows=128)
     assert job2.status()["done"] == 1  # resumed from checkpoint
-    buckets = job2.run().map_batches(
-        lambda t: t.rename_columns(["band_key", "doc_id"]),
-        batch_format="pyarrow")
-    got = minhash_pairs_from_buckets(buckets, ds, "text", "doc_id",
+    got = minhash_pairs_from_buckets(job2.run(), ds, "text", "doc_id",
                                      threshold=0.9)
     pd.testing.assert_frame_equal(got, ref)
 
