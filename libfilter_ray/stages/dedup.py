@@ -79,60 +79,119 @@ def exact_dedup_keys(ds, column: str, id_column: str):
         Count(alias_name="n_members"))
 
 
-def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64):
+#: drop sets up to this many ids broadcast as one sorted array through
+#: plasma (8 B/id — 32 MB at the default); beyond it they spill to a
+#: range-partitioned DropIdStore so driver/plasma memory stays BOUNDED no
+#: matter how duplicated the corpus is (the round-2 scale risk).
+DROP_BROADCAST_LIMIT = 1 << 22
+
+
+def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64,
+                broadcast_limit: int = DROP_BROADCAST_LIMIT,
+                store_dir: str | None = None):
     """Full exact dedup: keep exactly the min-id row of every DISTINCT
-    payload, with driver/broadcast memory O(#duplicated hash groups) —
-    independent of corpus size for realistic duplication rates.
+    payload, with driver/broadcast memory BOUNDED (independent of the
+    duplicate count).
 
-    Shape: `exact_dedup_drop_ids` (the shared, checkpointable core) yields
-    the sorted ids of the rows to REMOVE, then one streaming filter pass
-    drops them — no payload re-hash in the filter stage, just an int64
-    searchsorted against the broadcast drop set.
+    Shape: `exact_dedup_drop_ds` (the shared, checkpointable core) yields
+    the Dataset of ids to REMOVE, then one streaming filter pass drops
+    them. Small drop sets (<= broadcast_limit ids) broadcast as one sorted
+    array; larger ones never touch the driver — they spill to a
+    range-partitioned, bloom-fronted DropIdStore on shared storage
+    (`store_dir`, default a fresh /tmp dir; point it at the job's shared
+    checkpoint volume on a real cluster) and the filter confirms per batch
+    against only the overlapped ranges (stages/dropstore.py).
     """
-    import ray
-
-    drop = exact_dedup_drop_ids(ds, column, id_column,
-                                num_shards=num_shards)
-    if not len(drop):
+    drop_ds = exact_dedup_drop_ds(ds, column, id_column,
+                                  num_shards=num_shards).materialize()
+    source = drop_source_of(drop_ds, broadcast_limit=broadcast_limit,
+                            store_dir=store_dir)
+    if source is None:
         return ds  # every payload unique — nothing to drop
-    drop_ref = ray.put(drop)
-    return ds.map_batches(drop_id_filter(drop_ref, id_column),
+    return ds.map_batches(drop_id_filter(source, id_column),
                           batch_format="pyarrow")
 
 
-def drop_id_filter(drop_ref, id_column: str):
-    """map_batches fn keeping rows whose id misses the broadcast sorted
-    int64 drop array (zero-copy plasma read per batch)."""
+def drop_source_of(drop_ds, *, broadcast_limit: int = DROP_BROADCAST_LIMIT,
+                   store_dir: str | None = None):
+    """Pick the drop-set carrier for a (materialized) drop-id Dataset:
+    None when empty, a plasma ObjectRef of the sorted int64 array when it
+    fits `broadcast_limit`, else a DropIdStore written to `store_dir`.
+    The returned value is accepted by `drop_id_filter`, `line_rebuild_fn`
+    and `_drop_mask`."""
+    import tempfile
+
     import ray
 
+    from .dropstore import DropIdStore
+
+    n = drop_ds.count()
+    if n == 0:
+        return None
+    if n <= broadcast_limit:
+        drop = np.sort(drop_ds.to_pandas()["drop_id"].to_numpy()
+                       .astype(np.int64))
+        return ray.put(drop)
+    return DropIdStore.write(
+        drop_ds, store_dir or tempfile.mkdtemp(prefix="lfr-drop-",
+                                               dir="/tmp"))
+
+
+def _drop_mask(source, ids: np.ndarray) -> np.ndarray:
+    """Vectorized membership of int64 `ids` in a drop set carried as a
+    sorted ndarray, an ObjectRef to one (zero-copy plasma read), or a
+    DropIdStore (bloom + range-partition confirm) — the ONE lookup shared
+    by every drop-filter and rebuild stage."""
+    import ray
+
+    from .dropstore import DropIdStore
+
+    if isinstance(source, DropIdStore):
+        return source.contains(ids)
+    if isinstance(source, ray.ObjectRef):
+        source = ray.get(source)
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    if not len(source):
+        return np.zeros(len(ids), dtype=bool)
+    idx = np.searchsorted(source, ids)
+    return (idx < len(source)) & (
+        source[np.minimum(idx, len(source) - 1)] == ids)
+
+
+def drop_id_filter(drop_source, id_column: str):
+    """map_batches fn keeping rows whose id misses the drop set
+    (sorted ndarray, ObjectRef, or DropIdStore — see `_drop_mask`)."""
+
     def keep_filter(t: pa.Table) -> pa.Table:
-        drop = ray.get(drop_ref)
         ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        idx = np.searchsorted(drop, ids)
-        hit = (idx < len(drop)) & (drop[np.minimum(idx, len(drop) - 1)]
-                                   == ids)
-        return t.filter(pa.array(~hit))
+        return t.filter(pa.array(~_drop_mask(drop_source, ids)))
 
     return keep_filter
 
 
-def exact_dedup_drop_ids(ds, column: str, id_column: str, *,
-                         num_shards: int = 64,
-                         multi_hashes: np.ndarray | None = None
-                         ) -> np.ndarray:
-    """Sorted int64 ids of the rows exact dedup REMOVES (every multi-group
-    row except its group's min-id survivor). O(duplicate rows) memory —
-    singleton groups never reach the driver.
+def exact_dedup_drop_ds(ds, column: str, id_column: str, *,
+                        num_shards: int = 64,
+                        multi_hashes: np.ndarray | None = None,
+                        multi_limit: int = DROP_BROADCAST_LIMIT):
+    """Dataset (one int64 `drop_id` column) of the rows exact dedup REMOVES
+    (every multi-group row except its group's min-id survivor). Nothing
+    O(duplicate rows) ever lands on the driver — the result stays a
+    Dataset; collect it with `exact_dedup_drop_ids` only when small.
 
-    1. groupby(content_hash) -> collect ONLY the hashes with >1 member
-       (pass `multi_hashes` to skip this — e.g. a checkpointed job that
-       already built per-partition hash partials).
-    2. Broadcast a BlockBloom of the dup-group hashes + the exact sorted
-       hash array (the engine's own §2.5 bloom-prune/exact-confirm shape).
-    3. Distributed confirm over ONLY the multi-group rows: (hash, id,
-       payload) sharded by hash, per-shard vectorized min-id-per-(hash,
-       payload) via sort + drop_duplicates, emitting the DROPPED ids.
+    1. groupby(content_hash) -> the hashes with >1 member (pass
+       `multi_hashes` to skip this — e.g. a checkpointed job that already
+       built per-partition hash partials).
+    2. Prune each batch to rows in duplicated hash groups. Up to
+       `multi_limit` dup-group hashes the prune is a broadcast BlockBloom
+       PLUS the exact sorted hash array (zero false positives); beyond it
+       only the distributed-built bloom broadcasts — false positives
+       (singleton rows) ride the confirm shuffle and survive as their own
+       group's min, so the result is identical, just fpp x corpus extra
+       shuffle volume. Driver memory stays bounded either way.
+    3. Distributed confirm over ONLY the pruned rows: (hash, id, payload)
+       sharded by hash, per-shard vectorized min-id-per-(hash, payload)
+       via sort + drop_duplicates, emitting the DROPPED ids.
        Collision-proof: two distinct payloads sharing a 64-bit hash each
        keep their own min id. Shuffle volume = duplicate payloads only.
     """
@@ -141,36 +200,51 @@ def exact_dedup_drop_ids(ds, column: str, id_column: str, *,
     from ..sketch import sizing
     from ..sketch.block_bloom import BlockBloom
 
+    multi_ref = None
     if multi_hashes is None:
-        agg = exact_dedup_keys(ds, column, id_column)
-        multi = agg.filter(expr="n_members > 1") \
-            .select_columns(["content_hash"]).to_pandas()
-        if not len(multi) or "content_hash" not in multi.columns:
-            return np.empty(0, dtype=np.int64)  # every payload unique
-        multi_hashes = np.sort(multi["content_hash"].to_numpy()
-                               .astype(np.int64))
-    multi_hashes = np.ascontiguousarray(multi_hashes, dtype=np.int64)
-    if not len(multi_hashes):
-        return np.empty(0, dtype=np.int64)
-    bloom = BlockBloom(sizing.block_bytes_needed(len(multi_hashes), 0.001))
-    bloom.add_hashes(multi_hashes.view(np.uint64))
-    bloom_ref = ray.put(bloom.to_bytes())
-    multi_ref = ray.put(multi_hashes)
+        agg = exact_dedup_keys(ds, column, id_column) \
+            .filter(expr="n_members > 1") \
+            .select_columns(["content_hash"]).materialize()
+        n_multi = agg.count()
+        if n_multi == 0:
+            return _empty_drop_ds()  # every payload unique
+        if n_multi <= multi_limit:
+            multi_hashes = np.sort(agg.to_pandas()["content_hash"]
+                                   .to_numpy().astype(np.int64))
+        else:
+            from .sketch_build import build_sketch
+
+            bloom = build_sketch(
+                agg, "content_hash", "block",
+                {"bytes_": sizing.block_bytes_needed(n_multi, 0.001)},
+                pre_hashed=True)  # the column IS the 64-bit content hash
+            bloom_ref = ray.put(bloom.to_bytes())
+    if multi_hashes is not None:
+        multi_hashes = np.ascontiguousarray(multi_hashes, dtype=np.int64)
+        if not len(multi_hashes):
+            return _empty_drop_ds()
+        bloom = BlockBloom(
+            sizing.block_bytes_needed(len(multi_hashes), 0.001))
+        bloom.add_hashes(multi_hashes.view(np.uint64))
+        bloom_ref = ray.put(bloom.to_bytes())
+        multi_ref = ray.put(multi_hashes)
 
     def pick_multi(t: pa.Table) -> pa.Table:
         """Select rows in duplicated hash groups (bloom prune -> exact
-        confirm), tagged with a hash-shard for the confirm groupby."""
+        confirm when available), tagged with a hash-shard for the confirm
+        groupby."""
         bloom = _cached_filter(bloom_ref, BlockBloom.from_bytes)
-        multi = ray.get(multi_ref)
         h = hash_arrow_array(t[column]).view(np.int64)
         maybe = bloom.find_hashes(h.view(np.uint64))
         t2 = t.select([id_column, column]).filter(pa.array(maybe))
         h2 = h[maybe]
-        idx = np.searchsorted(multi, h2)
-        hit = (idx < len(multi)) & (
-            multi[np.minimum(idx, len(multi) - 1)] == h2)
-        t2 = t2.filter(pa.array(hit))
-        h2 = h2[hit]
+        if multi_ref is not None:
+            multi = ray.get(multi_ref)
+            idx = np.searchsorted(multi, h2)
+            hit = (idx < len(multi)) & (
+                multi[np.minimum(idx, len(multi) - 1)] == h2)
+            t2 = t2.filter(pa.array(hit))
+            h2 = h2[hit]
         shard = (h2.view(np.uint64) % np.uint64(num_shards)) \
             .astype(np.int64)
         return t2.append_column(
@@ -185,11 +259,30 @@ def exact_dedup_drop_ids(ds, column: str, id_column: str, *,
         return pd.DataFrame({
             "drop_id": dropped[id_column].to_numpy().astype(np.int64)})
 
-    drop = ds.map_batches(pick_multi, batch_format="pyarrow") \
-        .groupby("shard").map_groups(confirm_drop, batch_format="pandas") \
-        .to_pandas()
+    return ds.map_batches(pick_multi, batch_format="pyarrow") \
+        .groupby("shard").map_groups(confirm_drop, batch_format="pandas")
+
+
+def _empty_drop_ds():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"drop_id": pa.array([], type=pa.int64())}))
+
+
+def exact_dedup_drop_ids(ds, column: str, id_column: str, *,
+                         num_shards: int = 64,
+                         multi_hashes: np.ndarray | None = None
+                         ) -> np.ndarray:
+    """Sorted int64 collect of `exact_dedup_drop_ds` — O(duplicate rows)
+    driver memory, for callers that broadcast the set themselves (bounded
+    corpora / checkpoint caches). Large-scale callers should keep the
+    Dataset (`exact_dedup_drop_ds` + `drop_source_of`) instead."""
+    drop = exact_dedup_drop_ds(ds, column, id_column,
+                               num_shards=num_shards,
+                               multi_hashes=multi_hashes).to_pandas()
     if not len(drop) or "drop_id" not in drop.columns:
-        # all multi-group rows survived (hash collisions between distinct
+        # all pruned rows survived (hash collisions between distinct
         # payloads): Ray drops the 0-row group outputs -> column-less frame
         return np.empty(0, dtype=np.int64)
     return np.sort(drop["drop_id"].to_numpy().astype(np.int64))
@@ -653,36 +746,44 @@ def explode_lines(column: str, id_column: str, *, sep: str = "\n",
     return fn
 
 
-def line_dedup_drop_ids(ds, column: str, id_column: str, *,
-                        sep: str = "\n") -> np.ndarray:
-    """Sorted packed line_ids of every duplicated line occurrence EXCEPT the
-    global first (min (id, ordinal) survives) — exact dedup over the
-    exploded line table: 16 B/line shuffle, payload confirm only on
-    duplicated-hash groups (collision-proof), O(duplicate lines) driver
-    memory. The standard C4-style corpus-level boilerplate-line removal."""
+def line_dedup_drop_ds(ds, column: str, id_column: str, *,
+                       sep: str = "\n"):
+    """Dataset of the packed line_ids of every duplicated line occurrence
+    EXCEPT the global first (min (id, ordinal) survives) — exact dedup
+    over the exploded line table: 16 B/line shuffle, payload confirm only
+    on duplicated-hash groups (collision-proof). The standard C4-style
+    corpus-level boilerplate-line removal; the duplicate set never touches
+    the driver (carry it with `drop_source_of`)."""
     lines = ds.map_batches(explode_lines(column, id_column, sep=sep),
                            batch_format="pyarrow")
-    return exact_dedup_drop_ids(lines, "line", "line_id")
+    return exact_dedup_drop_ds(lines, "line", "line_id")
+
+
+def line_dedup_drop_ids(ds, column: str, id_column: str, *,
+                        sep: str = "\n") -> np.ndarray:
+    """Sorted int64 collect of `line_dedup_drop_ds` — O(duplicate lines)
+    driver memory, for bounded corpora / checkpoint caches."""
+    drop = line_dedup_drop_ds(ds, column, id_column, sep=sep).to_pandas()
+    if not len(drop) or "drop_id" not in drop.columns:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(drop["drop_id"].to_numpy().astype(np.int64))
 
 
 def line_rebuild_fn(drop_source, column: str, id_column: str,
                     sep: str = "\n"):
     """map_batches fn factory: rebuild `column` with the lines whose packed
-    ids appear in the sorted drop set removed (pc.binary_join of the kept
-    lines — no per-row Python). `drop_source` is a sorted int64 ndarray
-    (pickled into the closure, O(duplicate lines)) or an ObjectRef to one
-    (zero-copy plasma read per task)."""
-    import ray
+    ids appear in the drop set removed (pc.binary_join of the kept lines —
+    no per-row Python). `drop_source` is anything `_drop_mask` accepts: a
+    sorted int64 ndarray (pickled into the closure, O(duplicate lines)),
+    an ObjectRef to one (zero-copy plasma read per task), or a DropIdStore
+    (bounded memory at any duplicate rate — packed line ids are
+    doc-clustered, so a batch overlaps few store ranges)."""
     import pyarrow.compute as pc
 
     def rebuild(t: pa.Table) -> pa.Table:
-        drop = ray.get(drop_source) \
-            if isinstance(drop_source, ray.ObjectRef) else drop_source
         col, lens, flat, line_id, row_of = _packed_lines(t, column,
                                                          id_column, sep)
-        pos = np.searchsorted(drop, line_id)
-        dropped = (pos < len(drop)) & (
-            drop[np.minimum(pos, len(drop) - 1)] == line_id)
+        dropped = _drop_mask(drop_source, line_id)
         kept = flat.filter(pa.array(~dropped))
         kept_per_row = np.bincount(row_of[~dropped], minlength=len(lens)) \
             .astype(np.int64)
@@ -704,20 +805,30 @@ def line_rebuild_fn(drop_source, column: str, id_column: str,
 
 
 def line_dedup(ds, column: str, id_column: str, *, sep: str = "\n",
-               drop=None):
+               drop=None, broadcast_limit: int = DROP_BROADCAST_LIMIT,
+               store_dir: str | None = None):
     """The corpus with duplicated lines removed (first occurrence kept),
     text rebuilt in place. Documents never shuffle: the rebuild is a
-    per-batch explode -> mask against the broadcast drop set ->
-    pc.binary_join, so only the 16 B/line dedup pass moves data. Pass a
-    precomputed `drop` set (ndarray, or an ObjectRef to one already in
-    plasma — e.g. from a checkpointed scan) to skip the dedup pass."""
+    per-batch explode -> mask against the drop set -> pc.binary_join, so
+    only the 16 B/line dedup pass moves data. The drop set broadcasts when
+    it fits `broadcast_limit`, else spills to a range-partitioned
+    DropIdStore (`store_dir`) — driver memory stays bounded at any
+    duplicate-line rate. Pass a precomputed `drop` (ndarray, ObjectRef, or
+    DropIdStore — e.g. from a checkpointed scan) to skip the dedup pass."""
     import ray
 
+    from .dropstore import DropIdStore
+
     if drop is None:
-        drop = line_dedup_drop_ids(ds, column, id_column, sep=sep)
-    if isinstance(drop, ray.ObjectRef):
-        source = drop  # caller already broadcast it (and knows it's
-    else:              # non-empty — an empty set never gets a ref)
+        drop_ds = line_dedup_drop_ds(ds, column, id_column,
+                                     sep=sep).materialize()
+        source = drop_source_of(drop_ds, broadcast_limit=broadcast_limit,
+                                store_dir=store_dir)
+        if source is None:
+            return ds
+    elif isinstance(drop, (ray.ObjectRef, DropIdStore)):
+        source = drop  # caller already broadcast/spilled it (and knows
+    else:              # it's non-empty — an empty set never gets a ref)
         if not len(drop):
             return ds
         source = ray.put(drop)
