@@ -367,19 +367,23 @@ def _extra_names(extra_cols: list[str]) -> dict[str, tuple[str, str]]:
     return {c: (f"{c}_a", f"{c}_b") for c in extra_cols}
 
 
-def _candidate_pairs(buckets, key: str, id_column: str, *,
-                     extra_cols: list[str] | None = None,
-                     max_bucket: int = 64,
-                     num_shards: int = 64) -> pd.DataFrame:
+def candidate_pairs_ds(buckets, key: str, id_column: str, *,
+                       extra_cols: list[str] | None = None,
+                       max_bucket: int = 64,
+                       num_shards: int = 64):
     """DISTRIBUTED candidate pairing: shard the bucket table by
     hash(bucket_key) — a bucket never splits across shards — then run the
     vectorized sorted-run scan per shard inside groupby(shard).map_groups.
-    Only the (rare) PAIR rows return to the driver; the O(rows x bands)
-    bucket table itself never materializes anywhere but the shuffle.
+    The result STAYS a Dataset (the O(rows x bands) bucket table never
+    materializes anywhere but the shuffle, and at crawl-scale duplicate
+    rates the pair table itself is too big for the driver).
 
     Sharding by key-hash RANGE (not one group per bucket) amortizes the
     per-group Python overhead over millions of tiny buckets — the same fix
-    shape as the salted grouped sketch merge (SURVEY.md §2.6)."""
+    shape as the salted grouped sketch merge (SURVEY.md §2.6). A second
+    pair-sharded pass drops the duplicates the same (id_a, id_b) pair
+    surfaces from several bands (equal pairs always co-shard, so the
+    within-group drop_duplicates is globally exact)."""
     from ..sketch.hashing import shard_of_values
 
     extra = list(extra_cols or [])
@@ -397,22 +401,63 @@ def _candidate_pairs(buckets, key: str, id_column: str, *,
         return _scan_pairs_df(df, key, id_column, extra, max_bucket)
 
     pairs = buckets.map_batches(add_shard, batch_format="pyarrow") \
-        .groupby("shard").map_groups(scan, batch_format="pandas") \
-        .to_pandas()
-    if not len(pairs):
-        # zero pairs across all shards: Ray drops the 0-row group outputs
-        # and to_pandas() comes back COLUMN-LESS — return the typed empty
-        # frame callers expect instead of KeyError'ing on id_a
-        pairs = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
-                              "id_b": np.array([], dtype=np.int64)})
-        names = _extra_names(extra)
-        for c in extra:
-            pairs[names[c][0]] = np.array([], dtype=np.int64)
-            pairs[names[c][1]] = np.array([], dtype=np.int64)
-        return pairs
-    # same (id_a, id_b) pair can surface from several bands/shards
-    return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        .groupby("shard").map_groups(scan, batch_format="pandas")
+
+    names = _extra_names(extra)
+    out_cols = ["id_a", "id_b"] + [n for c in extra for n in names[c]]
+
+    def add_pair_shard(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"], dtype=np.int64)
+        b = np.asarray(t["id_b"], dtype=np.int64)
+        # mixed-multiply pair key; collisions only co-shard extra pairs
+        pk = (a.view(U64) * U64(0x9E3779B97F4A7C15)) ^ b.view(U64)
+        return t.select(out_cols).append_column(
+            "pshard", pa.array((pk % U64(num_shards)).astype(np.int64)))
+
+    def drop_dup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])[out_cols]
+
+    return pairs.map_batches(add_pair_shard, batch_format="pyarrow") \
+        .groupby("pshard").map_groups(drop_dup, batch_format="pandas")
+
+
+def _empty_pairs_df(extra_cols: list[str],
+                    values: dict[str, np.dtype] | None = None
+                    ) -> pd.DataFrame:
+    out = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                        "id_b": np.array([], dtype=np.int64)})
+    names = _extra_names(extra_cols)
+    for c in extra_cols:
+        out[names[c][0]] = np.array([], dtype=np.int64)
+        out[names[c][1]] = np.array([], dtype=np.int64)
+    for c, dt in (values or {}).items():
+        out[c] = np.array([], dtype=dt)
+    return out
+
+
+def _collect_pairs(pairs_ds, extra_cols: list[str] | None = None,
+                   values: dict[str, np.dtype] | None = None
+                   ) -> pd.DataFrame:
+    """Driver collect of a (small, confirmed) pair Dataset, normalized to
+    the historical sorted DataFrame form. Zero-row grouped outputs come
+    back COLUMN-LESS from Ray — return the typed empty frame callers
+    expect instead of KeyError'ing on id_a."""
+    pairs = pairs_ds.to_pandas()
+    if not len(pairs) or "id_a" not in pairs.columns:
+        return _empty_pairs_df(list(extra_cols or []), values)
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _candidate_pairs(buckets, key: str, id_column: str, *,
+                     extra_cols: list[str] | None = None,
+                     max_bucket: int = 64,
+                     num_shards: int = 64) -> pd.DataFrame:
+    """Collected form of `candidate_pairs_ds` (tests / bounded corpora)."""
+    extra = list(extra_cols or [])
+    return _collect_pairs(
+        candidate_pairs_ds(buckets, key, id_column, extra_cols=extra,
+                           max_bucket=max_bucket, num_shards=num_shards),
+        extra)
 
 
 def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
@@ -450,26 +495,122 @@ def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
                                       k=k, threshold=threshold)
 
 
-def _verify_jaccard_pairs(cand: pd.DataFrame, ds, column: str,
-                          id_column: str, k: int,
-                          threshold: float) -> pd.DataFrame:
-    """Exact k-shingle Jaccard on candidate pairs only — texts fetched via
-    one broadcast gather of the (rare) candidate ids. The shared verify
-    tail of the minhash and blocked-ngram paths."""
-    if not len(cand):
-        return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
-                             "id_b": np.array([], dtype=np.int64),
-                             "jaccard": np.array([], dtype=np.float64)})
-    need = np.unique(np.concatenate([cand["id_a"], cand["id_b"]]))
-    texts = _collect_texts(ds, column, id_column, need)
-    ta = pa.array([texts[int(i)] for i in cand["id_a"]],
-                  type=pa.large_string())
-    tb = pa.array([texts[int(i)] for i in cand["id_b"]],
-                  type=pa.large_string())
-    jac = jaccard_pairwise(ta, tb, k=k)
-    out = cand.assign(jaccard=jac)
-    return out[out["jaccard"] >= threshold] \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+# ---------------------------------------------------------------------------
+# distributed candidate verification (the round-3 tail fix: candidate
+# texts/embeddings are attached to pairs with hash-partitioned joins —
+# NOTHING O(pairs x payload) ever lands on the driver)
+# ---------------------------------------------------------------------------
+
+def _candidate_rows(ds, id_column: str, pairs_mat, columns: dict[str, str],
+                    *, prune_limit: int = DROP_BROADCAST_LIMIT):
+    """Dataset of `ds` rows (id + renamed projection `columns`
+    {src: dst}) whose id appears in the materialized pair Dataset
+    `pairs_mat` — the semi-join prune that keeps only candidate payloads
+    flowing into the verify joins. Up to `prune_limit` candidate ids the
+    membership test is an exact broadcast sorted array; beyond it a
+    distributed-built BlockBloom (false positives just ride the joins and
+    drop on the inner match)."""
+    import ray
+
+    from ..sketch import sizing
+    from ..sketch.block_bloom import BlockBloom
+
+    def pair_ids(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"], dtype=np.int64)
+        b = np.asarray(t["id_b"], dtype=np.int64)
+        return pa.table({"cid": pa.array(np.concatenate([a, b]))})
+
+    ids_ds = pairs_mat.map_batches(pair_ids, batch_format="pyarrow")
+    n_pairs = pairs_mat.count()
+    exact_ref = bloom_ref = None
+    if 2 * n_pairs <= prune_limit:
+        need = np.unique(ids_ds.to_pandas()["cid"].to_numpy()
+                         .astype(np.int64))
+        exact_ref = ray.put(need)
+    else:
+        from .sketch_build import build_sketch
+
+        bloom = build_sketch(
+            ids_ds, "cid", "block",
+            {"bytes_": sizing.block_bytes_needed(2 * n_pairs, 0.001)})
+        bloom_ref = ray.put(bloom.to_bytes())
+
+    src_cols = list(columns)
+
+    def pick(t: pa.Table) -> pa.Table:
+        rid = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if exact_ref is not None:
+            want = ray.get(exact_ref)  # zero-copy plasma read per task
+            pos = np.searchsorted(want, rid)
+            hit = (pos < len(want)) & (
+                want[np.minimum(pos, len(want) - 1)] == rid)
+        else:
+            bloom = _cached_filter(bloom_ref, BlockBloom.from_bytes)
+            hit = bloom.find_hashes(hash_arrow_array(
+                pa.array(rid, type=pa.int64())))
+        t2 = t.select([id_column] + src_cols).filter(pa.array(hit))
+        return t2.rename_columns([id_column] + [columns[c]
+                                                for c in src_cols])
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _attach_pair_payloads(pairs_mat, cand, id_column: str,
+                          payload: str, num_shards: int):
+    """Join the candidate-row Dataset `cand` (id + one `payload` column)
+    onto both endpoints of the pair Dataset: (id_a, id_b, <payload>_a,
+    <payload>_b). Two hash-partitioned equi-joins (stages/joins.py) —
+    shuffle volume is pairs + candidate payloads, fully distributed."""
+    from .joins import hash_equi_join
+
+    def rename_to(suffix):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([id_column, f"{payload}{suffix}"])
+        return f
+
+    cand_a = cand.map_batches(rename_to("_a"), batch_format="pyarrow")
+    cand_b = cand.map_batches(rename_to("_b"), batch_format="pyarrow")
+    j1 = hash_equi_join(pairs_mat, cand_a, left_on="id_a",
+                        right_on=id_column, left_cols=["id_b"],
+                        right_cols=[f"{payload}_a"], num_shards=num_shards)
+    return hash_equi_join(j1, cand_b, left_on="id_b", right_on=id_column,
+                          left_cols=["id_a", f"{payload}_a"],
+                          right_cols=[f"{payload}_b"],
+                          num_shards=num_shards)
+
+
+def verify_jaccard_pairs_ds(pairs_ds, ds, column: str, id_column: str,
+                            k: int, threshold: float, *,
+                            num_shards: int = 32):
+    """Distributed exact k-shingle Jaccard verification: Dataset
+    (id_a, id_b, jaccard) of the candidate pairs whose texts really match.
+    Candidate texts are pruned once from `ds` (broadcast id set / bloom),
+    attached to the pairs via two hash-partitioned joins, and verified
+    per batch with the vectorized shingle kernel — the driver never sees
+    a text. The shared verify tail of the minhash and blocked-ngram
+    paths."""
+    pairs_mat = pairs_ds.materialize()
+    if pairs_mat.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+    cand = _candidate_rows(ds, id_column, pairs_mat,
+                           {column: "__txt"}).materialize()
+    joined = _attach_pair_payloads(pairs_mat, cand, id_column, "__txt",
+                                   num_shards)
+
+    def verify(t: pa.Table) -> pa.Table:
+        jac = jaccard_pairwise(_str(t["__txt_a"]), _str(t["__txt_b"]), k=k)
+        keep = jac >= threshold
+        out = t.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return out.append_column("jaccard",
+                                 pa.array(jac[keep], type=pa.float64()))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_pairs_from_buckets(buckets, ds, column: str, id_column: str,
@@ -478,8 +619,10 @@ def minhash_pairs_from_buckets(buckets, ds, column: str, id_column: str,
     """Stages 2+3 of the minhash pipeline from a prebuilt (band_key, id)
     bucket Dataset — e.g. read back from a CheckpointedBands run, where
     the expensive signature scan is never repeated."""
-    cand = _candidate_pairs(buckets, "band_key", id_column)
-    return _verify_jaccard_pairs(cand, ds, column, id_column, k, threshold)
+    cand = candidate_pairs_ds(buckets, "band_key", id_column)
+    return _collect_pairs(
+        verify_jaccard_pairs_ds(cand, ds, column, id_column, k, threshold),
+        values={"jaccard": np.float64})
 
 
 def ngram_jaccard_pairs(ds, column: str, id_column: str, *, k: int = 5,
@@ -516,35 +659,11 @@ def ngram_jaccard_pairs(ds, column: str, id_column: str, *, k: int = 5,
 
     buckets = ds.map_batches(bucket_stage, batch_format="pyarrow",
                              batch_size=batch_size)
-    cand = _candidate_pairs(buckets, "bucket", id_column,
-                            max_bucket=max_bucket)
-    return _verify_jaccard_pairs(cand, ds, column, id_column, k, threshold)
-
-
-def _broadcast_pick(ds, id_column: str, columns: list[str],
-                    ids: np.ndarray) -> pd.DataFrame:
-    """Rows (id + `columns`) for the given (few) ids: broadcast the sorted
-    id set once, np.isin-filter per batch, collect the small result —
-    the shared gather behind candidate-text and candidate-embedding
-    verification (O(candidates) driver memory)."""
-    import ray
-
-    ref = ray.put(np.sort(ids.astype(np.int64)))
-
-    def pick(t: pa.Table) -> pa.Table:
-        want = ray.get(ref)  # zero-copy plasma read per task
-        rid = _str(t[id_column]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        return t.select([id_column] + columns) \
-            .filter(pa.array(np.isin(rid, want)))
-
-    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-
-
-def _collect_texts(ds, column: str, id_column: str,
-                   ids: np.ndarray) -> dict[int, str]:
-    small = _broadcast_pick(ds, id_column, [column], ids)
-    return dict(zip(small[id_column].astype(int), small[column]))
+    cand = candidate_pairs_ds(buckets, "bucket", id_column,
+                              max_bucket=max_bucket)
+    return _collect_pairs(
+        verify_jaccard_pairs_ds(cand, ds, column, id_column, k, threshold),
+        values={"jaccard": np.float64})
 
 
 def simhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
@@ -571,40 +690,55 @@ def simhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
     buckets = ds.map_batches(sig_stage, batch_format="pyarrow",
                              batch_size=batch_size)
 
-    cand = _candidate_pairs(buckets, "band_key", id_column,
-                            extra_cols=["simhash"])
-    if not len(cand):
-        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    hd = hamming64(cand["sim_a"].to_numpy().astype(np.int64).view(U64),
-                   cand["sim_b"].to_numpy().astype(np.int64).view(U64))
-    keep = hd <= max_hamming
-    pairs = pd.DataFrame({"id_a": cand["id_a"][keep],
-                          "id_b": cand["id_b"][keep],
-                          "hamming": hd[keep].astype(np.int64)})
-    return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    cand = candidate_pairs_ds(buckets, "band_key", id_column,
+                              extra_cols=["simhash"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        # the signatures rode the bucket table — verification is a
+        # per-batch vectorized Hamming, no payload gather at all
+        hd = hamming64(np.asarray(t["sim_a"], dtype=np.int64).view(U64),
+                       np.asarray(t["sim_b"], dtype=np.int64).view(U64))
+        keep = hd <= max_hamming
+        out = t.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return out.append_column(
+            "hamming", pa.array(hd[keep].astype(np.int64)))
+
+    return _collect_pairs(cand.map_batches(verify, batch_format="pyarrow"),
+                          values={"hamming": np.int64})
 
 
-def near_dup_dedup(ds, pairs: pd.DataFrame, id_column: str):
+def near_dup_dedup(ds, pairs, id_column: str, *,
+                   broadcast_limit: int = DROP_BROADCAST_LIMIT,
+                   store_dir: str | None = None):
     """Drop every near-duplicate except the min-id representative of each
-    cluster (union-find over confirmed pairs), via broadcast filter."""
+    cluster. `pairs` may be a confirmed-pair DataFrame (the bounded-corpus
+    path: driver union-find over rows the caller already holds) or a pair
+    DATASET (the 100 TB path: distributed min-label-propagation connected
+    components, stages/cluster.py — pairs never land on the driver). The
+    drop set is then applied with the same bounded carrier as exact dedup
+    (broadcast array vs range-partitioned DropIdStore)."""
     import ray
 
-    if not len(pairs):
-        return ds
-    ids = np.unique(np.concatenate([pairs["id_a"], pairs["id_b"]]))
-    cl = _union_find(pairs[["id_a", "id_b"]].to_numpy(), ids)
-    drop = np.sort(np.array([i for i, root in cl.items() if i != root],
-                            dtype=np.int64))
-    ref = ray.put(drop)
+    if isinstance(pairs, pd.DataFrame):
+        if not len(pairs):
+            return ds
+        ids = np.unique(np.concatenate([pairs["id_a"], pairs["id_b"]]))
+        cl = _union_find(pairs[["id_a", "id_b"]].to_numpy(), ids)
+        drop = np.sort(np.array([i for i, root in cl.items() if i != root],
+                                dtype=np.int64))
+        if not len(drop):
+            return ds
+        source = ray.put(drop)
+    else:
+        from .cluster import cluster_drop_ds
 
-    def drop_filter(t: pa.Table) -> pa.Table:
-        todrop = ray.get(ref)
-        rid = _str(t[id_column]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        return t.filter(pa.array(~np.isin(rid, todrop)))
-
-    return ds.map_batches(drop_filter, batch_format="pyarrow")
+        drop_ds = cluster_drop_ds(pairs).materialize()
+        source = drop_source_of(drop_ds, broadcast_limit=broadcast_limit,
+                                store_dir=store_dir)
+        if source is None:
+            return ds
+    return ds.map_batches(drop_id_filter(source, id_column),
+                          batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -618,17 +752,72 @@ def _embedding_matrix(t: pa.Table, column: str) -> np.ndarray:
     return flat.reshape(len(col), -1)
 
 
-def _gather_embeddings(ds, column: str, id_column: str,
-                       ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(sorted ids, L2-normalized float32 matrix) for the given (few) ids
-    via the shared broadcast-pick gather."""
-    small = _broadcast_pick(ds, id_column, [column], ids)
-    got = small[id_column].to_numpy().astype(np.int64)
-    order = np.argsort(got, kind="stable")
-    X = np.stack([np.asarray(v, dtype=np.float32)
-                  for v in small[column]])[order]
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    return got[order], Xn
+def _pack_f32(X: np.ndarray) -> pa.Array:
+    """float32 matrix -> fixed_size_binary rows: Acero hash joins reject
+    list<float> payloads, so candidate embeddings ride the verify joins as
+    opaque dim*4-byte blobs (zero-copy view both ways)."""
+    n, dim = X.shape
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(dim * 4), n,
+        [None, pa.py_buffer(np.ascontiguousarray(X, dtype=np.float32)
+                            .tobytes())])
+
+
+def _unpack_f32(col) -> np.ndarray:
+    """fixed_size_binary column -> (n, dim) float32 view."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    width = col.type.byte_width
+    dim = width // 4
+    buf = col.buffers()[1]
+    flat = np.frombuffer(buf, dtype=np.float32,
+                         count=(col.offset + len(col)) * dim)
+    return flat[col.offset * dim:].reshape(len(col), dim)
+
+
+def verify_cosine_pairs_ds(pairs_ds, ds, column: str, id_column: str,
+                           threshold: float, *, num_shards: int = 32):
+    """Distributed exact-cosine verification: Dataset (id_a, id_b, cosine)
+    of the candidate pairs with cosine >= threshold. Candidate embeddings
+    are pruned from `ds` once, L2-normalized and PACKED to fixed-size
+    binary in the prune stage, attached via the shared pair joins, and
+    verified per batch with one einsum — the driver never sees a vector."""
+    pairs_mat = pairs_ds.materialize()
+    if pairs_mat.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64())}))
+
+    def pack_stage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        X = _embedding_matrix(t, "__emb")
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+        return t.set_column(t.schema.get_field_index("__emb"), "__emb",
+                            _pack_f32(Xn))
+
+    cand = _candidate_rows(ds, id_column, pairs_mat, {column: "__emb"}) \
+        .map_batches(pack_stage, batch_format="pyarrow").materialize()
+    joined = _attach_pair_payloads(pairs_mat, cand, id_column, "__emb",
+                                   num_shards)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        Xa = _unpack_f32(t["__emb_a"])
+        Xb = _unpack_f32(t["__emb_b"])
+        cos = np.einsum("ij,ij->i", Xa, Xb)
+        keep = cos >= threshold
+        out = t.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return out.append_column(
+            "cosine", pa.array(cos[keep].astype(np.float64)))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def embedding_near_dup_pairs(ds, column: str, id_column: str, *,
@@ -671,21 +860,10 @@ def embedding_near_dup_pairs(ds, column: str, id_column: str, *,
 
     buckets = ds.map_batches(bucket_stage, batch_format="pyarrow",
                              batch_size=batch_size)
-    cand = _candidate_pairs(buckets, "bucket", id_column, max_bucket=256)
-    if not len(cand):
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-
-    need = np.unique(np.concatenate([cand["id_a"], cand["id_b"]]))
-    got, Xn = _gather_embeddings(ds, column, id_column, need)
-    ia = np.searchsorted(got, cand["id_a"].to_numpy().astype(np.int64))
-    ib = np.searchsorted(got, cand["id_b"].to_numpy().astype(np.int64))
-    cos = np.einsum("ij,ij->i", Xn[ia], Xn[ib])
-    keep = cos >= threshold
-    pairs = pd.DataFrame({"id_a": cand["id_a"][keep].astype(np.int64),
-                          "id_b": cand["id_b"][keep].astype(np.int64),
-                          "cosine": cos[keep].astype(np.float64)})
-    return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    cand = candidate_pairs_ds(buckets, "bucket", id_column, max_bucket=256)
+    return _collect_pairs(
+        verify_cosine_pairs_ds(cand, ds, column, id_column, threshold),
+        values={"cosine": np.float64})
 
 
 # ---------------------------------------------------------------------------
