@@ -2726,6 +2726,91 @@ ORDER BY id_a, id_b
 """
 
 
+def q_ngram_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
+    """Deterministic near-dup DEDUP end-to-end, fully distributed: the
+    exact n-gram Jaccard pair DATASET (never collected) feeds distributed
+    connected components (stages/cluster.py — sharded local union-find
+    contraction + min-label propagation) and the bounded drop carrier;
+    survivors (each cluster's min doc_id) aggregate per lang. The SQL
+    oracle clusters the same confirmed pairs with a recursive-CTE
+    transitive closure — this row is the driver-gated correctness proof
+    for the distributed clustering tail."""
+    from ..stages.dedup import near_dup_dedup, ngram_jaccard_pairs_ds
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pairs_ds = ngram_jaccard_pairs_ds(ds, "text", "doc_id", k=5, prefix=32,
+                                      threshold=0.5, min_len=32)
+    kept = near_dup_dedup(ds, pairs_ds, "doc_id")
+
+    def stats(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        return pa.table({"lang": t["lang"],
+                         "n_kept": pa.array(np.ones(len(did), np.int64)),
+                         "sum_kept_ids": pa.array(did)})
+
+    from ray.data.aggregate import Sum
+
+    out = kept.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("sum_kept_ids", alias_name="sum_kept_ids")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["sum_kept_ids"] = out["sum_kept_ids"].astype("int64")
+    return out
+
+
+SQL_NGRAM_JACCARD_DEDUP = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 32
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - 4)) AS i
+    FROM docs
+  )
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+blk AS (SELECT doc_id, substr(text, 1, 32) AS p FROM docs),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blk a JOIN blk b ON a.p = b.p AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS ninter
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.g = sa.g
+  GROUP BY p.id_a, p.id_b
+),
+confirmed AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.id_a
+  JOIN cnt cb ON cb.doc_id = i.id_b
+  WHERE CAST(i.ninter AS DOUBLE) / (ca.n + cb.n - i.ninter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM confirmed
+  UNION ALL SELECT id_b, id_a FROM confirmed
+),
+closure(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT c.a, e.v FROM closure c JOIN edges e ON e.u = c.b
+),
+dropped AS (SELECT DISTINCT a AS doc_id FROM closure WHERE b < a)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.doc_id) AS BIGINT) AS sum_kept_ids
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -2774,6 +2859,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
     "order_priority_revenue": q_order_priority_revenue,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "bloom_antijoin": q_bloom_antijoin,
     "training_prep_pipeline": q_training_prep_pipeline,
     "doc_fingerprints": q_doc_fingerprints,
@@ -2824,6 +2910,7 @@ ORACLES: dict[str, str] = {
     "partitioned_sink_roundtrip": SQL_SINK_ROUNDTRIP,
     "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
     "ngram_jaccard_near_dup": SQL_NGRAM_JACCARD,
+    "ngram_jaccard_dedup": SQL_NGRAM_JACCARD_DEDUP,
     "bloom_antijoin": SQL_BLOOM_ANTIJOIN,
     "training_prep_pipeline": SQL_TRAINING_PREP,
     "event_funnel": SQL_EVENT_FUNNEL,

@@ -625,20 +625,21 @@ def minhash_pairs_from_buckets(buckets, ds, column: str, id_column: str,
         values={"jaccard": np.float64})
 
 
-def ngram_jaccard_pairs(ds, column: str, id_column: str, *, k: int = 5,
-                        prefix: int = 32, threshold: float = 0.5,
-                        min_len: int = 32, max_bucket: int = 4096,
-                        batch_size: int = 4096) -> pd.DataFrame:
+def ngram_jaccard_pairs_ds(ds, column: str, id_column: str, *, k: int = 5,
+                           prefix: int = 32, threshold: float = 0.5,
+                           min_len: int = 32, max_bucket: int = 4096,
+                           batch_size: int = 4096):
     """Blocked exact n-gram Jaccard near-dup: block rows by their first
     `prefix` characters, exact distinct-k-shingle Jaccard on every
-    within-block pair, keep jaccard >= threshold.
+    within-block pair, keep jaccard >= threshold. Returns the confirmed
+    (id_a, id_b, jaccard) pair DATASET.
 
     The deterministic (ANSI-SQL-oracleable) complement to
     `minhash_near_dup_pairs`: candidate generation is a pure function of the
     data (no hash permutations), so the full pipeline — blocking, pairing,
     and the Jaccard values themselves — can be verified against a DuckDB
     oracle. Same distributed shape as the LSH paths: narrow (bucket, id)
-    rows -> sharded pair scan -> broadcast gather of candidate texts only.
+    rows -> sharded pair scan -> pruned-join candidate verification.
 
     Rows shorter than `min_len` are excluded (shorter than a meaningful
     block key). Shingles are byte k-grams; for ASCII corpora this matches
@@ -661,8 +662,17 @@ def ngram_jaccard_pairs(ds, column: str, id_column: str, *, k: int = 5,
                              batch_size=batch_size)
     cand = candidate_pairs_ds(buckets, "bucket", id_column,
                               max_bucket=max_bucket)
+    return verify_jaccard_pairs_ds(cand, ds, column, id_column, k,
+                                   threshold)
+
+
+def ngram_jaccard_pairs(ds, column: str, id_column: str,
+                        **kwargs) -> pd.DataFrame:
+    """Collected form of `ngram_jaccard_pairs_ds` (tests / bounded
+    corpora). At crawl scale feed the Dataset form straight to
+    `near_dup_dedup` — confirmed pairs never land on the driver."""
     return _collect_pairs(
-        verify_jaccard_pairs_ds(cand, ds, column, id_column, k, threshold),
+        ngram_jaccard_pairs_ds(ds, column, id_column, **kwargs),
         values={"jaccard": np.float64})
 
 
