@@ -7,10 +7,15 @@ instead of a per-document Python loop (the same boundary-jump shape as the
 t-digest greedy compressor, sketch/tdigest.py).
 
 Scale posture: packing requires the full ordered token sequence of its
-group, so at 10^12-document scale the packing key should be (lang, shard) —
-bins then never span shards and groups stay worker-sized; the slight extra
-per-shard tail waste is the standard trade. The oracled query packs per
-lang at test scale where groups are small.
+group, so at 10^12-document scale the packing key is (lang, shard) with
+shard = doc_id // rows_per_shard — contiguous id RANGES, so document order
+is preserved within every shard, bins never span shards, and no task ever
+holds more than rows_per_shard docs (`pack_stats_grouped_ds`). The cost is
+bounded: next-fit with forced breaks at shard boundaries uses at most
+(shards-1) extra sequences per group (cut the sequential packing at each
+boundary — still a valid per-shard interval partition — and per-shard
+greedy maximal-prefix is optimal), so extra waste <= (shards-1) * budget.
+The per-lang form is the rows_per_shard=None special case.
 """
 
 from __future__ import annotations
@@ -38,6 +43,42 @@ def next_fit_pack(tokens: np.ndarray, budget: int) -> np.ndarray:
         b += 1
         s = e
     return seq
+
+
+def pack_stats_grouped_ds(ds, *, group_col: str, id_column: str,
+                          tokens_col: str, budget: int,
+                          rows_per_shard: int | None = None):
+    """Per-group next-fit packing stats over a (group, id, n_tokens)
+    Dataset: one row per group with n_docs / n_seqs / total_tokens /
+    wasted_tokens. With `rows_per_shard`, documents pack per
+    (group, id_column // rows_per_shard) — contiguous id ranges, order
+    preserved within shards, <= rows_per_shard docs per task — and the
+    per-shard partials SUM per group (waste is additive over shards).
+    rows_per_shard=None packs each group whole (test-scale / oracle
+    form)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_column], dtype=np.int64)
+        shard = np.zeros(len(ids), dtype=np.int64) \
+            if rows_per_shard is None else ids // rows_per_shard
+        return t.append_column("_pshard", pa.array(shard))
+
+    def pack_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_column, kind="stable")
+        st = pack_stats(df[tokens_col].to_numpy(), budget)
+        return pd.DataFrame([{group_col: df[group_col].iloc[0], **st}])
+
+    return ds.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby([group_col, "_pshard"]) \
+        .map_groups(pack_group, batch_format="pandas") \
+        .groupby(group_col).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_seqs", alias_name="n_seqs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("wasted_tokens", alias_name="wasted_tokens"))
 
 
 def pack_stats(tokens: np.ndarray, budget: int) -> dict[str, int]:

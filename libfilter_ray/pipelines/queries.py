@@ -1479,7 +1479,11 @@ def q_sequence_packing(sf_dir: str) -> pd.DataFrame:
     searchsorted boundary-jump packer (functions/packing.py) on the sorted
     group — the shuffle moves 24 B/doc. At 10^12 scale pack per
     (lang, shard) instead (see packing.py docstring)."""
-    from ..functions.packing import pack_stats
+    return _pack_query(sf_dir, rows_per_shard=None)
+
+
+def _pack_query(sf_dir: str, rows_per_shard: int | None) -> pd.DataFrame:
+    from ..functions.packing import pack_stats_grouped_ds
     from ..functions.textstats import token_counts
 
     BUDGET = 256
@@ -1490,18 +1494,25 @@ def q_sequence_packing(sf_dir: str) -> pd.DataFrame:
             "n_tokens": pa.array(token_counts(t["text"]), type=pa.int64()),
         })
 
-    def pack_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id", kind="stable")
-        st = pack_stats(df["n_tokens"].to_numpy(), BUDGET)
-        return pd.DataFrame([{"lang": df["lang"].iloc[0], **st}])
-
-    out = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
-        .map_batches(tok_partial, batch_format="pyarrow") \
-        .groupby("lang").map_groups(pack_group, batch_format="pandas") \
-        .to_pandas()
+    toks = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .map_batches(tok_partial, batch_format="pyarrow")
+    out = pack_stats_grouped_ds(
+        toks, group_col="lang", id_column="doc_id", tokens_col="n_tokens",
+        budget=BUDGET, rows_per_shard=rows_per_shard).to_pandas()
     for c in ("n_docs", "n_seqs", "total_tokens", "wasted_tokens"):
         out[c] = out[c].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_sequence_packing_sharded(sf_dir: str) -> pd.DataFrame:
+    """The 10^12-scale form of sequence packing: docs pack per
+    (lang, doc_id // 64) — contiguous id-range shards, order preserved
+    within shards, <= 64 docs per task — and the per-shard partials sum
+    per lang (functions/packing.py:pack_stats_grouped_ds). Shard
+    boundaries are a deterministic function of doc_id, so the whole
+    sharded computation oracles exactly: the SQL recursive CTE packs per
+    (lang, doc_id // 64) too."""
+    return _pack_query(sf_dir, rows_per_shard=64)
 
 
 SQL_SEQUENCE_PACKING = r"""
@@ -1522,6 +1533,38 @@ WITH RECURSIVE toks AS (
   FROM p JOIN toks t ON t.lang = p.lang AND t.rn = p.rn + 1
 ), bins AS (
   SELECT lang, seq, SUM(n_tokens) AS fill FROM p GROUP BY lang, seq
+)
+SELECT lang,
+       (SELECT COUNT(*) FROM toks t WHERE t.lang = bins.lang)::BIGINT
+         AS n_docs,
+       COUNT(*)::BIGINT AS n_seqs,
+       SUM(fill)::BIGINT AS total_tokens,
+       SUM(GREATEST(0, 256 - fill))::BIGINT AS wasted_tokens
+FROM bins GROUP BY lang ORDER BY lang
+"""
+
+
+SQL_SEQUENCE_PACKING_SHARDED = r"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id // 64 AS shard, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_extract_all(text, '\S+')) END AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang, doc_id // 64
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), p AS (
+  SELECT lang, shard, rn, n_tokens, 1 AS seq, n_tokens AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.shard, t.rn, t.n_tokens,
+         CASE WHEN p.fill + t.n_tokens <= 256 THEN p.seq ELSE p.seq + 1 END,
+         CASE WHEN p.fill + t.n_tokens <= 256 THEN p.fill + t.n_tokens
+              ELSE t.n_tokens END
+  FROM p JOIN toks t
+    ON t.lang = p.lang AND t.shard = p.shard AND t.rn = p.rn + 1
+), bins AS (
+  SELECT lang, shard, seq, SUM(n_tokens) AS fill
+  FROM p GROUP BY lang, shard, seq
 )
 SELECT lang,
        (SELECT COUNT(*) FROM toks t WHERE t.lang = bins.lang)::BIGINT
@@ -2268,20 +2311,18 @@ def q_training_prep_pipeline(sf_dir: str) -> pd.DataFrame:
                           "lang": t["lang"], "text": t["text"]})
         t = pa.concat_tables([t.select(["doc_id", "lang", "text"]), clone])
         s = quality_stats(t["text"])
+        # carry the stats columns through dedup — the surviving rows'
+        # totals need no second quality_stats pass
+        t = t.append_column("n_tokens",
+                            pa.array(s["n_tokens"], type=pa.int64()))
+        t = t.append_column("n_chars",
+                            pa.array(s["n_chars"].astype(np.int64)))
         return t.filter(pa.array(s["quality_score"] >= 0.5))
 
     kept = ds.map_batches(plant_and_filter, batch_format="pyarrow")
     surv = exact_dedup(kept, "text", "doc_id")
 
-    def stats(t: pa.Table) -> pa.Table:
-        s = quality_stats(t["text"])
-        return pa.table({
-            "lang": t["lang"],
-            "n_tokens": pa.array(s["n_tokens"], type=pa.int64()),
-            "n_chars": pa.array(s["n_chars"].astype(np.int64)),
-        })
-
-    out = surv.map_batches(stats, batch_format="pyarrow") \
+    out = surv.select_columns(["lang", "n_tokens", "n_chars"]) \
         .groupby("lang").aggregate(
             Count(alias_name="n_docs"),
             Sum("n_tokens", alias_name="sum_tokens"),
@@ -2875,6 +2916,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pii_scrub_stats": q_pii_scrub_stats,
     "label_centroids": q_label_centroids,
     "sequence_packing": q_sequence_packing,
+    "sequence_packing_sharded": q_sequence_packing_sharded,
 }
 
 ORACLES: dict[str, str] = {
@@ -2925,4 +2967,5 @@ ORACLES: dict[str, str] = {
     "pii_scrub_stats": SQL_PII_SCRUB_STATS,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "sequence_packing": SQL_SEQUENCE_PACKING,
+    "sequence_packing_sharded": SQL_SEQUENCE_PACKING_SHARDED,
 }

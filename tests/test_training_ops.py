@@ -734,3 +734,55 @@ def test_next_fit_pack_matches_naive():
         assert st["n_docs"] == n and st["total_tokens"] == int(toks.sum())
         if n:
             assert st["n_seqs"] == want[-1] + 1
+
+
+def test_sharded_packing_bounds(ray_session):
+    """(lang, shard) packing: per-(group, id-range-shard) next-fit sums to
+    the sequential per-group answer up to the forced-boundary bound —
+    n_seqs in [sequential, sequential + shards_touched - 1], docs/tokens
+    exact, waste = (n_seqs_sharded * budget - capped fills) >= sequential
+    waste. Also: no task group ever exceeds rows_per_shard docs."""
+    import pyarrow as pa
+
+    import ray.data
+    from libfilter_ray.functions.packing import (pack_stats,
+                                                 pack_stats_grouped_ds)
+
+    rng = np.random.default_rng(11)
+    n, budget, rps = 600, 256, 64
+    ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+    toks = rng.integers(0, 300, n).astype(np.int64)
+    langs = np.array(["en", "de", "zh"])[rng.integers(0, 3, n)]
+    ds = ray.data.from_arrow(pa.table({
+        "lang": langs, "doc_id": ids, "n_tokens": toks})).repartition(5)
+    got = pack_stats_grouped_ds(
+        ds, group_col="lang", id_column="doc_id", tokens_col="n_tokens",
+        budget=budget, rows_per_shard=rps).to_pandas() \
+        .set_index("lang").sort_index()
+    for lang in ("en", "de", "zh"):
+        m = langs == lang
+        order = np.argsort(ids[m], kind="stable")
+        seq_st = pack_stats(toks[m][order], budget)
+        shards = len(np.unique(ids[m] // rps))
+        row = got.loc[lang]
+        assert row["n_docs"] == seq_st["n_docs"]
+        assert row["total_tokens"] == seq_st["total_tokens"]
+        assert seq_st["n_seqs"] <= row["n_seqs"] \
+            <= seq_st["n_seqs"] + shards - 1
+        assert row["wasted_tokens"] >= seq_st["wasted_tokens"]
+        assert row["wasted_tokens"] - seq_st["wasted_tokens"] \
+            <= (shards - 1) * budget
+        # the row cap that makes the shape 100 TB-safe
+        assert max(np.bincount((ids[m] // rps))) <= rps
+    # rows_per_shard=None is exactly the sequential per-group packer
+    whole = pack_stats_grouped_ds(
+        ds, group_col="lang", id_column="doc_id", tokens_col="n_tokens",
+        budget=budget, rows_per_shard=None).to_pandas() \
+        .set_index("lang").sort_index()
+    for lang in ("en", "de", "zh"):
+        m = langs == lang
+        order = np.argsort(ids[m], kind="stable")
+        seq_st = pack_stats(toks[m][order], budget)
+        assert dict(whole.loc[lang]) == {k: v for k, v in seq_st.items()
+                                         if k != "n_docs"} | \
+            {"n_docs": seq_st["n_docs"]}
