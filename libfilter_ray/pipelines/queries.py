@@ -500,6 +500,48 @@ def q_checkpointed_build_resume(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 
+def q_checkpointed_lineage_counts(sf_dir: str) -> pd.DataFrame:
+    """The deterministic, SQL-oracleable slice of checkpoint/resume:
+    partition lineage. Partitions are exact 2048-row ranges in file order
+    (state/checkpoint.py:plan_partitions), so after a kill-at-2 + resume
+    run the per-partition rows_processed recorded in the checkpoint
+    metrics must equal LEAST(2048, total - pid*2048) for every pid — the
+    SQL oracle states that from COUNT(*) alone. Any lost, duplicated, or
+    re-planned partition breaks the match."""
+    import shutil
+    import tempfile
+
+    from ..state.checkpoint import CheckpointedBuild
+
+    run_dir = tempfile.mkdtemp(prefix="lfr-ckptlin-", dir="/tmp")
+    try:
+        kw = dict(kind="hll", params={"p": 14}, column="user_id",
+                  key="event_type", target_rows=2048)
+        paths = [f"{sf_dir}/events.parquet"]
+        job = CheckpointedBuild(f"{run_dir}/run", paths, **kw)
+        job.run(max_partitions=2)          # interrupted mid-build
+        job2 = CheckpointedBuild(f"{run_dir}/run", paths, **kw)  # resume
+        job2.run()
+        m = job2.metrics()
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+    out = m.groupby("partition_id", as_index=False)["rows_processed"] \
+        .sum()
+    out["partition_id"] = out["partition_id"].astype("int64")
+    out["rows_processed"] = out["rows_processed"].astype("int64")
+    return out.sort_values("partition_id").reset_index(drop=True)
+
+
+SQL_CKPT_LINEAGE = """
+WITH n AS (SELECT COUNT(*) AS c FROM events)
+SELECT CAST(g AS BIGINT) AS partition_id,
+       CAST(LEAST(2048, c - g * 2048) AS BIGINT) AS rows_processed
+FROM n, unnest(generate_series(0, CAST(ceil(c / 2048.0) AS BIGINT) - 1))
+     AS t(g)
+ORDER BY partition_id
+"""
+
+
 def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """Broadcast dimension-join chain: region->nation->customer joined to
     streaming orders inside map_batches (no shuffle join). Honest scale
@@ -951,6 +993,31 @@ def q_hibp_filter_report(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows)
     assert (out["members_found"] == out["n_keys"]).all()
     return out.reset_index(drop=True)
+
+
+def q_hibp_members_complete(sf_dir: str) -> pd.DataFrame:
+    """The deterministic, SQL-oracleable slice of the HIBP run: corpus
+    keys (distinct document content hashes) round-trip the HIBP text
+    format bit-exactly and every member is FOUND by all three filters —
+    no-false-negative is a hard invariant, so members_found == n_keys ==
+    COUNT(DISTINCT text) exactly (the fpp side stays in
+    hibp_filter_report, bounded not exact). 64-bit content hashes are
+    collision-free at any test scale, so distinct hashes == distinct
+    texts."""
+    full = q_hibp_filter_report(sf_dir)
+    out = full[["filter", "n_keys", "members_found"]].copy()
+    out["n_keys"] = out["n_keys"].astype("int64")
+    out["members_found"] = out["members_found"].astype("int64")
+    return out.sort_values("filter").reset_index(drop=True)
+
+
+SQL_HIBP_MEMBERS = """
+WITH k AS (SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n FROM documents)
+SELECT f.filter, k.n AS n_keys, k.n AS members_found
+FROM (VALUES ('frozen_tcf'), ('taffy_block'), ('taffy_cuckoo'))
+  AS f(filter), k
+ORDER BY f.filter
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2865,6 +2932,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sketch_summary_events": q_sketch_summary_events,
     "static_xor_per_lang": q_static_xor_per_lang,
     "checkpointed_build_resume": q_checkpointed_build_resume,
+    "checkpointed_lineage_counts": q_checkpointed_lineage_counts,
     "text_stats_by_lang": q_text_stats_by_lang,
     "exact_dedup_docs": q_exact_dedup_docs,
     "ann_topk_brute": q_ann_topk_brute,
@@ -2874,6 +2942,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "hibp_filter_report": q_hibp_filter_report,
+    "hibp_members_complete": q_hibp_members_complete,
     "sketch_build_throughput": q_sketch_build_throughput,
     "revenue_by_nation": q_revenue_by_nation,
     "orders_by_month": q_orders_by_month,
@@ -2967,5 +3036,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub_stats": SQL_PII_SCRUB_STATS,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "sequence_packing": SQL_SEQUENCE_PACKING,
+    "hibp_members_complete": SQL_HIBP_MEMBERS,
+    "checkpointed_lineage_counts": SQL_CKPT_LINEAGE,
     "sequence_packing_sharded": SQL_SEQUENCE_PACKING_SHARDED,
 }
