@@ -1681,18 +1681,30 @@ WHERE rnk <= 5 ORDER BY query_id, rank
 
 
 def q_ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
-    """IVF approximate top-k (the ANN scale path): driver-trained centroids
-    broadcast, per-batch assignment + masked scoring. No SQL oracle —
-    recall vs brute force is asserted in tests/test_training_ops.py."""
+    """IVF approximate top-k (the ANN scale path) with DISTRIBUTED
+    centroid training: full-corpus streaming Lloyd iterations
+    (stages/ann.py:train_centroids_distributed — shuffle is
+    k x (dim + 2) partials per block), then broadcast centroids +
+    per-batch masked scoring. No SQL oracle (approximate by design); the
+    query itself asserts mean recall >= 0.7 against the exact
+    brute-force top-k on the same probes, so a training or probe-mask
+    regression fails the run rather than drifting silently."""
     import pyarrow.parquet as pq
 
-    from ..stages.ann import ivf_topk
+    from ..stages.ann import brute_topk, ivf_topk
 
     emb = _read(sf_dir, "embeddings")
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet") \
         .sort_by("vec_id").slice(0, 3)
     Q = np.stack([np.asarray(v) for v in qtab["embedding"].to_pylist()])
-    out = ivf_topk(emb, Q, k=5, num_centroids=16, nprobe=8)
+    out = ivf_topk(emb, Q, k=5, num_centroids=16, nprobe=8,
+                   train="distributed")
+    exact = brute_topk(_read(sf_dir, "embeddings"), Q, k=5)
+    recalls = [
+        len(set(exact[exact["query_id"] == qi]["neighbor_id"])
+            & set(out[out["query_id"] == qi]["neighbor_id"])) / 5
+        for qi in sorted(out["query_id"].unique())]
+    assert np.mean(recalls) >= 0.7, recalls
     out["cosine"] = out["cosine"].round(4)
     return out.reset_index(drop=True)
 
