@@ -265,20 +265,30 @@ def run_scaling() -> dict:
     # decorrelates it (the reference's own min-of-9 protocol, adapted).
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     lo, hi = None, None
+    per_round = []
     for _ in range(rounds):
         a, b = run(8), run(32)
+        per_round.append(
+            round((b["docs_per_sec"] / a["docs_per_sec"]) / (32 / 8), 3))
         if lo is None or a["value"] < lo["value"]:
             lo = a
         if hi is None or b["value"] < hi["value"]:
             hi = b
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+    med = sorted(per_round)[len(per_round) // 2]
     return {
         "metric": "scaling_efficiency",
         "docs": lo["docs"],
         "sec_8": lo["value"], "sec_32": hi["value"],
         "docs_per_sec_8": lo["docs_per_sec"],
         "docs_per_sec_32": hi["docs_per_sec"],
+        # min-of-rounds per level (the reference's min-of-9 protocol):
+        # the noise-robust headline number
         "scaling_efficiency_headline": round(eff, 3),
+        # median of the per-round (same-window 8-vs-32) efficiencies:
+        # robust to a single slow-host round catching one level only
+        "scaling_efficiency_median": med,
+        "per_round_efficiency": per_round,
         "rounds": rounds,
         "sf": lo["sf"],
     }

@@ -188,21 +188,25 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
 
 def detect_hot_keys(ds, on: str, *, sample_per_batch: int = 256,
-                    min_frac: float = 0.05) -> np.ndarray:
+                    min_frac: float = 0.05,
+                    max_sample: int = 1_000_000) -> np.ndarray:
     """Heavy join-key detection by batch-prefix sampling: every batch
     contributes its first `sample_per_batch` keys (a map_batches slice —
     no shuffle, no full pass materialization); the driver counts the small
     sample and returns keys with sampled frequency >= min_frac. A truly
     hot key appears in most batches, so prefix sampling has high recall on
     it; a false positive merely gets salted (hash_equi_join stays correct
-    either way)."""
+    either way). The sampled stream is capped at `max_sample` rows via a
+    limit() so driver memory stays bounded on 10^6-block inputs (a
+    >=min_frac key still saturates the capped sample)."""
 
     def head(t: pa.Table) -> pa.Table:
         return t.select([on]).slice(0, sample_per_batch)
 
     import math
 
-    small = ds.map_batches(head, batch_format="pyarrow").to_pandas()
+    small = ds.map_batches(head, batch_format="pyarrow") \
+        .limit(max_sample).to_pandas()
     if not len(small):
         return np.array([])
     vc = small[on].value_counts()
