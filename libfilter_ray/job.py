@@ -396,27 +396,39 @@ def _cmd_clean(args: argparse.Namespace) -> int:
     return 0
 
 
-def _load_drop_cache(cache_path: str):
-    """The persisted confirmed drop-id set, or None. Also clears any
-    crash-orphaned .tmp left by an interrupted cache write (the cache
-    lives at the run_dir root, outside the partials sweep)."""
+def _drop_source_cached(cache_dir: str, compute_drop_ds, *,
+                        broadcast_limit: int):
+    """Resumable drop-set carrier for the clean job: the confirmed drop
+    ids persist as a range-partitioned DropIdStore under the checkpoint
+    dir (stages/dropstore.py — written once; a resumed job re-attaches
+    WITHOUT recomputing; an unfinished store, no manifest, is cleared and
+    rewritten). Driver memory is independent of the duplicate count: the
+    store write is a distributed sort of the drop Dataset, and
+    application either re-broadcasts one array (<= broadcast_limit ids,
+    the fast path) or streams bloom-fronted range confirms from the store.
+    Returns (source, n_ids): source is None (nothing to drop), an
+    ObjectRef to a sorted array, or the DropIdStore."""
+    import shutil
+
     import numpy as np
+    import ray
 
-    try:
-        os.unlink(f"{cache_path}.tmp")
-    except FileNotFoundError:
-        pass
-    if os.path.exists(cache_path):
-        return pq.read_table(cache_path)["drop_id"].to_numpy() \
-            .astype(np.int64)
-    return None
+    from .stages.dropstore import MANIFEST, DropIdStore
 
-
-def _save_drop_cache(cache_path: str, drop) -> None:
-    tmp = f"{cache_path}.tmp"
-    pq.write_table(
-        pa.table({"drop_id": pa.array(drop, type=pa.int64())}), tmp)
-    os.replace(tmp, cache_path)
+    if os.path.exists(os.path.join(cache_dir, MANIFEST)):
+        store = DropIdStore(cache_dir)
+    else:
+        if os.path.isdir(cache_dir):
+            shutil.rmtree(cache_dir)
+        store = DropIdStore.write(compute_drop_ds().materialize(),
+                                  cache_dir)
+    if store.n_ids == 0:
+        return None, 0
+    if store.n_ids <= broadcast_limit:
+        parts = [pq.read_table(f)["drop_id"].to_numpy().astype(np.int64)
+                 for f in store.files]
+        return ray.put(np.sort(np.concatenate(parts))), store.n_ids
+    return store, store.n_ids
 
 
 def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
@@ -429,8 +441,10 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
     import ray
     import ray.data
 
-    from .stages.dedup import (exact_dedup_drop_ids, drop_id_filter,
-                               explode_lines, line_rebuild_fn)
+    from .stages.dedup import (DROP_BROADCAST_LIMIT, drop_id_filter,
+                               exact_dedup_drop_ds, explode_lines,
+                               line_rebuild_fn)
+    from .stages.dropstore import MANIFEST as _DS_MANIFEST
     from .state.checkpoint import CheckpointedDedup
 
     column, id_column = args.column, args.id_column
@@ -443,7 +457,7 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
             f"--output {args.output} exists and is not empty — remove it "
             "or point at a fresh dir")
     read_cols = [column, id_column]
-    line_drop, rebuild = None, None
+    line_src, rebuild = None, None
     if not args.no_line_dedup:
         line_job = CheckpointedDedup(
             os.path.join(ck, "lines"), paths, column="line",
@@ -457,31 +471,34 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
         st = line_job.status()
         print(f"line scan: {st['done']}/{st['total']} partitions done",
               file=sys.stderr)
-        line_cache = os.path.join(ck, "lines", "drop_ids.parquet")
-        line_drop = _load_drop_cache(line_cache)
-        if line_drop is None:
-            line_multi = line_job.run()
+        line_cache = os.path.join(ck, "lines", "dropstore")
+        if os.path.exists(os.path.join(line_cache, _DS_MANIFEST)) \
+                and st["pending"]:
+            raise SystemExit(
+                f"stale cache: {line_cache} exists but the scan has "
+                f"{len(st['pending'])} pending partition(s) — remove the "
+                "cache dir to recompute")
 
+        def compute_line_drop():
+            line_multi = line_job.run()
             lines_ds = ray.data.read_parquet(paths, columns=read_cols)
             if scrub is not None:
                 lines_ds = lines_ds.map_batches(scrub,
                                                 batch_format="pyarrow")
             lines_ds = lines_ds.map_batches(
                 explode_lines(column, id_column), batch_format="pyarrow")
-            line_drop = exact_dedup_drop_ids(lines_ds, "line", "line_id",
-                                             multi_hashes=line_multi)
-            _save_drop_cache(line_cache, line_drop)
-        elif st["pending"]:
-            raise SystemExit(
-                f"stale cache: {line_cache} exists but the scan has "
-                f"{len(st['pending'])} pending partition(s) — remove the "
-                "cache file to recompute")
-        if len(line_drop):
-            # broadcast ONCE via plasma: the rebuild closure is pickled
-            # into three Ray ops (doc scan, doc confirm, final write) and
-            # each worker reads the shared object zero-copy
-            line_drop_ref = ray.put(line_drop)
-            rebuild = line_rebuild_fn(line_drop_ref, column, id_column)
+            return exact_dedup_drop_ds(lines_ds, "line", "line_id",
+                                       multi_hashes=line_multi)
+
+        # small sets broadcast ONCE via plasma (the rebuild closure is
+        # pickled into three Ray ops — doc scan, doc confirm, final write —
+        # and each worker reads the shared object zero-copy); big sets
+        # stream from the on-disk store, bounded at any duplicate rate
+        line_src, _ = _drop_source_cached(
+            line_cache, compute_line_drop,
+            broadcast_limit=DROP_BROADCAST_LIMIT)
+        if line_src is not None:
+            rebuild = line_rebuild_fn(line_src, column, id_column)
     cleaned = _compose(scrub, rebuild)
     if not args.no_doc_dedup:
         doc_job = CheckpointedDedup(
@@ -494,33 +511,37 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
         st = doc_job.status()
         print(f"doc scan: {st['done']}/{st['total']} partitions done",
               file=sys.stderr)
-        doc_cache = os.path.join(ck, "docs", "drop_ids.parquet")
-        doc_drop = _load_drop_cache(doc_cache)
-        if doc_drop is None:
-            doc_multi = doc_job.run()
-            ds = ray.data.read_parquet(paths, columns=read_cols)
-            doc_drop = exact_dedup_drop_ids(
-                ds.map_batches(cleaned, batch_format="pyarrow"),
-                column, id_column, multi_hashes=doc_multi)
-            _save_drop_cache(doc_cache, doc_drop)
-        elif st["pending"]:
+        doc_cache = os.path.join(ck, "docs", "dropstore")
+        if os.path.exists(os.path.join(doc_cache, _DS_MANIFEST)) \
+                and st["pending"]:
             raise SystemExit(
                 f"stale cache: {doc_cache} exists but the scan has "
                 f"{len(st['pending'])} pending partition(s) — remove the "
-                "cache file to recompute")
+                "cache dir to recompute")
+
+        def compute_doc_drop():
+            doc_multi = doc_job.run()
+            ds = ray.data.read_parquet(paths, columns=read_cols)
+            return exact_dedup_drop_ds(
+                ds.map_batches(cleaned, batch_format="pyarrow"),
+                column, id_column, multi_hashes=doc_multi)
+
+        doc_src, _ = _drop_source_cached(
+            doc_cache, compute_doc_drop,
+            broadcast_limit=DROP_BROADCAST_LIMIT)
     else:
-        doc_drop = None
+        doc_src = None
     out_ds = ray.data.read_parquet(paths)
     if scrub is not None:
         out_ds = out_ds.map_batches(scrub, batch_format="pyarrow")
-    if line_drop is not None and len(line_drop):
+    if line_src is not None:
         from .stages.dedup import line_dedup
 
         out_ds = line_dedup(out_ds, column, id_column,
-                            drop=line_drop_ref)  # same plasma object
-    if doc_drop is not None and len(doc_drop):
+                            drop=line_src)  # same plasma object / store
+    if doc_src is not None:
         out_ds = out_ds.map_batches(
-            drop_id_filter(ray.put(doc_drop), id_column),
+            drop_id_filter(doc_src, id_column),
             batch_format="pyarrow")
     _write_result(out_ds, args.output)
     return 0

@@ -380,10 +380,10 @@ def candidate_pairs_ds(buckets, key: str, id_column: str, *,
 
     Sharding by key-hash RANGE (not one group per bucket) amortizes the
     per-group Python overhead over millions of tiny buckets — the same fix
-    shape as the salted grouped sketch merge (SURVEY.md §2.6). A second
-    pair-sharded pass drops the duplicates the same (id_a, id_b) pair
-    surfaces from several bands (equal pairs always co-shard, so the
-    within-group drop_duplicates is globally exact)."""
+    shape as the salted grouped sketch merge (SURVEY.md §2.6). The same
+    (id_a, id_b) pair can surface from several bands/tables — dedupe with
+    `dedup_pairs_ds` before anything that pays per pair (the verify
+    stages do it themselves)."""
     from ..sketch.hashing import shard_of_values
 
     extra = list(extra_cols or [])
@@ -400,11 +400,39 @@ def candidate_pairs_ds(buckets, key: str, id_column: str, *,
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         return _scan_pairs_df(df, key, id_column, extra, max_bucket)
 
-    pairs = buckets.map_batches(add_shard, batch_format="pyarrow") \
+    return buckets.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("shard").map_groups(scan, batch_format="pandas")
 
-    names = _extra_names(extra)
-    out_cols = ["id_a", "id_b"] + [n for c in extra for n in names[c]]
+
+#: pair tables up to this many rows dedupe in one driver pass (bounded:
+#: ~16 B/pair -> 16 MB at the limit); larger ones pay the pair-sharded
+#: dedup shuffle instead — the auto-switch keeps test-scale runs at one
+#: fewer all-to-all without giving up the crawl-scale bound
+PAIR_DRIVER_LIMIT = 1 << 20
+
+
+def dedup_pairs_ds(pairs_ds, extra_cols: list[str] | None = None, *,
+                   num_shards: int = 64,
+                   driver_limit: int = PAIR_DRIVER_LIMIT):
+    """MATERIALIZED pair Dataset with duplicate (id_a, id_b) rows removed.
+    Small tables (<= driver_limit rows) collect, dedupe and re-ship in one
+    bounded driver pass; larger ones dedupe distributed — pair-hash
+    sharding co-locates equal pairs, so the within-group drop_duplicates
+    is globally exact and the driver never sees a row."""
+    import ray.data
+
+    names = _extra_names(list(extra_cols or []))
+    out_cols = ["id_a", "id_b"] + [n for c in (extra_cols or [])
+                                   for n in names[c]]
+    mat = pairs_ds.materialize()
+    n = mat.count()
+    if n == 0:
+        return mat
+    if n <= driver_limit:
+        df = mat.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df[out_cols], preserve_index=False)) \
+            .materialize()
 
     def add_pair_shard(t: pa.Table) -> pa.Table:
         a = np.asarray(t["id_a"], dtype=np.int64)
@@ -417,8 +445,9 @@ def candidate_pairs_ds(buckets, key: str, id_column: str, *,
     def drop_dup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset=["id_a", "id_b"])[out_cols]
 
-    return pairs.map_batches(add_pair_shard, batch_format="pyarrow") \
-        .groupby("pshard").map_groups(drop_dup, batch_format="pandas")
+    return mat.map_batches(add_pair_shard, batch_format="pyarrow") \
+        .groupby("pshard").map_groups(drop_dup, batch_format="pandas") \
+        .materialize()
 
 
 def _empty_pairs_df(extra_cols: list[str],
@@ -452,11 +481,15 @@ def _candidate_pairs(buckets, key: str, id_column: str, *,
                      extra_cols: list[str] | None = None,
                      max_bucket: int = 64,
                      num_shards: int = 64) -> pd.DataFrame:
-    """Collected form of `candidate_pairs_ds` (tests / bounded corpora)."""
+    """Collected form of `candidate_pairs_ds` (tests / bounded corpora):
+    unique (id_a, id_b) pairs as a sorted DataFrame."""
     extra = list(extra_cols or [])
     return _collect_pairs(
-        candidate_pairs_ds(buckets, key, id_column, extra_cols=extra,
-                           max_bucket=max_bucket, num_shards=num_shards),
+        dedup_pairs_ds(
+            candidate_pairs_ds(buckets, key, id_column, extra_cols=extra,
+                               max_bucket=max_bucket,
+                               num_shards=num_shards),
+            extra_cols=extra),
         extra)
 
 
@@ -589,8 +622,9 @@ def verify_jaccard_pairs_ds(pairs_ds, ds, column: str, id_column: str,
     attached to the pairs via two hash-partitioned joins, and verified
     per batch with the vectorized shingle kernel — the driver never sees
     a text. The shared verify tail of the minhash and blocked-ngram
-    paths."""
-    pairs_mat = pairs_ds.materialize()
+    paths. Multi-band duplicate candidates are dropped first so each
+    pair pays the shingle kernel exactly once."""
+    pairs_mat = dedup_pairs_ds(pairs_ds)
     if pairs_mat.count() == 0:
         import ray.data
 
@@ -700,8 +734,10 @@ def simhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
     buckets = ds.map_batches(sig_stage, batch_format="pyarrow",
                              batch_size=batch_size)
 
-    cand = candidate_pairs_ds(buckets, "band_key", id_column,
-                              extra_cols=["simhash"])
+    cand = dedup_pairs_ds(
+        candidate_pairs_ds(buckets, "band_key", id_column,
+                           extra_cols=["simhash"]),
+        extra_cols=["simhash"])
 
     def verify(t: pa.Table) -> pa.Table:
         # the signatures rode the bucket table — verification is a
@@ -790,8 +826,9 @@ def verify_cosine_pairs_ds(pairs_ds, ds, column: str, id_column: str,
     of the candidate pairs with cosine >= threshold. Candidate embeddings
     are pruned from `ds` once, L2-normalized and PACKED to fixed-size
     binary in the prune stage, attached via the shared pair joins, and
-    verified per batch with one einsum — the driver never sees a vector."""
-    pairs_mat = pairs_ds.materialize()
+    verified per batch with one einsum — the driver never sees a vector.
+    Multi-bucket duplicate candidates are dropped first."""
+    pairs_mat = dedup_pairs_ds(pairs_ds)
     if pairs_mat.count() == 0:
         import ray.data
 

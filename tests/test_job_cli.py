@@ -518,11 +518,15 @@ def test_clean_checkpointed_matches_streaming(tmp_path, ray_session):
     import glob
     import os
 
+    import shutil
+
     partials = sorted(glob.glob(f"{ck}/lines/partials/*.parquet"))
     assert len(partials) >= 2
     os.unlink(partials[0])
-    os.unlink(f"{ck}/lines/drop_ids.parquet")
-    os.unlink(f"{ck}/docs/drop_ids.parquet")
+    # the drop caches are DropIdStore dirs now (resumable on shared
+    # storage); a kill between store writes leaves them present-or-absent
+    shutil.rmtree(f"{ck}/lines/dropstore")
+    shutil.rmtree(f"{ck}/docs/dropstore")
     ck_out3 = tmp_path / "ck3"
     assert main(common + ["--checkpoint-dir", ck, "--target-rows", "256",
                           "--output", str(ck_out3)]) == 0
