@@ -430,9 +430,14 @@ def dedup_pairs_ds(pairs_ds, extra_cols: list[str] | None = None, *,
         return mat
     if n <= driver_limit:
         df = mat.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
-        return ray.data.from_arrow(
-            pa.Table.from_pandas(df[out_cols], preserve_index=False)) \
-            .materialize()
+        tbl = pa.Table.from_pandas(df[out_cols], preserve_index=False)
+        # re-ship as MANY blocks (~512 pairs each, bounded count) so the
+        # downstream attach/verify stages parallelize instead of running
+        # the whole pair table in one task
+        step = max(512, -(-len(df) // 128))
+        slices = [tbl.slice(i, step)
+                  for i in range(0, max(tbl.num_rows, 1), step)]
+        return ray.data.from_arrow(slices).materialize()
 
     def add_pair_shard(t: pa.Table) -> pa.Table:
         a = np.asarray(t["id_a"], dtype=np.int64)
@@ -589,13 +594,61 @@ def _candidate_rows(ds, id_column: str, pairs_mat, columns: dict[str, str],
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+#: candidate payload tables up to this many rows (and CAND_BROADCAST_BYTES)
+#: attach map-side: one plasma broadcast + one map_batches over the pairs,
+#: zero shuffles. Above either bound the two hash-partitioned equi-joins
+#: take over — candidate payloads then never pass through the driver.
+CAND_BROADCAST_LIMIT = 1 << 16
+CAND_BROADCAST_BYTES = 256 << 20
+
+
 def _attach_pair_payloads(pairs_mat, cand, id_column: str,
-                          payload: str, num_shards: int):
-    """Join the candidate-row Dataset `cand` (id + one `payload` column)
-    onto both endpoints of the pair Dataset: (id_a, id_b, <payload>_a,
-    <payload>_b). Two hash-partitioned equi-joins (stages/joins.py) —
-    shuffle volume is pairs + candidate payloads, fully distributed."""
+                          payload: str, num_shards: int, *,
+                          broadcast_limit: int = CAND_BROADCAST_LIMIT,
+                          broadcast_bytes: int = CAND_BROADCAST_BYTES):
+    """Join the candidate-row Dataset `cand` (id + one `payload` column,
+    MATERIALIZED) onto both endpoints of the pair Dataset: (id_a, id_b,
+    <payload>_a, <payload>_b).
+
+    Small candidate tables (the common case even on heavily-duplicated
+    corpora once pairs are bucket-sharded) broadcast ONCE via plasma and
+    attach map-side in a single pass over the pairs; larger ones pay two
+    hash-partitioned equi-joins (stages/joins.py) — shuffle volume is
+    pairs + candidate payloads, fully distributed, driver untouched."""
+    import ray
+
     from .joins import hash_equi_join
+
+    n_cand = cand.count()
+    if n_cand <= broadcast_limit and cand.size_bytes() <= broadcast_bytes:
+        ctab = pa.concat_tables(
+            ray.get(cand.to_arrow_refs()), promote_options="default")
+        ids = np.asarray(ctab[id_column], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        lookup_ref = ray.put((ids[order],
+                              ctab[payload].combine_chunks().take(
+                                  pa.array(order))))
+
+        def attach(t: pa.Table) -> pa.Table:
+            sids, vals = ray.get(lookup_ref)  # zero-copy plasma read
+            out = t
+            for side in ("a", "b"):
+                pid = np.asarray(t[f"id_{side}"], dtype=np.int64)
+                idx = np.searchsorted(sids, pid)
+                # every pair id came from cand's own prune — present by
+                # construction; guard anyway so a miss fails loudly
+                if len(pid) and (
+                        len(sids) == 0 or (idx >= len(sids)).any()
+                        or (sids[np.minimum(idx, len(sids) - 1)]
+                            != pid).any()):
+                    raise RuntimeError(
+                        "pair endpoint id missing from candidate table")
+                idx = np.minimum(idx, max(len(sids) - 1, 0))
+                out = out.append_column(f"{payload}_{side}",
+                                        vals.take(pa.array(idx)))
+            return out
+
+        return pairs_mat.map_batches(attach, batch_format="pyarrow")
 
     def rename_to(suffix):
         def f(t: pa.Table) -> pa.Table:
