@@ -2931,6 +2931,242 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+def q_url_dedup_latest(sf_dir: str) -> pd.DataFrame:
+    """Crawl-snapshot merge: keep only the NEWEST capture of every url.
+    Recrawls are planted deterministically (every doc_id % 3 == 0 page
+    gains a second capture one day later with amended text), then
+    `stages/crawl.py:url_dedup_latest` drops the stale captures — the
+    same bounded distributed shape as exact dedup (narrow shuffle of
+    multi-capture rows only, drop set through the broadcast/DropIdStore
+    carrier). Output: per-lang kept-page count and char sum, which
+    differ from the pre-dedup table iff the newest capture won."""
+    import pyarrow.compute as pc
+
+    from ..sources.webpages import url_of, warc_ts_of
+    from ..stages.crawl import url_dedup_latest
+
+    base = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        url = url_of(t["doc_id"], t["lang"], t["source"])
+        ts = warc_ts_of(t["doc_id"])
+        first = pa.table({
+            "url": url, "warc_ts": ts, "text": t["text"],
+            "lang": t["lang"],
+            "row_id": pa.array(ids * 2, type=pa.int64()),
+        })
+        re_mask = (ids % 3) == 0
+        sel = pa.array(re_mask)
+        t2 = first.filter(sel)
+        recrawl = pa.table({
+            "url": t2["url"],
+            "warc_ts": pc.add(
+                t2["warc_ts"],
+                pa.scalar(86_400_000_000, type=pa.duration("us"))),
+            "text": pc.binary_join_element_wise(
+                t2["text"].combine_chunks()
+                if isinstance(t2["text"], pa.ChunkedArray)
+                else t2["text"], " [recrawl]", ""),
+            "lang": t2["lang"],
+            "row_id": pa.array(ids[re_mask] * 2 + 1, type=pa.int64()),
+        })
+        return pa.concat_tables([first, recrawl])
+
+    pages = base.map_batches(plant, batch_format="pyarrow")
+    latest = url_dedup_latest(pages, id_col="row_id")
+
+    def stats(t: pa.Table) -> pa.Table:
+        chars = np.asarray(pc.utf8_length(t["text"]), dtype=np.int64)
+        return pa.table({
+            "lang": t["lang"],
+            "n_pages": pa.array(np.ones(t.num_rows, np.int64)),
+            "sum_chars": pa.array(chars),
+        })
+
+    out = latest.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("sum_chars", alias_name="sum_chars")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    out["n_pages"] = out["n_pages"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
+SQL_URL_DEDUP_LATEST = """
+WITH base AS (
+  SELECT doc_id, text, lang,
+         'https://' || source || '.example.org/' || lang || '/page-' ||
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.html' AS url,
+         1709251200000000 + doc_id * 1337000000 AS ts_us
+  FROM documents
+),
+caps AS (
+  SELECT url, ts_us, text, lang, doc_id * 2 AS row_id FROM base
+  UNION ALL
+  SELECT url, ts_us + 86400000000, text || ' [recrawl]', lang,
+         doc_id * 2 + 1
+  FROM base WHERE doc_id % 3 = 0
+),
+latest AS (
+  SELECT * FROM caps
+  QUALIFY row_number() OVER (PARTITION BY url
+                             ORDER BY ts_us DESC, row_id) = 1
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM latest GROUP BY lang ORDER BY lang
+"""
+
+
+def q_domain_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-domain document cap (anti-spam / diversity curation): at most
+    40 pages per domain, chosen by the deterministic 32-bit Knuth rank
+    (id * 2654435761) % 2^32 — SQL-expressible, so WHICH rows survive
+    oracles exactly, not just how many. The keep set is O(domains x cap)
+    and broadcasts; a hot domain ships at most cap rows per block thanks
+    to the per-batch combiner (stages/crawl.py:per_key_cap_keep_ds)."""
+    from ..sources.webpages import url_of
+    from ..stages.crawl import domain_cap, domain_of
+
+    base = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "source"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": url_of(t["doc_id"], t["lang"], t["source"]),
+            "doc_id": t["doc_id"],
+        })
+
+    pages = base.map_batches(to_pages, batch_format="pyarrow")
+    kept = domain_cap(pages, id_col="doc_id", cap=40)
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "domain": domain_of(t["url"]),
+            "n_kept": pa.array(np.ones(t.num_rows, np.int64)),
+            "sum_doc_id": pa.array(
+                np.asarray(t["doc_id"], dtype=np.int64)),
+        })
+
+    out = kept.map_batches(stats, batch_format="pyarrow") \
+        .groupby("domain").aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("sum_doc_id", alias_name="sum_doc_id")) \
+        .to_pandas().sort_values("domain").reset_index(drop=True)
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["sum_doc_id"] = out["sum_doc_id"].astype("int64")
+    return out
+
+
+SQL_DOMAIN_CAP = """
+WITH pages AS (
+  SELECT doc_id, source || '.example.org' AS domain FROM documents
+),
+ranked AS (
+  SELECT doc_id, domain,
+         (doc_id * 2654435761) % 4294967296 AS r
+  FROM pages
+),
+kept AS (
+  SELECT * FROM ranked
+  QUALIFY row_number() OVER (PARTITION BY domain
+                             ORDER BY r, doc_id) <= 40
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM kept GROUP BY domain ORDER BY domain
+"""
+
+
+def q_decontamination_stats(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (eval-leakage guard): every doc_id %
+    97 == 0 document is the held-out benchmark; corpus documents sharing
+    >= half of their distinct 8-shingles with the benchmark set are
+    flagged. The benchmark shingle set broadcasts once (exact sorted
+    array at this scale; BlockBloom beyond the bound); the corpus side
+    is one streaming pass, no shuffle (stages/crawl.py). At threshold
+    0.5 the float ratio compare and the oracle's integer 2*hits >= n
+    agree exactly (the rational gap 1/(2n) dwarfs float64 division
+    error for any real shingle count)."""
+    from ..stages.crawl import benchmark_shingle_ref, contamination_flags
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def side(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            mask = (ids % 97 == 0) == keep_bench
+            return t.filter(pa.array(mask))
+        return fn
+
+    bench = docs.map_batches(side(True), batch_format="pyarrow")
+    corpus = docs.map_batches(side(False), batch_format="pyarrow")
+    sh_ref, exact = benchmark_shingle_ref(bench, "text", k=8)
+    flag = contamination_flags("text", "doc_id", sh_ref, exact,
+                               k=8, threshold=0.5)
+
+    def stats(t: pa.Table) -> pa.Table:
+        f = flag(t)
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_contaminated": pa.array(
+                np.asarray(f["contaminated"]).astype(np.int64)),
+            "sum_hits": pa.array(np.asarray(f["n_hits"],
+                                            dtype=np.int64)),
+        })
+
+    out = corpus.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_contaminated", alias_name="n_contaminated"),
+            Sum("sum_hits", alias_name="sum_hits")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_docs", "n_contaminated", "sum_hits"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_DECONTAMINATION = """
+WITH bench AS (
+  SELECT text FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 8
+),
+bsh AS (
+  SELECT DISTINCT substring(text, CAST(i AS INT), 8) AS g
+  FROM (SELECT text, unnest(generate_series(1, length(text) - 7)) AS i
+        FROM bench)
+),
+corpus AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0
+),
+csh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 7)) AS i
+        FROM corpus WHERE length(text) >= 8)
+),
+per_doc AS (
+  SELECT c.doc_id, count(*) AS n_sh,
+         count(b.g) AS n_hits
+  FROM csh c LEFT JOIN bsh b ON b.g = c.g
+  GROUP BY c.doc_id
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(p.n_hits, 0) * 2
+                          >= coalesce(p.n_sh, 1) AND p.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(sum(coalesce(p.n_hits, 0)) AS BIGINT) AS sum_hits
+FROM corpus d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -2998,6 +3234,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "label_centroids": q_label_centroids,
     "sequence_packing": q_sequence_packing,
     "sequence_packing_sharded": q_sequence_packing_sharded,
+    "url_dedup_latest": q_url_dedup_latest,
+    "domain_cap": q_domain_cap,
+    "decontamination_stats": q_decontamination_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -3051,4 +3290,7 @@ ORACLES: dict[str, str] = {
     "hibp_members_complete": SQL_HIBP_MEMBERS,
     "checkpointed_lineage_counts": SQL_CKPT_LINEAGE,
     "sequence_packing_sharded": SQL_SEQUENCE_PACKING_SHARDED,
+    "url_dedup_latest": SQL_URL_DEDUP_LATEST,
+    "domain_cap": SQL_DOMAIN_CAP,
+    "decontamination_stats": SQL_DECONTAMINATION,
 }

@@ -46,6 +46,28 @@ def _markup_newlines(col: pa.Array) -> pa.Array:
     return col
 
 
+def url_of(doc_id, lang, source) -> pa.Array:
+    """The deterministic url of a document — shared by the synthesis
+    stage and every query that needs urls without the full page payload.
+    ANSI-SQL equivalent (the oracle form):
+    'https://' || source || '.example.org/' || lang || '/page-' ||
+    lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.html'"""
+    idstr = pc.utf8_lpad(pc.cast(doc_id, pa.string()), 8, "0")
+    # NB: binary_join_element_wise uses its LAST argument as the separator.
+    return pc.binary_join_element_wise(
+        "https://", source, ".example.org/", lang, "/page-", idstr,
+        ".html", "")
+
+
+def warc_ts_of(doc_id) -> pa.Array:
+    """The deterministic capture timestamp of a document (µs precision).
+    ANSI-SQL equivalent of the raw int64: 1709251200000000 + doc_id *
+    1337000000."""
+    return pa.array(
+        WARC_EPOCH_US + np.asarray(doc_id, dtype=np.int64) * 1_337_000_000,
+        type=pa.timestamp("us"))
+
+
 def synthesize_webpages(batch: pa.Table) -> pa.Table:
     """documents batch -> web-page batch (url, warc_ts, html, text, lang)."""
     doc_id = batch["doc_id"]
@@ -53,14 +75,8 @@ def synthesize_webpages(batch: pa.Table) -> pa.Table:
     lang = batch["lang"]
     source = batch["source"]
 
-    idstr = pc.utf8_lpad(pc.cast(doc_id, pa.string()), 8, "0")
-    # NB: binary_join_element_wise uses its LAST argument as the separator.
-    url = pc.binary_join_element_wise(
-        "https://", source, ".example.org/", lang, "/page-", idstr, ".html", "")
-
-    ts = pa.array(
-        WARC_EPOCH_US + np.asarray(doc_id, dtype=np.int64) * 1_337_000_000,
-        type=pa.timestamp("us"))
+    url = url_of(doc_id, lang, source)
+    ts = warc_ts_of(doc_id)
 
     body = _markup_newlines(_escape_html(text))
     html = pc.binary_join_element_wise(
