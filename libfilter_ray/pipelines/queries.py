@@ -3167,6 +3167,137 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+def q_freq_quality_stats(sf_dir: str) -> pd.DataFrame:
+    """Self-trained token-frequency quality filter (the CCNet shape with
+    the LM replaced by the corpus's own counts): docs whose tokens are
+    globally rare — average global token count < 50 — are flagged. Two
+    passes: distributed word count with a per-batch distinct-word
+    combiner + one vocab-sized sort/limit for the top-2^16 vocabulary,
+    then a broadcast and a streaming scoring pass. All-integer, so the
+    flags oracle exactly (stages/corpus.py)."""
+    from ..stages.corpus import build_vocab_ref, commonness_flags
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    vocab_ref = build_vocab_ref(docs, "text", top_v=1 << 16)
+    flag = commonness_flags("text", "doc_id", vocab_ref, rare_factor=50)
+
+    def stats(t: pa.Table) -> pa.Table:
+        f = flag(t)
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_rare": pa.array(
+                np.asarray(f["rare"]).astype(np.int64)),
+            "sum_commonness": pa.array(
+                np.asarray(f["sum_commonness"], dtype=np.int64)),
+            "sum_tokens": pa.array(
+                np.asarray(f["n_tokens"], dtype=np.int64)),
+        })
+
+    out = docs.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_rare", alias_name="n_rare"),
+            Sum("sum_commonness", alias_name="sum_commonness"),
+            Sum("sum_tokens", alias_name="sum_tokens")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_docs", "n_rare", "sum_commonness", "sum_tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_FREQ_QUALITY = """
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+words AS (SELECT * FROM w WHERE word <> ''),
+counts AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+           FROM words GROUP BY word),
+vocab AS (
+  SELECT * FROM counts
+  QUALIFY row_number() OVER (ORDER BY c DESC, word ASC) <= 65536
+),
+per_doc AS (
+  SELECT wo.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS sum_c
+  FROM words wo LEFT JOIN vocab v ON v.word = wo.word
+  GROUP BY wo.doc_id
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(p.sum_c, 0)
+                          < coalesce(p.n_tok, 0) * 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(coalesce(p.sum_c, 0)) AS BIGINT) AS sum_commonness,
+       CAST(sum(coalesce(p.n_tok, 0)) AS BIGINT) AS sum_tokens
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def q_token_budget_sample(sf_dir: str) -> pd.DataFrame:
+    """Per-language token-budget corpus mixing: keep documents in
+    deterministic hash-rank order while each language's running token
+    total (including the current doc) stays <= 20000. The cumulative
+    scan is the two-level rank-bucket refinement in stages/corpus.py —
+    (lang x 4096-bucket) aggregate, boundary bucket resolved exactly,
+    no per-language single-task cumsum. Output: per-lang kept docs,
+    kept tokens (always <= budget) and kept-id sum (proves WHICH rows
+    survive, not just how many)."""
+    from ..stages.corpus import space_token_counts, token_budget_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def tok_of(t: pa.Table) -> np.ndarray:
+        return space_token_counts(t["text"])
+
+    kept = token_budget_sample(docs, "lang", "doc_id", tok_of,
+                               budget=20_000)
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_kept": pa.array(np.ones(t.num_rows, np.int64)),
+            "kept_tokens": pa.array(space_token_counts(t["text"]),
+                                    type=pa.int64()),
+            "sum_kept_ids": pa.array(
+                np.asarray(t["doc_id"], dtype=np.int64)),
+        })
+
+    out = kept.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("kept_tokens", alias_name="kept_tokens"),
+            Sum("sum_kept_ids", alias_name="sum_kept_ids")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_kept", "kept_tokens", "sum_kept_ids"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_TOKEN_BUDGET_SAMPLE = """
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         (doc_id * 2654435761) % 4294967296 AS r
+  FROM documents
+),
+kept AS (
+  SELECT * FROM per_doc
+  QUALIFY sum(n_tok) OVER (PARTITION BY lang ORDER BY r, doc_id
+                           ROWS UNBOUNDED PRECEDING) <= 20000
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -3237,6 +3368,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "url_dedup_latest": q_url_dedup_latest,
     "domain_cap": q_domain_cap,
     "decontamination_stats": q_decontamination_stats,
+    "freq_quality_stats": q_freq_quality_stats,
+    "token_budget_sample": q_token_budget_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -3293,4 +3426,6 @@ ORACLES: dict[str, str] = {
     "url_dedup_latest": SQL_URL_DEDUP_LATEST,
     "domain_cap": SQL_DOMAIN_CAP,
     "decontamination_stats": SQL_DECONTAMINATION,
+    "freq_quality_stats": SQL_FREQ_QUALITY,
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
 }

@@ -1,0 +1,298 @@
+"""Corpus-level curation: self-trained token-frequency quality scoring
+and per-language token-budget sampling (training-data mixing).
+
+- `build_vocab_ref` / `commonness_flags`: a CCNet-shaped quality filter
+  with the LM replaced by the corpus's own token-frequency table — docs
+  whose tokens are globally rare (avg global count below an integer
+  threshold) are flagged. Two passes: a distributed word count with a
+  per-batch distinct-word combiner (the `top_words` shape), global
+  top-V selection by one vocab-sized sort+limit, then one broadcast and
+  a streaming scoring pass. All-integer arithmetic end-to-end, so the
+  flags oracle EXACTLY against SQL (no float log-prob order sensitivity).
+
+- `token_budget_keep_ids` / `token_budget_sample`: keep documents per
+  language in deterministic hash-rank order until a token budget is
+  exhausted (cumulative-including-current <= budget) — corpus mixing to
+  a target size. The cumulative scan is distributed by RANK-BUCKET
+  REFINEMENT, the classic two-level prefix scan: a (lang x 4096-bucket)
+  aggregate finds each language's boundary bucket on the driver (bounded:
+  langs x 4096 rows), only the boundary bucket's rows (corpus/4096) are
+  collected to resolve the exact cutoff, and the keep rule broadcast back
+  is (bucket < boundary) OR (id in boundary-keep set). No per-language
+  single-task cumsum anywhere — the skew-safe version of the pattern the
+  round-2 review flagged on per-lang packing.
+
+Tokenization is the engine-wide space-split with empty tokens dropped
+(`q_top_words` / SQL string_split parity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sketch.hashing import hash_arrow_array
+from .dedup import _str
+
+U64 = np.uint64
+
+
+def _words_of(col) -> pa.Array:
+    """Space-split tokens with empties dropped — SQL parity:
+    unnest(string_split(text, ' ')) ... WHERE word <> ''."""
+    import pyarrow.compute as pc
+
+    col = _str(col)
+    flat = pc.list_flatten(pc.split_pattern(col, " "))
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+def _word_lists(col):
+    """(flat tokens, row_splits) keeping row alignment (empties kept as
+    positions then masked by the caller via the empty-token filter)."""
+    import pyarrow.compute as pc
+
+    col = _str(col)
+    lists = pc.split_pattern(col, " ")
+    lens = np.asarray(pc.fill_null(pc.list_value_length(lists), 0),
+                      dtype=np.int64)
+    flat = pc.list_flatten(lists)
+    splits = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=splits[1:])
+    return flat, splits
+
+
+def space_token_counts(col) -> np.ndarray:
+    """Per-row count of non-empty space-split tokens — SQL parity:
+    len(list_filter(string_split(text, ' '), x -> x <> ''))."""
+    import pyarrow.compute as pc
+
+    flat, splits = _word_lists(col)
+    n = len(splits) - 1
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.int64)
+    nonempty = np.asarray(pc.not_equal(flat, ""), dtype=bool)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(splits))
+    return np.bincount(rows[nonempty], minlength=n).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# self-trained frequency quality
+# ---------------------------------------------------------------------------
+
+def build_vocab_ref(ds, column: str, *, top_v: int = 1 << 16):
+    """Plasma ObjectRef of (hash-sorted u64 word hashes, int64 global
+    counts) for the corpus's `top_v` most frequent tokens (ties: count
+    DESC, word ASC — the SQL row_number order).
+
+    Distributed: per-batch distinct-word partial counts (the combiner
+    that keeps the shuffle vocab-sized), groupby-Sum, one vocab-sized
+    sort + limit; only the top-V table (bounded) reaches the driver."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        flat = _words_of(t[column])
+        words, counts = np.unique(np.asarray(flat), return_counts=True)
+        return pa.table({"word": pa.array(words.astype(str)),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    vocab = ds.map_batches(word_partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n")) \
+        .sort(["n", "word"], descending=[True, False]) \
+        .limit(top_v).to_pandas()
+    h = hash_arrow_array(pa.array(vocab["word"].astype(str)))
+    order = np.argsort(h, kind="stable")
+    return ray.put((h[order],
+                    vocab["n"].to_numpy().astype(np.int64)[order]))
+
+
+def commonness_flags(column: str, id_col: str, vocab_ref, *,
+                     rare_factor: int = 50):
+    """map_batches fn: (id, n_tokens, sum_commonness, rare) per row.
+    sum_commonness = sum over the row's tokens (with multiplicity) of the
+    token's global corpus count (0 for out-of-vocab); `rare` flags docs
+    with sum_commonness < n_tokens * rare_factor — i.e. average global
+    token count below `rare_factor`. All integers: bit-exact under any
+    execution order."""
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vh, vc = ray.get(vocab_ref)  # zero-copy plasma read
+        ids = _str(t[id_col]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat, splits = _word_lists(t[column])
+        nonempty = pc.not_equal(flat, "")
+        mask = np.asarray(nonempty, dtype=bool) \
+            if len(flat) else np.zeros(0, dtype=bool)
+        h = hash_arrow_array(flat)
+        rows = np.repeat(np.arange(len(ids), dtype=np.int64),
+                         np.diff(splits))
+        h, rows = h[mask], rows[mask]
+        if len(vh):
+            idx = np.searchsorted(vh, h)
+            hit = (idx < len(vh)) & (
+                vh[np.minimum(idx, len(vh) - 1)] == h)
+            c = np.where(hit, vc[np.minimum(idx, len(vh) - 1)], 0)
+        else:
+            c = np.zeros(len(h), dtype=np.int64)
+        n_tok = np.bincount(rows, minlength=len(ids)).astype(np.int64)
+        sum_c = np.bincount(rows, weights=c.astype(np.float64),
+                            minlength=len(ids)).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "sum_commonness": pa.array(sum_c, type=pa.int64()),
+            "rare": pa.array(sum_c < n_tok * np.int64(rare_factor)),
+        })
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# per-language token-budget sampling
+# ---------------------------------------------------------------------------
+
+#: rank space is 32-bit (cap_rank_of); 4096 buckets = top 12 bits
+BUDGET_BUCKET_BITS = 12
+
+
+def token_budget_keep_ids(ds, lang_col: str, id_col: str,
+                          token_count_of, *, budget: int,
+                          bucket_bits: int = BUDGET_BUCKET_BITS):
+    """{lang: (n_full_buckets_boundary, sorted boundary keep ids)} plus a
+    broadcastable rule — returned as (boundary_bucket_per_lang dict,
+    keep_ids ObjectRef) — selecting per language the documents with the
+    smallest (rank, id) whose cumulative token count (including the
+    current row) stays <= `budget`.
+
+    Two-level distributed prefix scan:
+    1. one narrow pass aggregates (lang, rank-bucket) -> (tokens, docs);
+       the langs x 2^bucket_bits table lands on the driver (bounded).
+    2. per lang the driver cumsums bucket totals to find the boundary
+       bucket; ONLY that bucket's rows (corpus / 2^bucket_bits) are
+       collected, sorted by (rank, id) and cut at the remaining budget.
+    Languages whose total fits the budget entirely skip step 2."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .crawl import cap_rank_of
+
+    shift = np.int64(32 - bucket_bits)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        ids = _str(t[id_col]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rank = cap_rank_of(ids)
+        n_tok = token_count_of(t)
+        return pa.table({
+            "lang": t[lang_col],
+            "bucket": pa.array(rank >> shift, type=pa.int64()),
+            "n_tok": pa.array(n_tok, type=pa.int64()),
+            "n_docs": pa.array(np.ones(len(ids), dtype=np.int64)),
+        })
+
+    agg = ds.map_batches(narrow, batch_format="pyarrow") \
+        .groupby(["lang", "bucket"]) \
+        .aggregate(Sum("n_tok", alias_name="tokens"),
+                   Sum("n_docs", alias_name="docs")) \
+        .to_pandas()
+    agg["tokens"] = agg["tokens"].astype("int64")
+
+    boundary: dict[str, tuple[int, int]] = {}
+    for lang, grp in agg.groupby("lang"):
+        grp = grp.sort_values("bucket")
+        cum = grp["tokens"].cumsum()
+        over = cum > budget
+        if not over.any():
+            boundary[str(lang)] = (1 << bucket_bits, 0)  # keep everything
+            continue
+        i = int(np.argmax(over.to_numpy()))
+        b = int(grp["bucket"].iloc[i])
+        spent = int(cum.iloc[i - 1]) if i > 0 else 0
+        boundary[str(lang)] = (b, budget - spent)
+
+    # collect ONLY boundary-bucket rows (corpus / 2^bits), resolve exact
+    # per-lang cutoffs by (rank, id)
+    need = {lang: b for lang, (b, _) in boundary.items()
+            if b < (1 << bucket_bits)}
+    keep_ids: dict[str, np.ndarray] = {}
+    if need:
+        blist = pa.array(list(need.values()), type=pa.int64())
+        langs = pa.array(list(need.keys()))
+
+        def pick_boundary(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = _str(t[id_col]).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            rank = cap_rank_of(ids)
+            bucket = rank >> shift
+            lv = _str(t[lang_col])
+            m = np.zeros(len(ids), dtype=bool)
+            for lg, bb in zip(langs, blist):
+                m |= (np.asarray(pc.equal(lv, lg), dtype=bool)
+                      & (bucket == bb.as_py()))
+            return pa.table({
+                "lang": lv.filter(pa.array(m)),
+                "rank": pa.array(rank[m], type=pa.int64()),
+                id_col: pa.array(ids[m], type=pa.int64()),
+                "n_tok": pa.array(
+                    np.asarray(token_count_of(t), dtype=np.int64)[m],
+                    type=pa.int64()),
+            })
+
+        bdf = ds.map_batches(pick_boundary, batch_format="pyarrow") \
+            .to_pandas()
+        for lang, grp in bdf.groupby("lang"):
+            grp = grp.sort_values(["rank", id_col], kind="stable")
+            cum = grp["n_tok"].cumsum()
+            rem = boundary[str(lang)][1]
+            kept = grp[cum <= rem]
+            keep_ids[str(lang)] = np.sort(
+                kept[id_col].to_numpy().astype(np.int64))
+
+    import ray
+    return boundary, ray.put(keep_ids)
+
+
+def token_budget_sample(ds, lang_col: str, id_col: str, token_count_of,
+                        *, budget: int,
+                        bucket_bits: int = BUDGET_BUCKET_BITS):
+    """Dataset filtered to each language's token-budget sample: documents
+    in ascending (cap_rank, id) order while the running token total
+    (including the current document) stays <= `budget`."""
+    import ray
+
+    from .crawl import cap_rank_of
+
+    boundary, keep_ref = token_budget_keep_ids(
+        ds, lang_col, id_col, token_count_of, budget=budget,
+        bucket_bits=bucket_bits)
+    shift = np.int64(32 - bucket_bits)
+    boundary_items = sorted(boundary.items())
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep_ids = ray.get(keep_ref)
+        ids = _str(t[id_col]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bucket = cap_rank_of(ids) >> shift
+        lv = _str(t[lang_col])
+        m = np.zeros(len(ids), dtype=bool)
+        for lang, (b, _) in boundary_items:
+            in_lang = np.asarray(pc.equal(lv, lang), dtype=bool)
+            m |= in_lang & (bucket < b)
+            ki = keep_ids.get(lang)
+            if ki is not None and len(ki):
+                idx = np.searchsorted(ki, ids)
+                hit = (idx < len(ki)) & (
+                    ki[np.minimum(idx, len(ki) - 1)] == ids)
+                m |= in_lang & (bucket == b) & hit
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

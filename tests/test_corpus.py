@@ -1,0 +1,150 @@
+"""Corpus curation stages (stages/corpus.py): self-trained frequency
+quality and per-language token-budget sampling."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _docs(n=300, seed=11):
+    rng = np.random.default_rng(seed)
+    common = ["the", "fast", "key", "data", "engine"]
+    rare_pool = [f"xq{i}" for i in range(5000)]
+    texts, langs = [], []
+    for i in range(n):
+        if i % 10 == 0:  # rare-token docs
+            words = rng.choice(rare_pool, size=20)
+        else:
+            words = rng.choice(common, size=20)
+        texts.append(" ".join(words))
+        langs.append(("en", "de", "fr")[i % 3])
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts, "lang": langs})
+
+
+def test_commonness_flags_match_bruteforce(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (build_vocab_ref,
+                                             commonness_flags)
+
+    df = _docs()
+    ds = ray.data.from_pandas(df).repartition(6)
+    ref = build_vocab_ref(ds, "text", top_v=1 << 16)
+    flags = ds.map_batches(
+        commonness_flags("text", "doc_id", ref, rare_factor=50),
+        batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # brute force: full vocabulary fits under top_v so counts are global
+    from collections import Counter
+    cnt = Counter(w for t in df["text"] for w in t.split(" ") if w)
+    for _, row in flags.iterrows():
+        words = [w for w in df["text"][int(row["doc_id"])].split(" ") if w]
+        assert row["n_tokens"] == len(words)
+        assert row["sum_commonness"] == sum(cnt[w] for w in words)
+        assert bool(row["rare"]) == (
+            row["sum_commonness"] < len(words) * 50)
+    # the planted rare docs flag, the common ones don't
+    assert flags.loc[flags["doc_id"] % 10 == 0, "rare"].all()
+    assert not flags.loc[flags["doc_id"] % 10 != 0, "rare"].any()
+
+
+def test_vocab_top_v_truncates_by_count_then_word(ray_session):
+    import ray.data
+
+    from libfilter_ray.sketch.hashing import hash_arrow_array
+    from libfilter_ray.stages.corpus import build_vocab_ref
+
+    df = pd.DataFrame({"text": ["a a a b b c d", "b c c e"]})
+    # counts: a=3, b=3, c=3, d=1, e=1 -> top 3 = a, b, c (ties by word)
+    ref = build_vocab_ref(ray.data.from_pandas(df), "text", top_v=3)
+    import ray
+    vh, vc = ray.get(ref)
+    want = {w: c for w, c in [("a", 3), ("b", 3), ("c", 3)]}
+    wh = hash_arrow_array(pa.array(list(want))).astype(np.uint64)
+    assert sorted(vh.tolist()) == sorted(wh.tolist())
+    assert sorted(vc.tolist()) == [3, 3, 3]
+
+
+def _budget_reference(df, budget):
+    from libfilter_ray.stages.crawl import cap_rank_of
+
+    n_tok = df["text"].map(
+        lambda t: sum(1 for w in t.split(" ") if w)).to_numpy()
+    ref = df.assign(n_tok=n_tok,
+                    rank=cap_rank_of(df["doc_id"].to_numpy()))
+    kept = []
+    for lang, grp in ref.groupby("lang"):
+        grp = grp.sort_values(["rank", "doc_id"], kind="stable")
+        cum = grp["n_tok"].cumsum()
+        kept.append(grp[cum <= budget])
+    return pd.concat(kept)
+
+
+def test_token_budget_sample_matches_reference(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (space_token_counts,
+                                             token_budget_sample)
+
+    df = _docs(n=240)
+    ds = ray.data.from_pandas(df).repartition(8)
+    kept = token_budget_sample(
+        ds, "lang", "doc_id", lambda t: space_token_counts(t["text"]),
+        budget=700).to_pandas()
+    want = _budget_reference(df, 700)
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_token_budget_boundary_refinement(ray_session):
+    """Force tiny rank buckets (bucket_bits=2 -> 4 buckets) so several
+    languages land mid-bucket and the exact boundary resolution is
+    exercised, not just whole-bucket keeps."""
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (space_token_counts,
+                                             token_budget_sample)
+
+    df = _docs(n=240)
+    ds = ray.data.from_pandas(df).repartition(8)
+    kept = token_budget_sample(
+        ds, "lang", "doc_id", lambda t: space_token_counts(t["text"]),
+        budget=700, bucket_bits=2).to_pandas()
+    want = _budget_reference(df, 700)
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_token_budget_large_budget_keeps_all(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (space_token_counts,
+                                             token_budget_sample)
+
+    df = _docs(n=60)
+    kept = token_budget_sample(
+        ray.data.from_pandas(df), "lang", "doc_id",
+        lambda t: space_token_counts(t["text"]),
+        budget=10**9).to_pandas()
+    assert len(kept) == len(df)
+
+
+def test_token_budget_zero_keeps_none(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (space_token_counts,
+                                             token_budget_sample)
+
+    df = _docs(n=60)
+    kept = token_budget_sample(
+        ray.data.from_pandas(df), "lang", "doc_id",
+        lambda t: space_token_counts(t["text"]), budget=0).to_pandas()
+    assert len(kept) == 0
+
+
+def test_space_token_counts_edges(ray_session):
+    from libfilter_ray.stages.corpus import space_token_counts
+
+    col = pa.array(["a b  c", "", "  ", "single"])
+    assert space_token_counts(col).tolist() == [3, 0, 0, 1]
