@@ -3298,6 +3298,102 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
+    """Incremental-crawl planning: per-url diff of two snapshots
+    (added / removed / changed / unchanged), so a re-ingest processes
+    only added+changed pages. Snapshot B is planted deterministically
+    from A: doc_id % 7 == 0 pages vanish, % 5 == 0 survivors get new
+    content, % 11 == 0 spawn brand-new urls. Both sides project to
+    narrow (url_hash, url, content_hash) rows — payloads never shuffle
+    (stages/crawl.py:crawl_delta)."""
+    import pyarrow.compute as pc
+
+    from ..sources.webpages import url_of
+    from ..stages.crawl import crawl_delta
+
+    base = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+
+    def snap_a(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": url_of(t["doc_id"], t["lang"], t["source"]),
+            "text": t["text"],
+        })
+
+    def snap_b(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        keep = pa.array(ids % 7 != 0)
+        t2 = t.filter(keep)
+        ids2 = np.asarray(t2["doc_id"], dtype=np.int64)
+        text2 = t2["text"].combine_chunks() \
+            if isinstance(t2["text"], pa.ChunkedArray) else t2["text"]
+        changed = pc.binary_join_element_wise(text2, " v2", "")
+        text_b = pc.if_else(pa.array(ids2 % 5 == 0), changed, text2)
+        cur = pa.table({
+            "url": url_of(t2["doc_id"], t2["lang"], t2["source"]),
+            "text": text_b,
+        })
+        new_mask = pa.array(ids % 11 == 0)
+        t3 = t.filter(new_mask)
+        ids3 = np.asarray(t3["doc_id"], dtype=np.int64)
+        new = pa.table({
+            "url": url_of(pa.array(ids3 + 500000, type=pa.int64()),
+                          t3["lang"], t3["source"]),
+            "text": pc.binary_join_element_wise(
+                pa.array([f"new page content {i}" for i in ids3],
+                         type=pa.string()), "", ""),
+        })
+        return pa.concat_tables([cur, new])
+
+    ds_a = base.map_batches(snap_a, batch_format="pyarrow")
+    ds_b = base.map_batches(snap_b, batch_format="pyarrow")
+    delta = crawl_delta(ds_a, ds_b)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "status": t["status"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    out = delta.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("status").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("status").reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+SQL_CRAWL_DELTA = """
+WITH a AS (
+  SELECT 'https://' || source || '.example.org/' || lang || '/page-' ||
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.html' AS url,
+         text
+  FROM documents
+),
+b_cur AS (
+  SELECT 'https://' || source || '.example.org/' || lang || '/page-' ||
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.html' AS url,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+),
+b_new AS (
+  SELECT 'https://' || source || '.example.org/' || lang || '/page-' ||
+         lpad(CAST(doc_id + 500000 AS VARCHAR), 8, '0') || '.html' AS url,
+         'new page content ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+b AS (SELECT * FROM b_cur UNION ALL SELECT * FROM b_new),
+d AS (
+  SELECT CASE WHEN a.url IS NULL THEN 'added'
+              WHEN b.url IS NULL THEN 'removed'
+              WHEN a.text = b.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM a FULL OUTER JOIN b ON a.url = b.url
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY status ORDER BY status
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -3370,6 +3466,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontamination_stats": q_decontamination_stats,
     "freq_quality_stats": q_freq_quality_stats,
     "token_budget_sample": q_token_budget_sample,
+    "crawl_delta": q_crawl_delta,
 }
 
 ORACLES: dict[str, str] = {
@@ -3428,4 +3525,5 @@ ORACLES: dict[str, str] = {
     "decontamination_stats": SQL_DECONTAMINATION,
     "freq_quality_stats": SQL_FREQ_QUALITY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
+    "crawl_delta": SQL_CRAWL_DELTA,
 }

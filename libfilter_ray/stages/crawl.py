@@ -267,6 +267,60 @@ def domain_cap(ds, *, url_col: str = "url", id_col: str, cap: int,
 
 
 # ---------------------------------------------------------------------------
+# crawl snapshot delta
+# ---------------------------------------------------------------------------
+
+def crawl_delta(ds_a, ds_b, *, url_col: str = "url",
+                content_col: str = "text", num_shards: int = 64):
+    """Per-url diff of two crawl snapshots: Dataset (url, status) with
+    status in {'added', 'removed', 'changed', 'unchanged'} — the incremental
+    ingest planner's input (process only added+changed).
+
+    Distributed full-outer-join shape: both sides project to the NARROW
+    (url_hash, url, content_hash, side) rows — ~40 B + url each, payloads
+    never shuffle — tagged-union, co-partition by url-hash, per-shard
+    vectorized classify. Urls colliding on the 64-bit hash only co-shard;
+    classification compares exact url strings."""
+    import ray.data
+
+    def project(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            uh = hash_arrow_array(t[url_col]).view(np.int64)
+            ch = hash_arrow_array(t[content_col]).view(np.int64)
+            return pa.table({
+                "url_hash": pa.array(uh, type=pa.int64()),
+                url_col: t[url_col],
+                "content_hash": pa.array(ch, type=pa.int64()),
+                "side": pa.array(
+                    np.full(t.num_rows, side, dtype=np.int64)),
+                "shard": pa.array(
+                    (uh.view(U64) % U64(num_shards)).astype(np.int64)),
+            })
+        return fn
+
+    both = ds_a.map_batches(project(0), batch_format="pyarrow") \
+        .union(ds_b.map_batches(project(1), batch_format="pyarrow"))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        # snapshots are assumed url-unique (run url_dedup_latest first);
+        # duplicates within a side resolve to their first content hash
+        a = df[df["side"] == 0].drop_duplicates(subset=[url_col])
+        b = df[df["side"] == 1].drop_duplicates(subset=[url_col])
+        m = a.merge(b, on=url_col, how="outer", suffixes=("_a", "_b"),
+                    indicator=True)
+        status = np.where(
+            m["_merge"] == "right_only", "added",
+            np.where(m["_merge"] == "left_only", "removed",
+                     np.where(m["content_hash_a"] == m["content_hash_b"],
+                              "unchanged", "changed")))
+        return pd.DataFrame({url_col: m[url_col].to_numpy(),
+                             "status": status})
+
+    return both.groupby("shard").map_groups(classify,
+                                            batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 

@@ -208,3 +208,30 @@ def test_decontaminate_removes_only_contaminated(ray_session):
                         ray.data.from_pandas(bench),
                         "text", "doc_id", k=8, threshold=0.5).to_pandas()
     assert out["doc_id"].tolist() == [3]
+
+
+def test_crawl_delta_classifies(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.crawl import crawl_delta
+
+    a = pd.DataFrame({
+        "url": [f"https://d.example.org/{i}" for i in range(10)],
+        "text": [f"content {i}" for i in range(10)]})
+    b = pd.DataFrame({
+        "url": [f"https://d.example.org/{i}" for i in range(2, 12)],
+        "text": [f"content {i}" if i % 3 else f"content {i} v2"
+                 for i in range(2, 12)]})
+    out = crawl_delta(ray.data.from_pandas(a).repartition(3),
+                      ray.data.from_pandas(b).repartition(3)) \
+        .to_pandas().set_index("url")["status"]
+    for i in range(12):
+        u = f"https://d.example.org/{i}"
+        if i < 2:
+            assert out[u] == "removed"
+        elif i >= 10:
+            assert out[u] == "added"
+        elif i % 3 == 0:
+            assert out[u] == "changed"
+        else:
+            assert out[u] == "unchanged"
