@@ -146,6 +146,12 @@ def run_bench() -> dict:
     timed("line_dedup_stats", q.q_line_dedup_stats)
     # zero-shuffle streaming cleaning: RE2 scrub + per-lang partials
     timed("pii_scrub_stats", q.q_pii_scrub_stats)
+    # crawl curation: keep-newest capture per url (planted recrawls)
+    timed("url_dedup_latest", q.q_url_dedup_latest)
+    # self-trained frequency quality (vocab build + broadcast scoring)
+    timed("freq_quality_stats", q.q_freq_quality_stats)
+    # incremental-crawl snapshot diff (narrow full-outer classify)
+    timed("crawl_delta", q.q_crawl_delta)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)
