@@ -174,3 +174,32 @@ def test_line_dedup_matches_naive_any_corpus(ray_session, docs, nparts):
         {k: (None if pd.isna(v) else v)
          for k, v in res.set_index("doc_id")["text"].to_dict().items()}
     assert out == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.text(min_size=0, max_size=80),
+                          st.text(min_size=0, max_size=80)),
+                min_size=1, max_size=40),
+       st.integers(min_value=2, max_value=8))
+def test_jaccard_pairwise_matches_set_reference(pairs, k):
+    """The vectorized lexsort+bincount Jaccard must equal the obvious
+    per-pair set computation (including the short-row whole-string hash
+    semantics) for arbitrary unicode inputs."""
+    from libfilter_ray.functions.shingles import jaccard_pairwise
+
+    col_a = pa.array([a for a, _ in pairs], type=pa.string())
+    col_b = pa.array([b for _, b in pairs], type=pa.string())
+    got = jaccard_pairwise(col_a, col_b, k=k)
+
+    def shingles(s: str) -> set:
+        b = s.encode()
+        if len(b) >= k:
+            return {b[i:i + k] for i in range(len(b) - k + 1)}
+        return {b}  # whole-row shingle for short rows
+
+    for i, (a, b) in enumerate(pairs):
+        A, B = shingles(a), shingles(b)
+        inter = len(A & B)
+        union = len(A | B)
+        want = inter / union if union else 1.0
+        assert abs(got[i] - want) < 1e-12, (i, a, b, got[i], want)
