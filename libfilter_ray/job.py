@@ -547,6 +547,87 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    """Composed crawl-to-corpus curation over a web-page-shaped table:
+    keep-newest capture per url -> per-domain cap -> benchmark
+    decontamination -> self-trained frequency quality filter -> per-lang
+    token budget. Every stage is optional; each is the streaming form of
+    its stages/crawl.py / stages/corpus.py operator (bounded
+    broadcast/DropIdStore carriers throughout)."""
+    import ray.data
+
+    paths = _table_paths(args.input, args.table)
+    need = [args.column, args.id_column]
+    if not args.no_url_dedup:
+        need += [args.url_column, args.ts_column]
+    if args.domain_cap:
+        need.append(args.url_column)
+    if args.token_budget:
+        need.append(args.lang_column)
+    _check_columns(paths, sorted(set(need)))
+
+    stages = [s for s, on in (
+        ("url-dedup-latest", not args.no_url_dedup),
+        (f"domain-cap({args.domain_cap})", bool(args.domain_cap)),
+        ("decontaminate", bool(args.benchmark)),
+        (f"freq-quality(<{args.min_commonness})",
+         bool(args.min_commonness)),
+        (f"token-budget({args.token_budget})", bool(args.token_budget)),
+    ) if on]
+    if not stages:
+        raise SystemExit("all curation stages disabled — nothing to do")
+    print("stages: " + " -> ".join(stages), file=sys.stderr)
+
+    ds = ray.data.read_parquet(paths)
+    if not args.no_url_dedup:
+        from .stages.crawl import url_dedup_latest
+
+        ds = url_dedup_latest(ds, url_col=args.url_column,
+                              ts_col=args.ts_column,
+                              id_col=args.id_column)
+    if args.domain_cap:
+        from .stages.crawl import domain_cap
+
+        ds = domain_cap(ds, url_col=args.url_column,
+                        id_col=args.id_column, cap=args.domain_cap)
+    if args.benchmark:
+        from .stages.crawl import decontaminate
+
+        if os.path.exists(args.benchmark):
+            bench_paths = [args.benchmark]
+        else:  # a table name inside --input
+            bench_paths = _table_paths(args.input, args.benchmark)
+        bench = ray.data.read_parquet(bench_paths,
+                                      columns=[args.benchmark_column])
+        ds = decontaminate(ds, bench, args.column, args.id_column,
+                           k=args.shingle_k,
+                           threshold=args.contamination_threshold)
+    if args.min_commonness:
+        from .stages.corpus import build_vocab_ref, commonness_flags
+
+        vocab_ref = build_vocab_ref(ds, args.column)
+        flag = commonness_flags(args.column, args.id_column, vocab_ref,
+                                rare_factor=args.min_commonness)
+
+        def drop_rare(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            rare = np.asarray(flag(t)["rare"])
+            return t.filter(pa.array(~rare))
+
+        ds = ds.map_batches(drop_rare, batch_format="pyarrow")
+    if args.token_budget:
+        from .stages.corpus import space_token_counts, token_budget_sample
+
+        col = args.column
+        ds = token_budget_sample(
+            ds, args.lang_column, args.id_column,
+            lambda t: space_token_counts(t[col]),
+            budget=args.token_budget)
+    _write_result(ds, args.output)
+    return 0
+
+
 def _cmd_pack(args: argparse.Namespace) -> int:
     import ray.data
 
@@ -773,6 +854,34 @@ def make_parser() -> argparse.ArgumentParser:
     cl.add_argument("--output", default=None,
                     help="cleaned parquet output dir")
     cl.set_defaults(fn=_cmd_clean)
+
+    cu = sub.add_parser("curate", help="composed crawl-to-corpus curation")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--table", required=True)
+    cu.add_argument("--column", required=True, help="text column")
+    cu.add_argument("--id-column", required=True,
+                    help="unique int64 row id")
+    cu.add_argument("--url-column", default="url")
+    cu.add_argument("--ts-column", default="warc_ts")
+    cu.add_argument("--lang-column", default="lang")
+    cu.add_argument("--no-url-dedup", action="store_true",
+                    help="skip keep-newest-capture url dedup")
+    cu.add_argument("--domain-cap", type=int, default=0,
+                    help="max docs per domain (0 = off)")
+    cu.add_argument("--benchmark", default=None,
+                    help="parquet table of benchmark docs to "
+                         "decontaminate against (path or input-relative "
+                         "table name)")
+    cu.add_argument("--benchmark-column", default="text")
+    cu.add_argument("--shingle-k", type=int, default=8)
+    cu.add_argument("--contamination-threshold", type=float, default=0.5)
+    cu.add_argument("--min-commonness", type=int, default=0,
+                    help="drop docs whose avg global token count is "
+                         "below this (0 = off)")
+    cu.add_argument("--token-budget", type=int, default=0,
+                    help="per-language token budget (0 = off)")
+    cu.add_argument("--output", default=None)
+    cu.set_defaults(fn=_cmd_curate)
 
     pk = sub.add_parser("pack", help="sequence-packing assignments")
     pk.add_argument("--input", required=True)

@@ -558,3 +558,81 @@ def test_build_checkpoint_rejects_multi_sketch(tmp_path, ray_session):
     with pytest.raises(SystemExit, match="single-sketch"):
         main(["build", "--config", str(cfg), "--input", SF_DIR_01,
               "--checkpoint-dir", str(tmp_path / "ck")])
+
+
+def test_curate_subcommand_composes_all_stages(tmp_path, ray_session):
+    """End-to-end crawl curation: planted recrawls + a hot domain + a
+    contaminated doc + rare-token docs, every stage verified against an
+    independent pandas reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(21)
+    common = ["data", "engine", "fast", "key", "the"]
+    n = 180
+    rows = []
+    for i in range(n):
+        words = rng.choice(common, size=24)
+        text = " ".join(words)
+        if i % 9 == 0:
+            text = " ".join(rng.choice([f"r{j}" for j in range(4000)],
+                                       size=24))  # rare-token doc
+        domain = "hot.example.org" if i % 2 else f"d{i % 13}.example.org"
+        rows.append({
+            "url": f"https://{domain}/p{i}",
+            "warc_ts": pd.Timestamp("2024-03-01") +
+            pd.Timedelta(seconds=int(i)),
+            "text": text,
+            "lang": ("en", "de")[i % 2],
+            "row_id": np.int64(i * 10),
+        })
+    # recrawl of p0: newer capture wins
+    rows.append({**rows[0], "warc_ts": pd.Timestamp("2024-04-01"),
+                 "text": rows[0]["text"] + " updated",
+                 "row_id": np.int64(9999)})
+    df = pd.DataFrame(rows)
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        src / "pages.parquet")
+    bench = tmp_path / "bench.parquet"
+    pa.parquet.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"text": [rows[3]["text"]]}),
+                             preserve_index=False), bench)
+
+    out = tmp_path / "curated"
+    assert main(["curate", "--input", str(src), "--table", "pages",
+                 "--column", "text", "--id-column", "row_id",
+                 "--domain-cap", "30", "--benchmark", str(bench),
+                 "--min-commonness", "10",
+                 "--output", str(out)]) == 0
+    got = pq.read_table(out).to_pandas()
+
+    # url dedup: the stale p0 capture is gone, the recrawl kept
+    assert 0 not in set(got["row_id"])
+    # rare docs gone (their tokens are near-unique)
+    assert not (got["row_id"] % 90 == 0).any()
+    # benchmark doc (and its identical-text twins) decontaminated
+    assert 30 not in set(got["row_id"])
+    # hot domain capped at 30
+    domains = got["url"].str.split("/").str[2]
+    assert (got.groupby(domains).size() <= 30).all()
+    assert len(got) > 0
+
+
+def test_curate_no_stages_exits(tmp_path, ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "url": ["https://a/b"], "warc_ts": [pd.Timestamp("2024-01-01")],
+        "text": ["x"], "lang": ["en"], "row_id": [1]}),
+        preserve_index=False), src / "pages.parquet")
+    with pytest.raises(SystemExit):
+        main(["curate", "--input", str(src), "--table", "pages",
+              "--column", "text", "--id-column", "row_id",
+              "--no-url-dedup"])
