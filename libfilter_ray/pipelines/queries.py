@@ -1709,6 +1709,33 @@ def q_ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_ann_topk_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization approximate top-k with exact rerank (the ANN
+    MEMORY-scale path: the corpus-resident state is m=8 uint8 codes per
+    vector — 32x smaller than the dim-64 float32 embeddings). ADC
+    scoring is per-batch lookup-table gathers, candidates rerank with
+    true cosine on only the gathered vectors. No SQL oracle
+    (approximate); the query asserts mean recall >= 0.8 vs brute force
+    so codebook/ADC regressions fail the run."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import brute_topk, pq_topk
+
+    emb = _read(sf_dir, "embeddings")
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+        .sort_by("vec_id").slice(0, 3)
+    Q = np.stack([np.asarray(v) for v in qtab["embedding"].to_pylist()])
+    out = pq_topk(emb, Q, k=5, m=8, ncodes=64, rerank=8)
+    exact = brute_topk(_read(sf_dir, "embeddings"), Q, k=5)
+    recalls = [
+        len(set(exact[exact["query_id"] == qi]["neighbor_id"])
+            & set(out[out["query_id"] == qi]["neighbor_id"])) / 5
+        for qi in sorted(out["query_id"].unique())]
+    assert np.mean(recalls) >= 0.8, recalls
+    out["cosine"] = out["cosine"].round(4)
+    return out.reset_index(drop=True)
+
+
 def q_minhash_near_dup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup detection over documents with planted near
     duplicates (each doc cloned at +100000 with a token appended). Returns
@@ -3467,6 +3494,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "freq_quality_stats": q_freq_quality_stats,
     "token_budget_sample": q_token_budget_sample,
     "crawl_delta": q_crawl_delta,
+    "ann_topk_pq": q_ann_topk_pq,
 }
 
 ORACLES: dict[str, str] = {

@@ -170,6 +170,177 @@ def train_centroids_distributed(ds, *, column: str = "embedding",
     return C
 
 
+def train_pq_codebooks(ds, *, column: str = "embedding", m: int = 8,
+                       ncodes: int = 256, sample_rows: int = 8192,
+                       iters: int = 12, seed: int = 17) -> np.ndarray:
+    """(m, ncodes, dim/m) float32 product-quantization codebooks: the
+    embedding space splits into `m` contiguous subspaces, each clustered
+    independently by seeded k-means on a bounded `limit` sample (the
+    standard PQ training protocol — codebooks need a sample, never the
+    corpus). Vectors are L2-normalized BEFORE splitting, so summed
+    per-subspace inner products approximate full cosine."""
+    sample = ds.limit(sample_rows).to_pandas()
+    X = _normalize(np.stack(sample[column].to_numpy()).astype(np.float32))
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ncodes, dsub), dtype=np.float32)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        k = min(ncodes, n)
+        C = S[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2 (never materializes
+            # the (n, k, dsub) difference tensor)
+            d2 = (S ** 2).sum(1)[:, None] - 2.0 * (S @ C.T) \
+                + (C ** 2).sum(1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                mem = S[assign == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books[j, :k] = C
+        if k < ncodes:  # degenerate tiny sample: repeat last centroid
+            books[j, k:] = C[-1]
+    return books
+
+
+def pq_encode_fn(books_ref, column: str, id_column: str):
+    """map_batches fn: (id, code) rows — each vector compressed to `m`
+    uint8 codes (fixed_size_binary), a dim*4/m-fold reduction. The
+    codebooks ride one plasma broadcast."""
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)  # zero-copy plasma read
+        mm, ncodes, dsub = books.shape
+        ids = np.asarray(t[id_column].combine_chunks()
+                         if isinstance(t[id_column], pa.ChunkedArray)
+                         else t[id_column]).astype(np.int64)
+        if t.num_rows == 0:
+            return pa.table({
+                id_column: pa.array([], type=pa.int64()),
+                "code": pa.array([], type=pa.binary(mm))})
+        X = _normalize(_matrix(t, column))
+        codes = np.empty((len(ids), mm), dtype=np.uint8)
+        for j in range(mm):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            C = books[j]
+            d2 = (S ** 2).sum(1)[:, None] - 2.0 * (S @ C.T) \
+                + (C ** 2).sum(1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        raw = codes.tobytes()  # row-major: row i = raw[i*m:(i+1)*m]
+        return pa.table({
+            id_column: pa.array(ids),
+            "code": pa.array([raw[i * mm:(i + 1) * mm]
+                              for i in range(len(ids))],
+                             type=pa.binary(mm)),
+        })
+
+    return fn
+
+
+def pq_topk(ds, queries: np.ndarray, *, column: str = "embedding",
+            id_column: str = "vec_id", k: int = 10, m: int = 8,
+            ncodes: int = 256, rerank: int = 4,
+            batch_size: int = 4096,
+            books: np.ndarray | None = None) -> pd.DataFrame:
+    """PQ approximate top-k with exact rerank: codebooks train on a
+    bounded sample, every batch encodes to m uint8 codes and scores ALL
+    queries by asymmetric distance (one (m x ncodes) lookup table per
+    query, np.take + sum — no full matmul), each block emits its local
+    top-(rerank*k) candidates, and the final exact cosine rerank touches
+    only the gathered candidate vectors. Same output schema as
+    `brute_topk`; recall depends on m/ncodes (asserted vs brute in
+    tests). At scale the corpus-resident state is the m-byte code table —
+    a dim*4/m-fold memory reduction (32x at dim=64, m=8)."""
+    import ray
+
+    if books is None:
+        books = train_pq_codebooks(ds, column=column, m=m, ncodes=ncodes)
+    mm, ncodes_, dsub = books.shape
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    nq, dim = Q.shape
+    if dim != mm * dsub:
+        raise ValueError(f"query dim {dim} != codebook dim {mm * dsub}")
+    # ADC tables: lut[q, j, c] = Q_sub(q, j) . codeword(j, c)
+    lut = np.einsum("qjd,jcd->qjc",
+                    Q.reshape(nq, mm, dsub), books).astype(np.float32)
+    bref = ray.put((books, lut))
+    kk_cand = min(rerank * k, 1 << 12)
+
+    def adc_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        booksw, lutw = ray.get(bref)  # zero-copy plasma read
+        X = _normalize(_matrix(t, column))
+        ids = np.asarray(t[id_column].combine_chunks()
+                         if isinstance(t[id_column], pa.ChunkedArray)
+                         else t[id_column]).astype(np.int64)
+        n = len(ids)
+        codes = np.empty((n, mm), dtype=np.int64)
+        for j in range(mm):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            C = booksw[j]
+            d2 = (S ** 2).sum(1)[:, None] - 2.0 * (S @ C.T) \
+                + (C ** 2).sum(1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1)
+        # ADC score: sum_j lut[q, j, codes[i, j]] -> (n, nq)
+        sim = np.zeros((n, lutw.shape[0]), dtype=np.float32)
+        for j in range(mm):
+            sim += lutw[:, j, :].T[codes[:, j]]  # (n, nq)
+        kk = min(kk_cand, n)
+        rows = _block_topk_rows(sim, ids, kk)
+        qid = np.repeat(np.arange(lutw.shape[0], dtype=np.int64), kk)
+        return pa.table({
+            "query_id": pa.array(qid),
+            "neighbor_id": pa.array(ids[rows]),
+            "score": pa.array(sim[rows, qid].astype(np.float64)),
+        })
+
+    cand = ds.map_batches(adc_partial, batch_format="pyarrow",
+                          batch_size=batch_size).to_pandas()
+    # exact rerank: gather ONLY candidate vectors (bounded:
+    # blocks * rerank*k * q rows), compute true cosine
+    need = np.unique(cand["neighbor_id"].to_numpy().astype(np.int64))
+    need_ref = ray.put(np.sort(need))
+
+    def pick(t: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        ids = np.asarray(t[id_column].combine_chunks()
+                         if isinstance(t[id_column], pa.ChunkedArray)
+                         else t[id_column]).astype(np.int64)
+        idx = np.searchsorted(want, ids)
+        hit = (idx < len(want)) & (
+            want[np.minimum(idx, max(len(want) - 1, 0))] == ids)
+        return t.filter(pa.array(hit))
+
+    vecs = ds.map_batches(pick, batch_format="pyarrow",
+                          batch_size=batch_size).to_pandas()
+    V = _normalize(np.stack(vecs[column].to_numpy()).astype(np.float32))
+    vid = vecs[id_column].to_numpy().astype(np.int64)
+    order = np.argsort(vid)
+    vid, V = vid[order], V[order]
+    out_rows = []
+    for qi in range(nq):
+        nb = np.unique(
+            cand.loc[cand["query_id"] == qi, "neighbor_id"]
+            .to_numpy().astype(np.int64))
+        pos = np.searchsorted(vid, nb)
+        cos = V[pos] @ Q[qi]
+        sel = np.lexsort((nb, -cos))[:k]
+        for r, s in enumerate(sel):
+            out_rows.append((qi, nb[s], float(cos[s]), r + 1))
+    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id",
+                                           "cosine", "rank"])
+
+
 def ivf_topk(ds, queries: np.ndarray, *, column: str = "embedding",
              id_column: str = "vec_id", k: int = 10, num_centroids: int = 16,
              nprobe: int = 4, batch_size: int = 4096,

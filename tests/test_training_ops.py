@@ -786,3 +786,72 @@ def test_sharded_packing_bounds(ray_session):
         assert dict(whole.loc[lang]) == {k: v for k, v in seq_st.items()
                                          if k != "n_docs"} | \
             {"n_docs": seq_st["n_docs"]}
+
+
+def test_pq_topk_recall_and_rerank_exactness(ray_session, rng):
+    """PQ + exact rerank: recall vs brute stays high on clustered data,
+    and every returned cosine is the TRUE cosine (rerank is exact)."""
+    import ray.data
+
+    from libfilter_ray.stages.ann import brute_topk, pq_topk
+
+    centers = rng.standard_normal((4, 64)).astype(np.float32) * 3
+    X = np.concatenate([
+        centers[i % 4] + rng.standard_normal(64).astype(np.float32) * 0.3
+        for i in range(400)]).reshape(400, 64)
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype=np.int64),
+                       "embedding": [list(map(float, r)) for r in X]})
+    ds = ray.data.from_pandas(df).repartition(6)
+    Q = X[:4] + 0.01
+    exact = brute_topk(ds, Q, k=10)
+    approx = pq_topk(ds, Q, k=10, m=8, ncodes=32, rerank=8)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = approx[approx["query_id"] == qi]
+        recalls.append(len(e & set(a["neighbor_id"])) / 10)
+        # rerank cosines are the true ones
+        for _, row in a.iterrows():
+            true = float(Xn[int(row["neighbor_id"])] @ Qn[qi])
+            assert abs(row["cosine"] - true) < 1e-5
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_pq_encode_compresses_and_is_deterministic(ray_session, rng):
+    import ray
+
+    import ray.data
+
+    from libfilter_ray.stages.ann import pq_encode_fn, train_pq_codebooks
+
+    X = rng.standard_normal((200, 64)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": [list(map(float, r)) for r in X]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    books = train_pq_codebooks(ds, m=8, ncodes=16)
+    assert books.shape == (8, 16, 8)
+    ref = ray.put(books)
+    enc1 = ds.map_batches(pq_encode_fn(ref, "embedding", "vec_id"),
+                          batch_format="pyarrow").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    enc2 = ds.repartition(9).map_batches(
+        pq_encode_fn(ref, "embedding", "vec_id"),
+        batch_format="pyarrow").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (enc1["code"] == enc2["code"]).all()  # partition-invariant
+    assert all(len(c) == 8 for c in enc1["code"])  # 32x vs 64 float32
+
+
+def test_pq_topk_dim_mismatch_raises(ray_session, rng):
+    import ray.data
+
+    from libfilter_ray.stages.ann import pq_topk
+
+    X = rng.standard_normal((50, 64)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64),
+                       "embedding": [list(map(float, r)) for r in X]})
+    with pytest.raises(ValueError):
+        pq_topk(ray.data.from_pandas(df),
+                rng.standard_normal((2, 32)).astype(np.float32), k=5)
