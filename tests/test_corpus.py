@@ -148,3 +148,32 @@ def test_space_token_counts_edges(ray_session):
 
     col = pa.array(["a b  c", "", "  ", "single"])
     assert space_token_counts(col).tolist() == [3, 0, 0, 1]
+
+
+def test_token_budget_random_corpora_property(ray_session):
+    """Randomized corpora x budgets x bucket widths against the pandas
+    reference — the two-level refinement must be exact everywhere."""
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (space_token_counts,
+                                             token_budget_sample)
+
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        n = int(rng.integers(20, 150))
+        df = pd.DataFrame({
+            "doc_id": rng.choice(10_000, size=n, replace=False)
+            .astype(np.int64),
+            "text": [" ".join(["w"] * int(rng.integers(0, 40)))
+                     for _ in range(n)],
+            "lang": rng.choice(["en", "de", "fr", "zh"], size=n),
+        })
+        budget = int(rng.integers(0, 400))
+        bits = int(rng.integers(2, 13))
+        kept = token_budget_sample(
+            ray.data.from_pandas(df).repartition(5), "lang", "doc_id",
+            lambda t: space_token_counts(t["text"]),
+            budget=budget, bucket_bits=bits).to_pandas()
+        want = _budget_reference(df, budget)
+        assert sorted(kept["doc_id"]) == sorted(want["doc_id"]), \
+            (trial, budget, bits)
