@@ -547,13 +547,62 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
     return 0
 
 
+def _curate_manifest_guard(ck: str, args: argparse.Namespace) -> None:
+    """Two-sided flag-identity check for a resumed curate run: every
+    cached artifact under `ck` was computed under these exact flags, so
+    a mismatch must refuse rather than silently mix configurations."""
+    ident = {k: getattr(args, k) for k in (
+        "table", "column", "id_column", "url_column", "ts_column",
+        "lang_column", "no_url_dedup", "domain_cap", "benchmark",
+        "benchmark_column", "shingle_k", "contamination_threshold",
+        "min_commonness", "token_budget")}
+    mpath = os.path.join(ck, "curate.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            prev = json.load(fh)
+        if prev != ident:
+            diff = sorted(set(prev.items()) ^ set(ident.items()))
+            raise SystemExit(
+                f"checkpoint dir {ck} was written by a curate run with "
+                f"different flags ({diff}) — use a fresh dir")
+        return
+    os.makedirs(ck, exist_ok=True)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(ident, fh)
+    os.replace(tmp, mpath)
+
+
+def _cached_array(path: str, compute, column: str = "v"):
+    """Atomic parquet cache of one int64/uint64 numpy array (stored as the
+    int64 bit view)."""
+    import numpy as np
+
+    if os.path.exists(path):
+        return pq.read_table(path)[column].to_numpy().astype(np.int64)
+    arr = np.ascontiguousarray(compute()).view(np.int64)
+    tmp = f"{path}.tmp"
+    pq.write_table(pa.table({column: pa.array(arr, type=pa.int64())}), tmp)
+    os.replace(tmp, path)
+    return arr
+
+
 def _cmd_curate(args: argparse.Namespace) -> int:
     """Composed crawl-to-corpus curation over a web-page-shaped table:
     keep-newest capture per url -> per-domain cap -> benchmark
     decontamination -> self-trained frequency quality filter -> per-lang
     token budget. Every stage is optional; each is the streaming form of
     its stages/crawl.py / stages/corpus.py operator (bounded
-    broadcast/DropIdStore carriers throughout)."""
+    broadcast/DropIdStore carriers throughout).
+
+    With --checkpoint-dir every expensive full-corpus artifact persists
+    on shared storage and a resubmitted run re-attaches instead of
+    recomputing: the url-dedup drop set and domain-cap keep set as
+    range-partitioned DropIdStores, the benchmark shingle set and the
+    frequency vocabulary as parquet arrays, the budget keep set as a
+    parquet + boundary json. A curate.json manifest pins the flag
+    identity (two-sided check, same contract as the clean job)."""
+    import ray
     import ray.data
 
     paths = _table_paths(args.input, args.table)
@@ -576,36 +625,132 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     ) if on]
     if not stages:
         raise SystemExit("all curation stages disabled — nothing to do")
-    print("stages: " + " -> ".join(stages), file=sys.stderr)
+    ck = args.checkpoint_dir
+    mode = "checkpointed" if ck else "streaming"
+    print(f"stages ({mode}): " + " -> ".join(stages), file=sys.stderr)
+    if ck:
+        _curate_manifest_guard(ck, args)
+
+    from .stages.dedup import DROP_BROADCAST_LIMIT
 
     ds = ray.data.read_parquet(paths)
+    raw = ds
     if not args.no_url_dedup:
-        from .stages.crawl import url_dedup_latest
+        from .stages.crawl import keyed_latest_drop_ds, url_dedup_latest
+        from .stages.dedup import drop_id_filter
 
-        ds = url_dedup_latest(ds, url_col=args.url_column,
-                              ts_col=args.ts_column,
-                              id_col=args.id_column)
+        if ck:
+            src, _ = _drop_source_cached(
+                os.path.join(ck, "urls"),
+                lambda: keyed_latest_drop_ds(
+                    raw, args.url_column, args.ts_column,
+                    args.id_column),
+                broadcast_limit=DROP_BROADCAST_LIMIT)
+            if src is not None:
+                ds = ds.map_batches(drop_id_filter(src, args.id_column),
+                                    batch_format="pyarrow")
+        else:
+            ds = url_dedup_latest(ds, url_col=args.url_column,
+                                  ts_col=args.ts_column,
+                                  id_col=args.id_column)
     if args.domain_cap:
-        from .stages.crawl import domain_cap
+        from .stages.crawl import (domain_cap, domain_of,
+                                   keep_id_filter, per_key_cap_keep_ds)
 
-        ds = domain_cap(ds, url_col=args.url_column,
-                        id_col=args.id_column, cap=args.domain_cap)
+        if ck:
+            url_col = args.url_column
+            cap_in = ds
+
+            def compute_keep():
+                keep = per_key_cap_keep_ds(
+                    cap_in, lambda t: domain_of(t[url_col]),
+                    args.id_column, cap=args.domain_cap)
+                return keep.map_batches(
+                    lambda t: t.rename_columns(["drop_id"]),
+                    batch_format="pyarrow")
+
+            src, n = _drop_source_cached(
+                os.path.join(ck, "domains"), compute_keep,
+                broadcast_limit=DROP_BROADCAST_LIMIT)
+            if src is not None:
+                ds = ds.map_batches(
+                    keep_id_filter(src, args.id_column),
+                    batch_format="pyarrow")
+            else:  # keep set empty <=> corpus empty: nothing survives
+                ds = ds.map_batches(lambda t: t.slice(0, 0),
+                                    batch_format="pyarrow")
+        else:
+            ds = domain_cap(ds, url_col=args.url_column,
+                            id_col=args.id_column, cap=args.domain_cap)
     if args.benchmark:
-        from .stages.crawl import decontaminate
+        import numpy as np
+
+        from .stages.crawl import benchmark_shingle_ref, contamination_flags
 
         if os.path.exists(args.benchmark):
             bench_paths = [args.benchmark]
         else:  # a table name inside --input
             bench_paths = _table_paths(args.input, args.benchmark)
-        bench = ray.data.read_parquet(bench_paths,
-                                      columns=[args.benchmark_column])
-        ds = decontaminate(ds, bench, args.column, args.id_column,
-                           k=args.shingle_k,
-                           threshold=args.contamination_threshold)
+
+        def bench_hashes():
+            import ray as _ray
+
+            bench = ray.data.read_parquet(
+                bench_paths, columns=[args.benchmark_column])
+            ref, exact = benchmark_shingle_ref(bench,
+                                               args.benchmark_column,
+                                               k=args.shingle_k)
+            if not exact:
+                raise SystemExit(
+                    "benchmark shingle set exceeds the exact bound — "
+                    "checkpointing the bloom carrier is unsupported; "
+                    "run without --checkpoint-dir or shrink the benchmark")
+            return _ray.get(ref)
+
+        if ck:
+            sh = _cached_array(os.path.join(ck, "bench_shingles.parquet"),
+                               bench_hashes, "shingle_hash")
+            sh_ref, exact = ray.put(sh.view(np.uint64)), True
+        else:
+            bench = ray.data.read_parquet(
+                bench_paths, columns=[args.benchmark_column])
+            sh_ref, exact = benchmark_shingle_ref(
+                bench, args.benchmark_column, k=args.shingle_k)
+        flag_fn = contamination_flags(
+            args.column, args.id_column, sh_ref, exact,
+            k=args.shingle_k, threshold=args.contamination_threshold)
+
+        def keep_clean(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            mask = np.asarray(flag_fn(t)["contaminated"])
+            return t.filter(pa.array(~mask))
+
+        ds = ds.map_batches(keep_clean, batch_format="pyarrow")
     if args.min_commonness:
+        import numpy as np
+
         from .stages.corpus import build_vocab_ref, commonness_flags
 
-        vocab_ref = build_vocab_ref(ds, args.column)
+        if ck:
+            vpath = os.path.join(ck, "vocab.parquet")
+            if os.path.exists(vpath):
+                vt = pq.read_table(vpath)
+                vocab_ref = ray.put((
+                    vt["word_hash"].to_numpy().astype(np.int64)
+                    .view(np.uint64),
+                    vt["count"].to_numpy().astype(np.int64)))
+            else:
+                vocab_ref = build_vocab_ref(ds, args.column)
+                vh, vc = ray.get(vocab_ref)
+                tmp = f"{vpath}.tmp"
+                pq.write_table(pa.table({
+                    "word_hash": pa.array(vh.view(np.int64),
+                                          type=pa.int64()),
+                    "count": pa.array(vc, type=pa.int64())}), tmp)
+                os.replace(tmp, vpath)
+        else:
+            vocab_ref = build_vocab_ref(ds, args.column)
         flag = commonness_flags(args.column, args.id_column, vocab_ref,
                                 rare_factor=args.min_commonness)
 
@@ -617,13 +762,50 @@ def _cmd_curate(args: argparse.Namespace) -> int:
 
         ds = ds.map_batches(drop_rare, batch_format="pyarrow")
     if args.token_budget:
-        from .stages.corpus import space_token_counts, token_budget_sample
+        import numpy as np
+
+        from .stages.corpus import (apply_token_budget, space_token_counts,
+                                    token_budget_keep_ids,
+                                    token_budget_sample)
 
         col = args.column
-        ds = token_budget_sample(
-            ds, args.lang_column, args.id_column,
-            lambda t: space_token_counts(t[col]),
-            budget=args.token_budget)
+        if ck:
+            bpath = os.path.join(ck, "budget.json")
+            kpath = os.path.join(ck, "budget_keep.parquet")
+            if os.path.exists(bpath) and os.path.exists(kpath):
+                with open(bpath) as fh:
+                    boundary = json.load(fh)
+                kt = pq.read_table(kpath)
+                langs = kt["lang"].to_pylist()
+                kid = kt["keep_id"].to_numpy().astype(np.int64)
+                keep_ids = {lg: np.sort(kid[np.array(langs) == lg])
+                            for lg in set(langs)}
+            else:
+                boundary, keep_ref0 = token_budget_keep_ids(
+                    ds, args.lang_column, args.id_column,
+                    lambda t: space_token_counts(t[col]),
+                    budget=args.token_budget)
+                keep_ids = ray.get(keep_ref0)
+                rows_l, rows_i = [], []
+                for lg, arr in keep_ids.items():
+                    rows_l += [lg] * len(arr)
+                    rows_i += arr.tolist()
+                tmp = f"{kpath}.tmp"
+                pq.write_table(pa.table({
+                    "lang": pa.array(rows_l, type=pa.string()),
+                    "keep_id": pa.array(rows_i, type=pa.int64())}), tmp)
+                os.replace(tmp, kpath)
+                tmpb = f"{bpath}.tmp"
+                with open(tmpb, "w") as fh:
+                    json.dump(boundary, fh)
+                os.replace(tmpb, bpath)
+            ds = apply_token_budget(ds, args.lang_column, args.id_column,
+                                    boundary, ray.put(keep_ids))
+        else:
+            ds = token_budget_sample(
+                ds, args.lang_column, args.id_column,
+                lambda t: space_token_counts(t[col]),
+                budget=args.token_budget)
     _write_result(ds, args.output)
     return 0
 
@@ -880,6 +1062,11 @@ def make_parser() -> argparse.ArgumentParser:
                          "below this (0 = off)")
     cu.add_argument("--token-budget", type=int, default=0,
                     help="per-language token budget (0 = off)")
+    cu.add_argument("--checkpoint-dir", default=None,
+                    help="shared-storage run dir: every stage artifact "
+                         "(drop/keep stores, shingle set, vocab, budget "
+                         "rule) persists and a resubmitted run "
+                         "re-attaches instead of recomputing")
     cu.add_argument("--output", default=None)
     cu.set_defaults(fn=_cmd_curate)
 

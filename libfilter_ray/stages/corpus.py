@@ -265,13 +265,23 @@ def token_budget_sample(ds, lang_col: str, id_col: str, token_count_of,
     """Dataset filtered to each language's token-budget sample: documents
     in ascending (cap_rank, id) order while the running token total
     (including the current document) stays <= `budget`."""
+    boundary, keep_ref = token_budget_keep_ids(
+        ds, lang_col, id_col, token_count_of, budget=budget,
+        bucket_bits=bucket_bits)
+    return apply_token_budget(ds, lang_col, id_col, boundary, keep_ref,
+                              bucket_bits=bucket_bits)
+
+
+def apply_token_budget(ds, lang_col: str, id_col: str, boundary: dict,
+                       keep_ref, *,
+                       bucket_bits: int = BUDGET_BUCKET_BITS):
+    """One streaming pass applying a (boundary, keep-set) budget rule —
+    split out so a checkpointed job can persist the rule and re-attach
+    without recomputing the selection scan."""
     import ray
 
     from .crawl import cap_rank_of
 
-    boundary, keep_ref = token_budget_keep_ids(
-        ds, lang_col, id_col, token_count_of, budget=budget,
-        bucket_bits=bucket_bits)
     shift = np.int64(32 - bucket_bits)
     boundary_items = sorted(boundary.items())
 

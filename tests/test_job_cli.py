@@ -636,3 +636,79 @@ def test_curate_no_stages_exits(tmp_path, ray_session):
         main(["curate", "--input", str(src), "--table", "pages",
               "--column", "text", "--id-column", "row_id",
               "--no-url-dedup"])
+
+
+def test_curate_checkpointed_matches_streaming(tmp_path, ray_session):
+    """curate --checkpoint-dir must (1) produce identical output to the
+    streaming run, (2) re-attach to every cached artifact on resubmit
+    (same output, artifacts untouched), (3) refuse a flag change."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(31)
+    words = ["data", "engine", "fast", "key", "the", "block"]
+    rows = []
+    for i in range(160):
+        text = " ".join(rng.choice(words, size=20))
+        domain = f"d{i % 6}.example.org"
+        rows.append({
+            "url": f"https://{domain}/p{i}",
+            "warc_ts": pd.Timestamp("2024-03-01")
+            + pd.Timedelta(seconds=int(i % 40)),  # forced url collisions
+            "text": text, "lang": ("en", "de")[i % 2],
+            "row_id": np.int64(i)})
+    # duplicate captures of the first 20 urls, one day later
+    for i in range(20):
+        rows.append({**rows[i], "warc_ts": pd.Timestamp("2024-04-02"),
+                     "row_id": np.int64(1000 + i)})
+    df = pd.DataFrame(rows)
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        src / "pages.parquet")
+    bench = tmp_path / "bench.parquet"
+    pa.parquet.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"text": [rows[7]["text"]]}), preserve_index=False),
+        bench)
+
+    common = ["curate", "--input", str(src), "--table", "pages",
+              "--column", "text", "--id-column", "row_id",
+              "--domain-cap", "20", "--benchmark", str(bench),
+              "--min-commonness", "3", "--token-budget", "300"]
+    out_s = tmp_path / "stream"
+    assert main(common + ["--output", str(out_s)]) == 0
+    stream = pq.read_table(out_s).to_pandas() \
+        .sort_values("row_id").reset_index(drop=True)
+
+    ck = str(tmp_path / "ck")
+    out_c = tmp_path / "ck_out"
+    assert main(common + ["--checkpoint-dir", ck,
+                          "--output", str(out_c)]) == 0
+    ck_run = pq.read_table(out_c).to_pandas() \
+        .sort_values("row_id").reset_index(drop=True)
+    assert stream["row_id"].tolist() == ck_run["row_id"].tolist()
+
+    import os
+    for art in ("curate.json", "urls", "domains",
+                "bench_shingles.parquet", "vocab.parquet",
+                "budget.json", "budget_keep.parquet"):
+        assert os.path.exists(os.path.join(ck, art)), art
+    mtimes = {a: os.path.getmtime(os.path.join(ck, a))
+              for a in ("bench_shingles.parquet", "vocab.parquet",
+                        "budget.json")}
+
+    out_c2 = tmp_path / "ck_out2"
+    assert main(common + ["--checkpoint-dir", ck,
+                          "--output", str(out_c2)]) == 0
+    resumed = pq.read_table(out_c2).to_pandas() \
+        .sort_values("row_id").reset_index(drop=True)
+    assert stream["row_id"].tolist() == resumed["row_id"].tolist()
+    for a, m in mtimes.items():  # artifacts re-attached, not rewritten
+        assert os.path.getmtime(os.path.join(ck, a)) == m, a
+
+    with pytest.raises(SystemExit):
+        main(common[:-2] + ["--token-budget", "999",
+                            "--checkpoint-dir", ck,
+                            "--output", str(tmp_path / "x")])
