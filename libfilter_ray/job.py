@@ -716,17 +716,13 @@ def _cmd_curate(args: argparse.Namespace) -> int:
                 bench_paths, columns=[args.benchmark_column])
             sh_ref, exact = benchmark_shingle_ref(
                 bench, args.benchmark_column, k=args.shingle_k)
+        from .stages.crawl import contamination_filter
+
         flag_fn = contamination_flags(
             args.column, args.id_column, sh_ref, exact,
             k=args.shingle_k, threshold=args.contamination_threshold)
-
-        def keep_clean(t: pa.Table) -> pa.Table:
-            import numpy as np
-
-            mask = np.asarray(flag_fn(t)["contaminated"])
-            return t.filter(pa.array(~mask))
-
-        ds = ds.map_batches(keep_clean, batch_format="pyarrow")
+        ds = ds.map_batches(contamination_filter(flag_fn),
+                            batch_format="pyarrow")
     if args.min_commonness:
         import numpy as np
 

@@ -216,6 +216,9 @@ def pq_encode_fn(books_ref, column: str, id_column: str):
     def fn(t: pa.Table) -> pa.Table:
         books = ray.get(books_ref)  # zero-copy plasma read
         mm, ncodes, dsub = books.shape
+        if ncodes > 256:
+            raise ValueError(  # uint8 codes would silently wrap
+                f"ncodes={ncodes} > 256 cannot encode as uint8")
         ids = np.asarray(t[id_column].combine_chunks()
                          if isinstance(t[id_column], pa.ChunkedArray)
                          else t[id_column]).astype(np.int64)

@@ -140,8 +140,11 @@ def commonness_flags(column: str, id_col: str, vocab_ref, *,
         else:
             c = np.zeros(len(h), dtype=np.int64)
         n_tok = np.bincount(rows, minlength=len(ids)).astype(np.int64)
-        sum_c = np.bincount(rows, weights=c.astype(np.float64),
-                            minlength=len(ids)).astype(np.int64)
+        # int64 scatter-add, NOT bincount(weights=float64): global counts
+        # at 10^12-doc scale push per-doc sums past 2^53, where float64
+        # accumulation would silently round and break oracle parity
+        sum_c = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(sum_c, rows, c.astype(np.int64))
         return pa.table({
             id_col: pa.array(ids, type=pa.int64()),
             "n_tokens": pa.array(n_tok, type=pa.int64()),

@@ -74,11 +74,12 @@ def keyed_latest_drop_ds(ds, key_col: str, order_col: str, id_col: str, *,
     from .sketch_build import build_sketch
 
     def project(t: pa.Table) -> pa.Table:
+        # key hash ONLY — the Count aggregate never reads ids, and at
+        # corpus scale carrying them would double this pass's shuffle
         return pa.table({
             "key_hash": pa.array(
                 hash_arrow_array(t[key_col]).view(np.int64),
                 type=pa.int64()),
-            id_col: t[id_col],
         })
 
     from ray.data.aggregate import Count
@@ -168,13 +169,16 @@ def url_dedup_latest(ds, *, url_col: str = "url",
 
 def domain_of(url_col) -> pa.Array:
     """Vectorized host extraction: the authority component of an absolute
-    URL (split on '/', take part 2 — scheme '', '', host, ...)."""
+    URL. Malformed/schemeless/null urls (no `//host` part) map to the ""
+    sentinel domain — they cap as one group like any other domain, so the
+    keep set stays bounded and one bad row can never kill the job."""
     import pyarrow.compute as pc
 
     col = url_col.combine_chunks() \
         if isinstance(url_col, pa.ChunkedArray) else url_col
-    parts = pc.split_pattern(col, "/")
-    return pc.list_element(parts, 2)
+    host = pc.struct_field(
+        pc.extract_regex(col, r"^[^/]*//(?P<host>[^/]*)"), "host")
+    return pc.fill_null(host, "")
 
 
 def cap_rank_of(ids: np.ndarray) -> np.ndarray:
@@ -199,10 +203,17 @@ def per_key_cap_keep_ds(ds, key_of, id_col: str, *, cap: int,
     key-sharded exact top-`cap` finishes the selection.
 
     `key_of(table) -> pa.Array` extracts the key column (e.g. `domain_of`
-    over urls)."""
+    over urls) and MUST return non-null keys — pandas groupby silently
+    drops null-key rows, which here would silently DELETE them from the
+    corpus (the keep set is the survivor list). `domain_of` maps
+    malformed urls to the "" sentinel for exactly this reason."""
 
     def combiner(t: pa.Table) -> pa.Table:
         keys = key_of(t)
+        if keys.null_count:
+            raise ValueError(
+                "per_key_cap_keep_ds: null keys would be silently "
+                "dropped from the corpus — map them to a sentinel first")
         ids = _str(t[id_col]).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         rank = cap_rank_of(ids)
@@ -382,7 +393,10 @@ def contamination_flags(column: str, id_col: str, sh_ref, exact: bool, *,
         from .broadcast import cached_broadcast
 
         col = _str(t[column])
-        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        # BYTE length, matching the byte-k-gram shingles: a multibyte row
+        # with char-len < k but byte-len >= k has real shingles that must
+        # count (utf8_length would zero them and mask contamination)
+        lens = pc.binary_length(col).to_numpy(zero_copy_only=False)
         ids = _str(t[id_col]).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         h, splits = shingle_hashes(col, k=k)
@@ -418,6 +432,18 @@ def contamination_flags(column: str, id_col: str, sh_ref, exact: bool, *,
     return fn
 
 
+def contamination_filter(flag):
+    """map_batches fn dropping the rows a `contamination_flags` fn marks
+    contaminated — the ONE filter body shared by `decontaminate` and the
+    curate CLI (so semantics can never diverge between them)."""
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        mask = np.asarray(flag(t)["contaminated"])
+        return t.filter(pa.array(~mask))
+
+    return keep_clean
+
+
 def decontaminate(corpus_ds, bench_ds, column: str, id_col: str, *,
                   k: int = 8, threshold: float = 0.5,
                   exact_limit: int = BENCH_EXACT_LIMIT):
@@ -429,10 +455,5 @@ def decontaminate(corpus_ds, bench_ds, column: str, id_col: str, *,
                                           exact_limit=exact_limit)
     flag = contamination_flags(column, id_col, sh_ref, exact,
                                k=k, threshold=threshold)
-
-    def keep_clean(t: pa.Table) -> pa.Table:
-        flags = flag(t)
-        mask = np.asarray(flags["contaminated"])
-        return t.filter(pa.array(~mask))
-
-    return corpus_ds.map_batches(keep_clean, batch_format="pyarrow")
+    return corpus_ds.map_batches(contamination_filter(flag),
+                                 batch_format="pyarrow")

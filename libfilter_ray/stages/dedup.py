@@ -852,25 +852,45 @@ def _embedding_matrix(t: pa.Table, column: str) -> np.ndarray:
 
 
 def _pack_f32(X: np.ndarray) -> pa.Array:
-    """float32 matrix -> fixed_size_binary rows: Acero hash joins reject
-    list<float> payloads, so candidate embeddings ride the verify joins as
-    opaque dim*4-byte blobs (zero-copy view both ways)."""
+    """float32 matrix -> VARIABLE-length binary rows (all dim*4 bytes):
+    Acero hash joins reject list<float> payloads, so candidate embeddings
+    ride the verify joins as opaque blobs. Variable (not fixed-size)
+    binary so a 0-row batch emits the SAME type as every other batch —
+    mixed fixed/list block schemas in one Dataset trip Ray's schema
+    unification (and any strict consumer) on mostly-empty prunes."""
     n, dim = X.shape
-    return pa.FixedSizeBinaryArray.from_buffers(
-        pa.binary(dim * 4), n,
-        [None, pa.py_buffer(np.ascontiguousarray(X, dtype=np.float32)
-                            .tobytes())])
+    offsets = (np.arange(n + 1, dtype=np.int32) * np.int32(dim * 4))
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(X, dtype=np.float32)
+                      .tobytes())])
+
+
+def _empty_packed_f32() -> pa.Array:
+    return pa.array([], type=pa.binary())
 
 
 def _unpack_f32(col) -> np.ndarray:
-    """fixed_size_binary column -> (n, dim) float32 view."""
+    """packed binary column (fixed or variable, all rows equal width) ->
+    (n, dim) float32 view."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    width = col.type.byte_width
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    if pa.types.is_fixed_size_binary(col.type):
+        dim = col.type.byte_width // 4
+        buf = col.buffers()[1]
+        flat = np.frombuffer(buf, dtype=np.float32,
+                             count=(col.offset + n) * dim)
+        return flat[col.offset * dim:].reshape(n, dim)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                         count=col.offset + n + 1)[col.offset:]
+    width = int(offs[1] - offs[0])
     dim = width // 4
-    buf = col.buffers()[1]
-    flat = np.frombuffer(buf, dtype=np.float32,
-                         count=(col.offset + len(col)) * dim)
-    return flat[col.offset * dim:].reshape(len(col), dim)
+    flat = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return flat[offs[0]:offs[0] + n * width].view(np.float32) \
+        .reshape(n, dim)
 
 
 def verify_cosine_pairs_ds(pairs_ds, ds, column: str, id_column: str,
@@ -891,8 +911,9 @@ def verify_cosine_pairs_ds(pairs_ds, ds, column: str, id_column: str,
             "cosine": pa.array([], type=pa.float64())}))
 
     def pack_stage(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
+        if t.num_rows == 0:  # typed empty — same schema as packed blocks
+            return t.set_column(t.schema.get_field_index("__emb"),
+                                "__emb", _empty_packed_f32())
         X = _embedding_matrix(t, "__emb")
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
                             1e-12)

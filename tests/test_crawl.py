@@ -235,3 +235,28 @@ def test_crawl_delta_classifies(ray_session):
             assert out[u] == "changed"
         else:
             assert out[u] == "unchanged"
+
+
+def test_domain_of_malformed_urls_sentinel(ray_session):
+    import pyarrow.compute as pc
+
+    from libfilter_ray.stages.crawl import domain_of
+
+    col = pa.array(["https://d.example.org/x", "example.com/no-scheme",
+                    "mailto:a@b", None, "ftp://h2/p"])
+    got = domain_of(col).to_pylist()
+    assert got == ["d.example.org", "", "", "", "h2"]
+
+
+def test_domain_cap_survives_malformed_urls(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.crawl import domain_cap
+
+    df = pd.DataFrame({
+        "url": ["https://d.example.org/1", "garbage", None,
+                "https://d.example.org/2"],
+        "doc_id": np.arange(4, dtype=np.int64)})
+    kept = domain_cap(ray.data.from_pandas(df), id_col="doc_id",
+                      cap=10).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 3]  # nothing lost
