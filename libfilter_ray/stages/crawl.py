@@ -395,8 +395,11 @@ def contamination_flags(column: str, id_col: str, sh_ref, exact: bool, *,
         col = _str(t[column])
         # BYTE length, matching the byte-k-gram shingles: a multibyte row
         # with char-len < k but byte-len >= k has real shingles that must
-        # count (utf8_length would zero them and mask contamination)
-        lens = pc.binary_length(col).to_numpy(zero_copy_only=False)
+        # count (utf8_length would zero them and mask contamination).
+        # Nulls count as length 0 (a null's NaN would dodge the < k mask
+        # and let its sentinel hash score as a real shingle).
+        lens = np.asarray(pc.fill_null(pc.binary_length(col), 0),
+                          dtype=np.int64)
         ids = _str(t[id_col]).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         h, splits = shingle_hashes(col, k=k)

@@ -260,3 +260,24 @@ def test_domain_cap_survives_malformed_urls(ray_session):
     kept = domain_cap(ray.data.from_pandas(df), id_col="doc_id",
                       cap=10).to_pandas()
     assert sorted(kept["doc_id"]) == [0, 1, 2, 3]  # nothing lost
+
+
+def test_contamination_null_and_empty_rows(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.crawl import (benchmark_shingle_ref,
+                                            contamination_flags)
+
+    bench_ds = ray.data.from_pandas(pd.DataFrame({
+        "text": ["the quick brown fox jumps", None, ""]}))
+    corpus = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": pd.array(["the quick brown fox jumps", None, "", "zz"],
+                         dtype="string")})
+    ref, exact = benchmark_shingle_ref(bench_ds, "text", k=8)
+    flags = ray.data.from_pandas(corpus).map_batches(
+        contamination_flags("text", "doc_id", ref, exact, k=8),
+        batch_format="pyarrow").to_pandas().sort_values("doc_id")
+    assert bool(flags.iloc[0]["contaminated"])          # verbatim copy
+    assert not flags.iloc[1:]["contaminated"].any()     # null/empty/short
+    assert (flags.iloc[1:]["n_shingles"] == 0).all()
