@@ -3421,6 +3421,88 @@ FROM d GROUP BY status ORDER BY status
 """
 
 
+def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-market-segment customer activity INCLUDING inactive customers
+    — the left-outer face of the hash-partitioned equi-join
+    (stages/joins.py, how='left outer'; unmatched right columns null).
+    Customers x orders co-partitioned by custkey shard; per segment:
+    customers, customers with no orders, total orders, revenue."""
+    from ..stages.joins import hash_equi_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"])
+    joined = hash_equi_join(
+        cust, orders, left_on="c_custkey", right_on="o_custkey",
+        left_cols=["c_mktsegment"], right_cols=["o_totalprice"],
+        how="left outer")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        price = t["o_totalprice"]
+        matched = pc.is_valid(price.combine_chunks()
+                              if isinstance(price, pa.ChunkedArray)
+                              else price)
+        m = np.asarray(matched, dtype=bool)
+        pv = np.asarray(pc.fill_null(price, 0.0), dtype=np.float64)
+        keys = np.asarray(t["c_custkey"], dtype=np.int64)
+        # one output row per input row; distinct-customer counting rides
+        # the custkey so the groupby can COUNT DISTINCT exactly
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "c_custkey": pa.array(keys, type=pa.int64()),
+            "is_order": pa.array(m.astype(np.int64)),
+            "price": pa.array(pv),
+        })
+
+    # two distributed groupbys, never a joined-table collect: first
+    # (segment, custkey) totals — a customer's rows always co-group —
+    # then per-segment sums over the customer-sized table
+    per_cust = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["c_mktsegment", "c_custkey"]).aggregate(
+            Sum("is_order", alias_name="cust_orders"),
+            Sum("price", alias_name="cust_rev"))
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        n_ord = np.asarray(t["cust_orders"], dtype=np.int64)
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_customers": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_inactive": pa.array((n_ord == 0).astype(np.int64)),
+            "n_orders": pa.array(n_ord),
+            "revenue": t["cust_rev"],
+        })
+
+    out = per_cust.map_batches(seg_partial, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("n_inactive", alias_name="n_inactive"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue", alias_name="revenue")) \
+        .to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    for c in ("n_customers", "n_inactive", "n_orders"):
+        out[c] = out[c].astype("int64")
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+WITH j AS (
+  SELECT c.c_mktsegment, c.c_custkey, o.o_totalprice
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT CASE WHEN o_totalprice IS NULL
+                           THEN c_custkey END) AS BIGINT) AS n_inactive,
+       CAST(count(o_totalprice) AS BIGINT) AS n_orders,
+       round(sum(coalesce(o_totalprice, 0)), 2) AS revenue
+FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -3495,6 +3577,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_budget_sample": q_token_budget_sample,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
+    "customer_order_counts": q_customer_order_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -3554,4 +3637,5 @@ ORACLES: dict[str, str] = {
     "freq_quality_stats": SQL_FREQ_QUALITY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "crawl_delta": SQL_CRAWL_DELTA,
+    "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
 }
