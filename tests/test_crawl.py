@@ -281,3 +281,43 @@ def test_contamination_null_and_empty_rows(ray_session):
     assert bool(flags.iloc[0]["contaminated"])          # verbatim copy
     assert not flags.iloc[1:]["contaminated"].any()     # null/empty/short
     assert (flags.iloc[1:]["n_shingles"] == 0).all()
+
+
+def test_crawl_ops_never_collect_payloads(ray_session, monkeypatch):
+    """Scale guard, same spy as the dedup family: the crawl curation ops
+    may collect only bounded control tables (multi-capture hashes, keep
+    sets, drop ids, status counts) — never a frame carrying the text/url
+    payload columns of the corpus."""
+    import ray.data
+
+    from libfilter_ray.stages.crawl import (crawl_delta, domain_cap,
+                                            url_dedup_latest)
+
+    n = 300
+    df = pd.DataFrame({
+        "url": [f"https://d{i % 9}.example.org/p{i % 100}"
+                for i in range(n)],
+        "warc_ts": pd.to_datetime(
+            np.arange(n, dtype=np.int64) * 1_000_000, unit="us"),
+        "text": [f"content {i}" for i in range(n)],
+        "row_id": np.arange(n, dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    collected: list[tuple[list, int]] = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append((list(out.columns), len(out)))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    url_dedup_latest(ds, id_col="row_id").materialize()
+    domain_cap(ds, id_col="row_id", cap=5).materialize()
+    crawl_delta(ds, ds).materialize()
+
+    banned = {"text", "warc_ts", "html"}
+    for cols, rows in collected:
+        assert not banned & set(cols), \
+            f"payload columns collected to driver: {cols} ({rows} rows)"
