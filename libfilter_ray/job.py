@@ -332,6 +332,12 @@ def _cmd_neardup(args: argparse.Namespace) -> int:
         pairs = dd.simhash_near_dup_pairs(
             ds, args.column, args.id_column, k=args.shingle_k,
             max_hamming=args.max_hamming)
+    elif args.method == "ngram":
+        # deterministic blocked exact n-gram Jaccard (the SQL-oracleable
+        # complement of minhash — same verify tail, no hash permutations)
+        pairs = dd.ngram_jaccard_pairs(
+            ds, args.column, args.id_column, k=args.shingle_k,
+            threshold=args.threshold)
     else:
         if args.dim is None:
             raise SystemExit("--dim is required for method=embedding "
@@ -988,7 +994,8 @@ def make_parser() -> argparse.ArgumentParser:
     pr.set_defaults(fn=_cmd_probe)
 
     nd = sub.add_parser("neardup", help="confirmed near-duplicate pairs")
-    nd.add_argument("--method", choices=["minhash", "simhash", "embedding"],
+    nd.add_argument("--method",
+                    choices=["minhash", "simhash", "embedding", "ngram"],
                     default="minhash")
     nd.add_argument("--input", required=True)
     nd.add_argument("--table", required=True)

@@ -712,3 +712,29 @@ def test_curate_checkpointed_matches_streaming(tmp_path, ray_session):
         main(common[:-2] + ["--token-budget", "999",
                             "--checkpoint-dir", ck,
                             "--output", str(tmp_path / "x")])
+
+
+def test_neardup_ngram_method(tmp_path, ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again for good measure padding")
+    rows = [{"doc_id": np.int64(i), "text": base + f" unique tail {i}"}
+            for i in range(6)]
+    rows += [{"doc_id": np.int64(100 + i), "text": rows[i]["text"] + " x"}
+             for i in range(3)]  # near-dups of the first three
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+        src / "docs.parquet")
+    out = tmp_path / "pairs.parquet"
+    assert main(["neardup", "--method", "ngram", "--input", str(src),
+                 "--table", "docs", "--column", "text",
+                 "--id-column", "doc_id", "--threshold", "0.5",
+                 "--output", str(out)]) == 0
+    pairs = pq.read_table(out).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert {(0, 100), (1, 101), (2, 102)} <= got
