@@ -639,6 +639,23 @@ def _cmd_curate(args: argparse.Namespace) -> int:
 
     from .stages.dedup import DROP_BROADCAST_LIMIT
 
+    # per-artifact metrics (checkpointed runs): stage, count, seconds,
+    # whether the artifact was re-attached from cache. Appended to
+    # <ck>/metrics.jsonl per run and summarized on stderr — the ops-side
+    # complement of the per-partition lineage the scans already keep.
+    import time as _time
+
+    run_metrics: list[dict] = []
+
+    def _noted(stage: str, artifact: str, build):
+        cached = bool(ck) and os.path.exists(os.path.join(ck, artifact))
+        t0 = _time.perf_counter()
+        out, n = build()
+        run_metrics.append({
+            "stage": stage, "n": int(n), "cached": cached,
+            "sec": round(_time.perf_counter() - t0, 3)})
+        return out
+
     ds = ray.data.read_parquet(paths)
     raw = ds
     if not args.no_url_dedup:
@@ -646,12 +663,14 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         from .stages.dedup import drop_id_filter
 
         if ck:
-            src, _ = _drop_source_cached(
-                os.path.join(ck, "urls"),
-                lambda: keyed_latest_drop_ds(
-                    raw, args.url_column, args.ts_column,
-                    args.id_column),
-                broadcast_limit=DROP_BROADCAST_LIMIT)
+            src = _noted(
+                "url-dedup", os.path.join("urls", "manifest.json"),
+                lambda: _drop_source_cached(
+                    os.path.join(ck, "urls"),
+                    lambda: keyed_latest_drop_ds(
+                        raw, args.url_column, args.ts_column,
+                        args.id_column),
+                    broadcast_limit=DROP_BROADCAST_LIMIT))
             if src is not None:
                 ds = ds.map_batches(drop_id_filter(src, args.id_column),
                                     batch_format="pyarrow")
@@ -675,9 +694,11 @@ def _cmd_curate(args: argparse.Namespace) -> int:
                     lambda t: t.rename_columns(["drop_id"]),
                     batch_format="pyarrow")
 
-            src, n = _drop_source_cached(
-                os.path.join(ck, "domains"), compute_keep,
-                broadcast_limit=DROP_BROADCAST_LIMIT)
+            src = _noted(
+                "domain-cap", os.path.join("domains", "manifest.json"),
+                lambda: _drop_source_cached(
+                    os.path.join(ck, "domains"), compute_keep,
+                    broadcast_limit=DROP_BROADCAST_LIMIT))
             if src is not None:
                 ds = ds.map_batches(
                     keep_id_filter(src, args.id_column),
@@ -714,8 +735,11 @@ def _cmd_curate(args: argparse.Namespace) -> int:
             return _ray.get(ref)
 
         if ck:
-            sh = _cached_array(os.path.join(ck, "bench_shingles.parquet"),
-                               bench_hashes, "shingle_hash")
+            sh = _noted(
+                "decontaminate", "bench_shingles.parquet",
+                lambda: (lambda a: (a, len(a)))(_cached_array(
+                    os.path.join(ck, "bench_shingles.parquet"),
+                    bench_hashes, "shingle_hash")))
             sh_ref, exact = ray.put(sh.view(np.uint64)), True
         else:
             bench = ray.data.read_parquet(
@@ -736,21 +760,27 @@ def _cmd_curate(args: argparse.Namespace) -> int:
 
         if ck:
             vpath = os.path.join(ck, "vocab.parquet")
-            if os.path.exists(vpath):
-                vt = pq.read_table(vpath)
-                vocab_ref = ray.put((
-                    vt["word_hash"].to_numpy().astype(np.int64)
-                    .view(np.uint64),
-                    vt["count"].to_numpy().astype(np.int64)))
-            else:
-                vocab_ref = build_vocab_ref(ds, args.column)
-                vh, vc = ray.get(vocab_ref)
+
+            def load_or_build_vocab():
+                if os.path.exists(vpath):
+                    vt = pq.read_table(vpath)
+                    ref = ray.put((
+                        vt["word_hash"].to_numpy().astype(np.int64)
+                        .view(np.uint64),
+                        vt["count"].to_numpy().astype(np.int64)))
+                    return ref, vt.num_rows
+                ref = build_vocab_ref(ds, args.column)
+                vh, vc = ray.get(ref)
                 tmp = f"{vpath}.tmp"
                 pq.write_table(pa.table({
                     "word_hash": pa.array(vh.view(np.int64),
                                           type=pa.int64()),
                     "count": pa.array(vc, type=pa.int64())}), tmp)
                 os.replace(tmp, vpath)
+                return ref, len(vh)
+
+            vocab_ref = _noted("freq-quality", "vocab.parquet",
+                               load_or_build_vocab)
         else:
             vocab_ref = build_vocab_ref(ds, args.column)
         flag = commonness_flags(args.column, args.id_column, vocab_ref,
@@ -774,15 +804,17 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         if ck:
             bpath = os.path.join(ck, "budget.json")
             kpath = os.path.join(ck, "budget_keep.parquet")
-            if os.path.exists(bpath) and os.path.exists(kpath):
-                with open(bpath) as fh:
-                    boundary = json.load(fh)
-                kt = pq.read_table(kpath)
-                langs = kt["lang"].to_pylist()
-                kid = kt["keep_id"].to_numpy().astype(np.int64)
-                keep_ids = {lg: np.sort(kid[np.array(langs) == lg])
-                            for lg in set(langs)}
-            else:
+
+            def load_or_build_budget():
+                if os.path.exists(bpath) and os.path.exists(kpath):
+                    with open(bpath) as fh:
+                        boundary = json.load(fh)
+                    kt = pq.read_table(kpath)
+                    langs = kt["lang"].to_pylist()
+                    kid = kt["keep_id"].to_numpy().astype(np.int64)
+                    keep_ids = {lg: np.sort(kid[np.array(langs) == lg])
+                                for lg in set(langs)}
+                    return (boundary, keep_ids), len(kid)
                 boundary, keep_ref0 = token_budget_keep_ids(
                     ds, args.lang_column, args.id_column,
                     lambda t: space_token_counts(t[col]),
@@ -801,6 +833,10 @@ def _cmd_curate(args: argparse.Namespace) -> int:
                 with open(tmpb, "w") as fh:
                     json.dump(boundary, fh)
                 os.replace(tmpb, bpath)
+                return (boundary, keep_ids), len(rows_i)
+
+            boundary, keep_ids = _noted("token-budget", "budget.json",
+                                        load_or_build_budget)
             ds = apply_token_budget(ds, args.lang_column, args.id_column,
                                     boundary, ray.put(keep_ids))
         else:
@@ -808,6 +844,15 @@ def _cmd_curate(args: argparse.Namespace) -> int:
                 ds, args.lang_column, args.id_column,
                 lambda t: space_token_counts(t[col]),
                 budget=args.token_budget)
+    if ck and run_metrics:
+        with open(os.path.join(ck, "metrics.jsonl"), "a") as fh:
+            for m in run_metrics:
+                fh.write(json.dumps(m) + "\n")
+        parts = []
+        for m in run_metrics:
+            how = "cached" if m["cached"] else f"built {m['sec']}s"
+            parts.append(f"{m['stage']}: n={m['n']} ({how})")
+        print("artifacts: " + "; ".join(parts), file=sys.stderr)
     _write_result(ds, args.output)
     return 0
 

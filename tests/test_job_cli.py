@@ -738,3 +738,33 @@ def test_neardup_ngram_method(tmp_path, ray_session):
     pairs = pq.read_table(out).to_pandas()
     got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert {(0, 100), (1, 101), (2, 102)} <= got
+
+
+def test_curate_metrics_recorded(tmp_path, ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "url": [f"https://d.example.org/{i}" for i in range(20)],
+        "warc_ts": pd.to_datetime(np.arange(20) * 1000, unit="us"),
+        "text": [f"w{i} " * 5 for i in range(20)],
+        "lang": ["en"] * 20,
+        "row_id": np.arange(20, dtype=np.int64)}),
+        preserve_index=False), src / "pages.parquet")
+    ck = str(tmp_path / "ck")
+    common = ["curate", "--input", str(src), "--table", "pages",
+              "--column", "text", "--id-column", "row_id",
+              "--token-budget", "50", "--checkpoint-dir", ck]
+    assert main(common + ["--output", str(tmp_path / "o1")]) == 0
+    assert main(common + ["--output", str(tmp_path / "o2")]) == 0
+    lines = [json.loads(ln) for ln in
+             open(f"{ck}/metrics.jsonl").read().splitlines()]
+    stages = [(m["stage"], m["cached"]) for m in lines]
+    # run 1 builds, run 2 re-attaches
+    assert ("url-dedup", False) in stages and ("url-dedup", True) in stages
+    assert ("token-budget", False) in stages \
+        and ("token-budget", True) in stages
+    assert all("sec" in m and "n" in m for m in lines)
