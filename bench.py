@@ -152,6 +152,9 @@ def run_bench() -> dict:
     timed("freq_quality_stats", q.q_freq_quality_stats)
     # incremental-crawl snapshot diff (narrow full-outer classify)
     timed("crawl_delta", q.q_crawl_delta)
+    # exact duplicate-passage removal (winnowing anchors -> min-partner
+    # pairing -> byte-exact extend; 1250 planted copies at sf0.1)
+    timed("duplicate_passage_stats", q.q_duplicate_passage_stats)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)

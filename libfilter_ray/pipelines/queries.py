@@ -3503,6 +3503,70 @@ FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_duplicate_passage_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicate-PASSAGE removal (substring dedup, Lee et al. 2021
+    re-expressed with winnowing anchors — stages/passages.py): a fixed
+    190-char boilerplate passage is planted mid-text into every doc_id %
+    4 == 0 document, spans are detected distributed (anchor table ->
+    min-partner pairing -> byte-exact extend) and reported per lang.
+    No SQL oracle (maximal-common-substring is not SQL-expressible); the
+    query self-asserts that every planted copy except the global first
+    is affected and that each removed span covers the passage."""
+    from ..stages.passages import duplicate_passage_spans
+
+    PASSAGE = ("COMMON BOILERPLATE NOTICE: this exact block is injected "
+               "verbatim into every fourth document of the corpus to "
+               "exercise cross-document passage level deduplication at "
+               "scale with stable bytes.")
+
+    def plant(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        mark = pa.array(ids % 4 == 0)
+        planted = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(t["text"], 0, 40), PASSAGE,
+            pc.utf8_slice_codeunits(t["text"], 40, 1 << 30), "\n")
+        text = pc.if_else(mark, planted,
+                          t["text"].combine_chunks()
+                          if isinstance(t["text"], pa.ChunkedArray)
+                          else t["text"])
+        return pa.table({"doc_id": t["doc_id"], "text": text,
+                         "lang": t["lang"]})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .map_batches(plant, batch_format="pyarrow")
+    # max_bucket above the planted replication (sf0.1 plants 1250 copies)
+    # so no anchor bucket truncates coverage
+    spans = duplicate_passage_spans(docs, "text", "doc_id",
+                                    min_len=128,
+                                    max_bucket=4096).to_pandas()
+    if not len(spans) or "doc" not in spans.columns:
+        raise RuntimeError("planted passages produced no spans")
+    spans["len"] = spans["end"] - spans["start"]
+    # self-check: every planted doc except the global first is affected,
+    # and each affected doc loses at least the passage
+    lang_of = _read(sf_dir, "documents", columns=["doc_id", "lang"]) \
+        .to_pandas().set_index("doc_id")["lang"]
+    planted_ids = sorted(i for i in lang_of.index if i % 4 == 0)
+    affected = set(spans["doc"].astype(int))
+    missing = set(planted_ids[1:]) - affected
+    assert not missing, f"unaffected planted docs: {sorted(missing)[:5]}"
+    assert planted_ids[0] not in affected, "first copy must keep"
+    per_doc = spans.groupby("doc")["len"].sum()
+    assert (per_doc[per_doc.index.isin(planted_ids)] >=
+            len(PASSAGE)).all()
+    spans["lang"] = spans["doc"].map(lang_of)
+    out = spans.groupby("lang").agg(
+        docs_affected=("doc", "nunique"),
+        n_spans=("doc", "size"),
+        chars_removed=("len", "sum")).reset_index() \
+        .sort_values("lang").reset_index(drop=True)
+    for c in ("docs_affected", "n_spans", "chars_removed"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -3578,6 +3642,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
+    "duplicate_passage_stats": q_duplicate_passage_stats,
 }
 
 ORACLES: dict[str, str] = {

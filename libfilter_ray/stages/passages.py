@@ -1,0 +1,378 @@
+"""Exact duplicate-PASSAGE removal across documents (substring dedup).
+
+The operator a heavily-templated crawl needs beyond whole-doc / line
+dedup: exact substrings of >= `min_len` bytes repeated across documents
+are removed from every copy except the globally first occurrence
+(published approach: Lee et al. 2021, "Deduplicating Training Data Makes
+Language Models Better" — suffix-array duplicate removal; here
+re-expressed for Ray Data with winnowing anchors instead of a global
+suffix array, which cannot stream).
+
+Distributed shape (every stage bounded):
+
+1. anchors — one map_batches pass emits (anchor_hash, doc, pos) rows:
+   winnowing over k-byte rolling hashes with window w
+   (Schleimer/Wilkes/Aiken 2003). Self-alignment guarantee: any common
+   substring of length >= w + k - 1 contains a window fully inside it,
+   both copies see the identical hash sequence there and select the SAME
+   content-relative k-gram, so both emit an anchor with equal hash at the
+   aligned content position.
+2. candidate pairing — groupby(anchor-hash shard): each occurrence pairs
+   with its bucket's MINIMUM (doc, pos) occurrence — O(bucket) pairs,
+   not O(bucket^2), and every non-first copy is covered by a pair whose
+   partner is first-or-earlier.
+3. verify+extend — candidate doc texts are gathered via the shared
+   bounded prune (stages/dedup._candidate_rows) and attached to pairs
+   with the broadcast/hash-join auto-switch; each pair byte-verifies the
+   anchor k-gram (hash-collision guard) and extends left/right to the
+   maximal common substring; spans shorter than `min_len` drop.
+4. apply — spans merge per doc (vectorized interval union) and one
+   streaming pass rebuilds text with the spans cut. The span table is
+   O(duplicated passages), carried by the same bounded broadcast /
+   Dataset machinery as the drop sets.
+
+Self-dup caveat: within-ONE-doc repetition is left to the zero-shuffle
+`doc_repetition_stats` quality signal; spans here are cross-document
+(pairs with doc_a == doc_b are dropped) — matching the reference
+pipeline's split between intra- and inter-document handling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sketch.hashing import shard_of_values
+from .dedup import _str
+
+U64 = np.uint64
+
+
+def winnow_anchor_positions(col, *, k: int = 16, w: int = 16):
+    """(hash u64, row int64, pos int64) flat arrays of winnowing anchors:
+    per row, the first-minimal k-gram hash of every w-window of
+    consecutive k-gram hashes, deduplicated per (row, pos). Rows shorter
+    than k + w - 1 bytes emit no anchors (no full window exists).
+
+    Fully vectorized: one rolling-hash pass (functions/shingles), one
+    global sliding-window argmin, boundary windows masked out."""
+    from ..functions.shingles import shingle_hashes
+
+    flat, splits = shingle_hashes(col, k=k)
+    n = len(splits) - 1
+    counts = np.diff(splits)
+    empty = (np.empty(0, dtype=U64), np.empty(0, dtype=np.int64),
+             np.empty(0, dtype=np.int64))
+    if len(flat) < w:
+        return empty
+    # NB rows shorter than k contribute ONE whole-row hash (shingle_hashes
+    # contract); their single window can never be fully inside, and the
+    # boundary mask below excludes them.
+    W = np.lib.stride_tricks.sliding_window_view(flat, w)
+    pick = W.argmin(axis=1)  # first-minimal index per window
+    starts = np.arange(len(W), dtype=np.int64)
+    sel = starts + pick
+    row_of = np.searchsorted(splits, starts, side="right") - 1
+    # window fully inside its row's shingle run, and the row long enough
+    # to have real k-grams (counts >= k-gram count means len >= k)
+    valid = ((starts + w) <= splits[row_of + 1]) \
+        & (counts[row_of] >= w) & (counts[row_of] > 1)
+    sel, row_of = sel[valid], row_of[valid]
+    if not len(sel):
+        return empty
+    # dedupe repeated picks (adjacent windows often select the same gram)
+    keep = np.r_[True, (sel[1:] != sel[:-1]) | (row_of[1:] != row_of[:-1])]
+    # non-adjacent repeats of the same pick are possible after masking —
+    # do an exact unique over (row, sel)
+    pair = row_of[keep] * np.int64(1 << 40) + sel[keep]
+    uniq, idx = np.unique(pair, return_index=True)
+    sel_u = sel[keep][idx]
+    row_u = row_of[keep][idx]
+    pos = sel_u - splits[row_u]
+    return flat[sel_u], row_u, pos
+
+
+def anchor_table_fn(column: str, id_column: str, *, k: int = 16,
+                    w: int = 16):
+    """map_batches fn: (anchor int64, doc int64, pos int64) narrow rows
+    (24 B + shard tag), sharded by anchor hash."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        h, row, pos = winnow_anchor_positions(_str(t[column]), k=k, w=w)
+        ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "anchor": pa.array(h.view(np.int64), type=pa.int64()),
+            "doc": pa.array(ids[row], type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+        })
+
+    return fn
+
+
+def _pair_with_min(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    """Within each anchor bucket: pair every occurrence with the bucket's
+    minimum (doc, pos) occurrence. O(bucket) pairs; every non-first copy
+    gets a first-or-earlier partner. Buckets larger than `max_bucket`
+    truncate to their smallest members (the cap against pathological
+    boilerplate anchors — the kept members still cover the passage via
+    the min partner)."""
+    df = df.sort_values(["anchor", "doc", "pos"], kind="stable")
+    a = df["anchor"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+    ends = np.r_[starts[1:], len(a)]
+    docs = df["doc"].to_numpy()
+    poss = df["pos"].to_numpy()
+    out = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        e = min(e, s + max_bucket)
+        d0, p0 = docs[s], poss[s]
+        mem_d, mem_p = docs[s + 1:e], poss[s + 1:e]
+        keep = mem_d != d0  # cross-document only
+        if keep.any():
+            out.append(pd.DataFrame({
+                "doc_a": np.full(int(keep.sum()), d0, dtype=np.int64),
+                "pos_a": np.full(int(keep.sum()), p0, dtype=np.int64),
+                "doc_b": mem_d[keep], "pos_b": mem_p[keep]}))
+    if not out:
+        return pd.DataFrame({
+            "doc_a": np.array([], dtype=np.int64),
+            "pos_a": np.array([], dtype=np.int64),
+            "doc_b": np.array([], dtype=np.int64),
+            "pos_b": np.array([], dtype=np.int64)})
+    res = pd.concat(out)
+    return res.drop_duplicates(subset=["doc_a", "pos_a", "doc_b",
+                                       "pos_b"]).reset_index(drop=True)
+
+
+def anchor_candidate_pairs_ds(anchors_ds, *, max_bucket: int = 256,
+                              num_shards: int = 64):
+    """(doc_a, pos_a, doc_b, pos_b) candidate Dataset from the anchor
+    table — bucket-sharded exactly like candidate_pairs_ds (an anchor
+    hash never splits across shards)."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        return t.append_column("shard", pa.array(
+            shard_of_values(t["anchor"], num_shards, seed=0xA17C),
+            type=pa.int64()))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        return _pair_with_min(df, max_bucket)
+
+    return anchors_ds.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("shard").map_groups(scan, batch_format="pandas")
+
+
+def _extend_matches(ta: bytes, pa_: int, tb: bytes, pb: int,
+                    k: int) -> tuple[int, int] | None:
+    """Byte-verify the k-gram at (ta[pa_:], tb[pb:]) and extend to the
+    maximal common substring; returns (start_b, end_b) in tb or None on
+    hash collision. Chunked numpy comparison, no per-byte Python."""
+    if ta[pa_:pa_ + k] != tb[pb:pb + k]:
+        return None
+    # extend right
+    max_r = min(len(ta) - pa_, len(tb) - pb)
+    r = k
+    CH = 256
+    while r < max_r:
+        step = min(CH, max_r - r)
+        xa = np.frombuffer(ta, dtype=np.uint8, count=step,
+                           offset=pa_ + r)
+        xb = np.frombuffer(tb, dtype=np.uint8, count=step,
+                           offset=pb + r)
+        neq = np.flatnonzero(xa != xb)
+        if len(neq):
+            r += int(neq[0])
+            break
+        r += step
+    # extend left
+    max_l = min(pa_, pb)
+    lft = 0
+    while lft < max_l:
+        step = min(CH, max_l - lft)
+        xa = np.frombuffer(ta, dtype=np.uint8, count=step,
+                           offset=pa_ - lft - step)
+        xb = np.frombuffer(tb, dtype=np.uint8, count=step,
+                           offset=pb - lft - step)
+        neq = np.flatnonzero(xa[::-1] != xb[::-1])
+        if len(neq):
+            lft += int(neq[0])
+            break
+        lft += step
+    return pb - lft, pb + r
+
+
+def duplicate_passage_spans(ds, column: str, id_column: str, *,
+                            min_len: int = 64, k: int = 16, w: int = 16,
+                            max_bucket: int = 256, num_shards: int = 64):
+    """Dataset (doc, start, end) of byte spans to REMOVE: for every exact
+    cross-document substring of >= min_len bytes, every occurrence in a
+    (doc, pos) later than the anchor bucket's first keeps nothing.
+    Requires min_len >= w + k - 1 (the winnowing detection guarantee)."""
+    if min_len < w + k - 1:
+        raise ValueError(
+            f"min_len must be >= w + k - 1 = {w + k - 1} "
+            "(winnowing detection bound)")
+    from .dedup import _candidate_rows, _attach_pair_payloads
+
+    anchors = ds.map_batches(anchor_table_fn(column, id_column, k=k, w=w),
+                             batch_format="pyarrow")
+    pairs = anchor_candidate_pairs_ds(anchors, max_bucket=max_bucket,
+                                      num_shards=num_shards)
+
+    # normalize to the (id_a, id_b) contract of the shared payload attach,
+    # and dedupe per DIAGONAL: pairs with equal (doc_a, doc_b,
+    # pos_a - pos_b) extend to the identical maximal span (a long passage
+    # emits ~len/w anchors, all on one diagonal), so one representative
+    # per diagonal pays the verify-extend
+    def norm(t: pa.Table) -> pa.Table:
+        delta = np.asarray(t["pos_a"], dtype=np.int64) \
+            - np.asarray(t["pos_b"], dtype=np.int64)
+        da = np.asarray(t["doc_a"], dtype=np.int64)
+        db = np.asarray(t["doc_b"], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            dk = (da.view(U64) * U64(0x9E3779B97F4A7C15)
+                  ^ db.view(U64) * U64(0xC2B2AE3D27D4EB4F)
+                  ^ delta.view(U64))
+        return pa.table({
+            "id_a": t["doc_a"], "id_b": t["doc_b"],
+            "pos_a": t["pos_a"], "pos_b": t["pos_b"],
+            "delta": pa.array(delta, type=pa.int64()),
+            "diag": pa.array((dk % U64(num_shards)).astype(np.int64)),
+        })
+
+    def diag_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["id_a", "id_b", "delta", "pos_b"],
+                              kind="stable") \
+            .drop_duplicates(subset=["id_a", "id_b", "delta"]) \
+            [["id_a", "id_b", "pos_a", "pos_b"]]
+
+    pairs_mat = pairs.map_batches(norm, batch_format="pyarrow") \
+        .groupby("diag").map_groups(diag_dedup, batch_format="pandas") \
+        .materialize()
+    if pairs_mat.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc": pa.array([], type=pa.int64()),
+            "start": pa.array([], type=pa.int64()),
+            "end": pa.array([], type=pa.int64())}))
+    cand = _candidate_rows(ds, id_column, pairs_mat,
+                           {column: "__txt"}).materialize()
+    joined = _attach_pair_payloads(pairs_mat, cand, id_column, "__txt",
+                                   num_shards)
+
+    def extend(t: pa.Table) -> pa.Table:
+        docs, starts, ends = [], [], []
+        pa_arr = np.asarray(t["pos_a"], dtype=np.int64)
+        pb_arr = np.asarray(t["pos_b"], dtype=np.int64)
+        db_arr = np.asarray(t["id_b"], dtype=np.int64)
+        ta_col = _str(t["__txt_a"])
+        tb_col = _str(t["__txt_b"])
+        for i in range(t.num_rows):
+            ta = ta_col[i].as_py().encode()
+            tb = tb_col[i].as_py().encode()
+            span = _extend_matches(ta, int(pa_arr[i]), tb,
+                                   int(pb_arr[i]), k)
+            if span is not None and span[1] - span[0] >= min_len:
+                docs.append(int(db_arr[i]))
+                starts.append(span[0])
+                ends.append(span[1])
+        return pa.table({
+            "doc": pa.array(docs, type=pa.int64()),
+            "start": pa.array(starts, type=pa.int64()),
+            "end": pa.array(ends, type=pa.int64())})
+
+    spans = joined.map_batches(extend, batch_format="pyarrow")
+
+    # exact-dup spans surface once per shared anchor — merge per doc
+    def add_doc_shard(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc"], dtype=np.int64)
+        return t.append_column("dshard", pa.array(
+            (d.view(U64) % U64(num_shards)).astype(np.int64)))
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc", "start", "end"], kind="stable")
+        d = df["doc"].to_numpy()
+        s = df["start"].to_numpy()
+        e = df["end"].to_numpy()
+        out_d, out_s, out_e = [], [], []
+        # vectorized interval union per doc: running max of end within doc
+        new_doc = np.r_[True, d[1:] != d[:-1]]
+        cur_e = -1
+        for i in range(len(d)):
+            if new_doc[i] or s[i] > cur_e:
+                out_d.append(d[i]); out_s.append(s[i]); out_e.append(e[i])
+                cur_e = e[i]
+            else:
+                cur_e = max(cur_e, e[i])
+                out_e[-1] = cur_e
+        return pd.DataFrame({
+            "doc": np.array(out_d, dtype=np.int64),
+            "start": np.array(out_s, dtype=np.int64),
+            "end": np.array(out_e, dtype=np.int64)})
+
+    return spans.map_batches(add_doc_shard, batch_format="pyarrow") \
+        .groupby("dshard").map_groups(merge_spans, batch_format="pandas")
+
+
+def remove_passages_fn(spans_source, column: str, id_column: str):
+    """map_batches fn cutting each doc's spans out of `column`. The span
+    table is carried as an ObjectRef to a (doc-sorted) pandas DataFrame —
+    O(duplicated passages), the same bounded-broadcast contract as the
+    drop sets."""
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        spans = ray.get(spans_source) if isinstance(
+            spans_source, ray.ObjectRef) else spans_source
+        ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        col = _str(t[column])
+        sdoc = spans["doc"].to_numpy()
+        lo = np.searchsorted(sdoc, ids, side="left")
+        hi = np.searchsorted(sdoc, ids, side="right")
+        if (lo == hi).all():
+            return t
+        texts = col.to_pylist()
+        out = []
+        ss = spans["start"].to_numpy()
+        se = spans["end"].to_numpy()
+        for i, txt in enumerate(texts):
+            if lo[i] == hi[i] or txt is None:
+                out.append(txt)
+                continue
+            b = txt.encode()
+            parts, cur = [], 0
+            for j in range(lo[i], hi[i]):
+                parts.append(b[cur:ss[j]])
+                cur = max(cur, int(se[j]))
+            parts.append(b[cur:])
+            out.append(b"".join(parts).decode())
+        return t.set_column(t.schema.get_field_index(column), column,
+                            pa.array(out, type=col.type))
+
+    return fn
+
+
+def remove_duplicate_passages(ds, column: str, id_column: str, *,
+                              min_len: int = 64, k: int = 16,
+                              w: int = 16, max_bucket: int = 256,
+                              num_shards: int = 64):
+    """End-to-end substring dedup: every exact cross-document substring
+    of >= min_len bytes survives only in its anchor-first occurrence;
+    later copies are cut out of the text. Returns the rebuilt Dataset."""
+    import ray
+
+    spans = duplicate_passage_spans(
+        ds, column, id_column, min_len=min_len, k=k, w=w,
+        max_bucket=max_bucket, num_shards=num_shards).to_pandas()
+    if not len(spans) or "doc" not in spans.columns:
+        return ds
+    spans = spans.sort_values(["doc", "start"]).reset_index(drop=True)
+    ref = ray.put(spans)
+    return ds.map_batches(remove_passages_fn(ref, column, id_column),
+                          batch_format="pyarrow")

@@ -1,0 +1,149 @@
+"""Exact duplicate-passage removal (stages/passages.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _brute_common_spans(texts: dict[int, str], min_len: int):
+    """Reference: for every doc, the union of byte spans that also occur
+    in an earlier (doc, pos) — O(n^2 * len) substring scan, small inputs
+    only. Mirrors the engine's keep rule: smallest (doc, pos) occurrence
+    of a maximal duplicated substring keeps; every later copy's span is
+    removed."""
+    ids = sorted(texts)
+    spans = {i: [] for i in ids}
+    for bi in ids:
+        b = texts[bi].encode()
+        covered = np.zeros(len(b), dtype=bool)
+        for ai in ids:
+            if ai >= bi:
+                continue
+            a = texts[ai].encode()
+            # all maximal common substrings >= min_len: scan all diagonals
+            for delta in range(-len(b) + 1, len(a)):
+                i0, j0 = max(delta, 0), max(-delta, 0)
+                run = 0
+                for t in range(min(len(a) - i0, len(b) - j0) + 1):
+                    ai_, bj = i0 + t, j0 + t
+                    if t < min(len(a) - i0, len(b) - j0) \
+                            and a[ai_] == b[bj]:
+                        run += 1
+                    else:
+                        if run >= min_len:
+                            covered[bj - run:bj] = True
+                        run = 0
+        # merge covered mask to spans
+        on = np.flatnonzero(np.diff(np.r_[0, covered.view(np.int8), 0]))
+        for s, e in zip(on[::2], on[1::2]):
+            spans[bi].append((int(s), int(e)))
+    return spans
+
+
+def test_winnow_anchors_content_aligned():
+    """Identical substrings must produce anchors at aligned content
+    offsets in both copies — the detection guarantee."""
+    from libfilter_ray.stages.passages import winnow_anchor_positions
+
+    rng = np.random.default_rng(3)
+    passage = "".join(rng.choice(list("abcdefgh"), size=200))
+    t1 = "PREFIX-ONE " + passage + " SUFFIX-A"
+    t2 = "A MUCH LONGER AND DIFFERENT PREFIX " + passage + " TAIL-B"
+    col = pa.array([t1, t2])
+    h, row, pos = winnow_anchor_positions(col, k=16, w=16)
+    off1, off2 = t1.index(passage), t2.index(passage)
+    in1 = {(int(hh), int(p) - off1) for hh, r, p in zip(h, row, pos)
+           if r == 0 and off1 + 31 <= p < off1 + len(passage) - 31}
+    in2 = {(int(hh), int(p) - off2) for hh, r, p in zip(h, row, pos)
+           if r == 1 and off2 + 31 <= p < off2 + len(passage) - 31}
+    assert in1 and in1 == in2  # interior anchors align exactly
+
+
+def test_passage_spans_match_bruteforce(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.passages import duplicate_passage_spans
+
+    rng = np.random.default_rng(11)
+
+    def rnd(n):
+        return "".join(rng.choice(list("abcdefghij kl"), size=n))
+
+    shared1 = rnd(120)
+    shared2 = rnd(90)
+    texts = {
+        0: rnd(60) + shared1 + rnd(40),
+        1: rnd(30) + shared1 + rnd(80),           # copy of shared1
+        2: rnd(200),                               # clean
+        3: shared2 + rnd(50) + shared1,            # both passages
+        4: rnd(20) + shared2 + rnd(20),            # copy of shared2
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = duplicate_passage_spans(ds, "text", "doc_id", min_len=64,
+                                  k=16, w=16).to_pandas()
+    want = _brute_common_spans(texts, 64)
+    got_by_doc = {int(d): sorted(
+        (int(s), int(e)) for _, (s, e) in
+        got.loc[got["doc"] == d, ["start", "end"]].iterrows())
+        for d in got["doc"].unique()}
+    for d, spans in want.items():
+        assert got_by_doc.get(d, []) == spans, (d, got_by_doc.get(d), spans)
+    assert 0 not in got_by_doc or not got_by_doc[0]  # first copies keep
+    assert 2 not in got_by_doc
+
+
+def test_remove_duplicate_passages_end_to_end(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.passages import remove_duplicate_passages
+
+    rng = np.random.default_rng(7)
+    passage = "".join(rng.choice(list("xyzw vu"), size=150))
+    texts = ["keep me " + passage + " first",
+             "second copy here " + passage + " trailing",
+             "no duplication at all in this document whatsoever"]
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": texts})
+    out = remove_duplicate_passages(
+        ray.data.from_pandas(df).repartition(2), "text", "doc_id",
+        min_len=64).to_pandas().sort_values("doc_id")
+    assert out.iloc[0]["text"] == texts[0]          # first copy intact
+    assert passage not in out.iloc[1]["text"]       # later copy cut
+    # the cut is the MAXIMAL common substring — "e " + passage + " "
+    # (boundary bytes shared with doc 0 go too), leaving the fused rest
+    assert out.iloc[1]["text"] == "second copy her" + "trailing"
+    assert out.iloc[2]["text"] == texts[2]          # clean doc untouched
+
+
+def test_no_spans_below_min_len(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.passages import duplicate_passage_spans
+
+    rng = np.random.default_rng(9)
+    short = "".join(rng.choice(list("mnopqr"), size=50))  # < min_len
+    texts = ["A" * 5 + short + "B" * 100, "C" * 90 + short + "D" * 10]
+    df = pd.DataFrame({"doc_id": np.arange(2, dtype=np.int64),
+                       "text": texts})
+    got = duplicate_passage_spans(
+        ray.data.from_pandas(df), "text", "doc_id",
+        min_len=64).to_pandas()
+    assert len(got) == 0 or "doc" not in got.columns or \
+        not ((got["end"] - got["start"]) < 64).any()
+    # the 50-byte shared chunk itself must NOT be removed
+    if len(got) and "doc" in got.columns:
+        for _, r in got.iterrows():
+            assert not (r["end"] - r["start"] == 50)
+
+
+def test_min_len_bound_enforced(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.passages import duplicate_passage_spans
+
+    df = pd.DataFrame({"doc_id": [0], "text": ["x"]})
+    with pytest.raises(ValueError):
+        duplicate_passage_spans(ray.data.from_pandas(df), "text",
+                                "doc_id", min_len=16, k=16, w=16)
