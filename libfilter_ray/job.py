@@ -559,9 +559,9 @@ def _curate_manifest_guard(ck: str, args: argparse.Namespace) -> None:
     a mismatch must refuse rather than silently mix configurations."""
     ident = {k: getattr(args, k) for k in (
         "table", "column", "id_column", "url_column", "ts_column",
-        "lang_column", "no_url_dedup", "domain_cap", "benchmark",
-        "benchmark_column", "shingle_k", "contamination_threshold",
-        "min_commonness", "token_budget")}
+        "lang_column", "no_url_dedup", "passage_dedup", "domain_cap",
+        "benchmark", "benchmark_column", "shingle_k",
+        "contamination_threshold", "min_commonness", "token_budget")}
     mpath = os.path.join(ck, "curate.json")
     if os.path.exists(mpath):
         with open(mpath) as fh:
@@ -623,6 +623,8 @@ def _cmd_curate(args: argparse.Namespace) -> int:
 
     stages = [s for s, on in (
         ("url-dedup-latest", not args.no_url_dedup),
+        (f"passage-dedup(>={args.passage_dedup})",
+         bool(args.passage_dedup)),
         (f"domain-cap({args.domain_cap})", bool(args.domain_cap)),
         ("decontaminate", bool(args.benchmark)),
         (f"freq-quality(<{args.min_commonness})",
@@ -678,6 +680,47 @@ def _cmd_curate(args: argparse.Namespace) -> int:
             ds = url_dedup_latest(ds, url_col=args.url_column,
                                   ts_col=args.ts_column,
                                   id_col=args.id_column)
+    if args.passage_dedup:
+        import numpy as np
+
+        from .stages.passages import (duplicate_passage_spans,
+                                      remove_passages_fn)
+
+        span_in = ds
+
+        def load_or_build_spans():
+            spath = os.path.join(ck, "passage_spans.parquet") if ck \
+                else None
+            if spath and os.path.exists(spath):
+                spans = pq.read_table(spath).to_pandas()
+            else:
+                spans = duplicate_passage_spans(
+                    span_in, args.column, args.id_column,
+                    min_len=args.passage_dedup).to_pandas()
+                if not len(spans) or "doc" not in spans.columns:
+                    spans = pd.DataFrame({
+                        "doc": np.array([], dtype=np.int64),
+                        "start": np.array([], dtype=np.int64),
+                        "end": np.array([], dtype=np.int64)})
+                spans = spans.sort_values(["doc", "start"]) \
+                    .reset_index(drop=True)
+                if spath:
+                    tmp = f"{spath}.tmp"
+                    pq.write_table(pa.Table.from_pandas(
+                        spans, preserve_index=False), tmp)
+                    os.replace(tmp, spath)
+            return spans, len(spans)
+
+        if ck:
+            spans = _noted("passage-dedup", "passage_spans.parquet",
+                           load_or_build_spans)
+        else:
+            spans, _ = load_or_build_spans()
+        if len(spans):
+            ds = ds.map_batches(
+                remove_passages_fn(ray.put(spans), args.column,
+                                   args.id_column),
+                batch_format="pyarrow")
     if args.domain_cap:
         from .stages.crawl import (domain_cap, domain_of,
                                    keep_id_filter, per_key_cap_keep_ds)
@@ -1096,6 +1139,10 @@ def make_parser() -> argparse.ArgumentParser:
     cu.add_argument("--lang-column", default="lang")
     cu.add_argument("--no-url-dedup", action="store_true",
                     help="skip keep-newest-capture url dedup")
+    cu.add_argument("--passage-dedup", type=int, default=0,
+                    help="remove exact cross-document substrings of at "
+                         "least this many bytes, keeping the first "
+                         "occurrence (0 = off; min 31)")
     cu.add_argument("--domain-cap", type=int, default=0,
                     help="max docs per domain (0 = off)")
     cu.add_argument("--benchmark", default=None,

@@ -768,3 +768,44 @@ def test_curate_metrics_recorded(tmp_path, ray_session):
     assert ("token-budget", False) in stages \
         and ("token-budget", True) in stages
     assert all("sec" in m and "n" in m for m in lines)
+
+
+def test_curate_passage_dedup_stage(tmp_path, ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(41)
+    boiler = "".join(rng.choice(list("abcdef gh"), size=160))
+    rows = []
+    for i in range(30):
+        body = "".join(rng.choice(list("qrstuv wx"), size=120))
+        text = body + (boiler if i % 3 == 0 else "")
+        rows.append({
+            "url": f"https://d.example.org/p{i}",
+            "warc_ts": pd.Timestamp("2024-03-01"),
+            "text": text, "lang": "en", "row_id": np.int64(i)})
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(pa.Table.from_pandas(
+        pd.DataFrame(rows), preserve_index=False), src / "pages.parquet")
+    ck = str(tmp_path / "ck")
+    common = ["curate", "--input", str(src), "--table", "pages",
+              "--column", "text", "--id-column", "row_id",
+              "--passage-dedup", "128", "--checkpoint-dir", ck]
+    out1 = tmp_path / "o1"
+    assert main(common + ["--output", str(out1)]) == 0
+    got = pq.read_table(out1).to_pandas().sort_values("row_id")
+    kept_first = got[got["row_id"] == 0]["text"].iloc[0]
+    assert boiler in kept_first                       # first copy keeps
+    for _, r in got[got["row_id"] > 0].iterrows():
+        if r["row_id"] % 3 == 0:
+            assert boiler not in r["text"]            # later copies cut
+    import os
+    assert os.path.exists(f"{ck}/passage_spans.parquet")
+    out2 = tmp_path / "o2"
+    assert main(common + ["--output", str(out2)]) == 0  # re-attach
+    lines = [json.loads(ln) for ln in
+             open(f"{ck}/metrics.jsonl").read().splitlines()
+             if json.loads(ln)["stage"] == "passage-dedup"]
+    assert [m["cached"] for m in lines] == [False, True]
