@@ -35,6 +35,16 @@ Self-dup caveat: within-ONE-doc repetition is left to the zero-shuffle
 `doc_repetition_stats` quality signal; spans here are cross-document
 (pairs with doc_a == doc_b are dropped) — matching the reference
 pipeline's split between intra- and inter-document handling.
+
+Recall caveat (the price of streaming vs a global suffix array): a pair
+is only attempted against the anchor bucket's min occurrence and the
+sorted-adjacent neighbor. A duplicated passage is missed only if, in
+EVERY one of its ~len(passage)/w anchor buckets, both partners are
+documents sharing just that k-gram and not the passage — probability
+decays geometrically with passage length. Detection of every pair the
+stage does attempt is exact (byte-verified maximal extension); the
+brute-force reference test in tests/test_passages.py checks exactness
+end-to-end on its corpora.
 """
 
 from __future__ import annotations
@@ -137,6 +147,18 @@ def _pair_with_min(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
                 "doc_a": np.full(int(keep.sum()), d0, dtype=np.int64),
                 "pos_a": np.full(int(keep.sum()), p0, dtype=np.int64),
                 "doc_b": mem_d[keep], "pos_b": mem_p[keep]}))
+        # ADJACENT pairing too (member i vs i-1): if the bucket min is a
+        # doc sharing only the k-gram (not the passage), passage copies
+        # still pair with their sorted neighbor — failing only when
+        # foreign same-gram occurrences interleave EVERY copy pair in
+        # EVERY one of the passage's ~len/w anchor buckets
+        ad, ap = docs[s:e - 1], poss[s:e - 1]
+        bd, bp = docs[s + 1:e], poss[s + 1:e]
+        adj = (ad != bd) & (ad != d0)  # min-pairs already emitted above
+        if adj.any():
+            out.append(pd.DataFrame({
+                "doc_a": ad[adj], "pos_a": ap[adj],
+                "doc_b": bd[adj], "pos_b": bp[adj]}))
     if not out:
         return pd.DataFrame({
             "doc_a": np.array([], dtype=np.int64),

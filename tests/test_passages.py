@@ -147,3 +147,33 @@ def test_min_len_bound_enforced(ray_session):
     with pytest.raises(ValueError):
         duplicate_passage_spans(ray.data.from_pandas(df), "text",
                                 "doc_id", min_len=16, k=16, w=16)
+
+
+def test_adjacent_pairing_covers_foreign_min(ray_session):
+    """A small doc that shares an anchor k-gram (but not the passage)
+    must not shadow the real copies: adjacent pairing still links the
+    passage's copies to each other."""
+    import ray.data
+
+    from libfilter_ray.stages.passages import (duplicate_passage_spans,
+                                               winnow_anchor_positions)
+
+    rng = np.random.default_rng(13)
+    passage = "".join(rng.choice(list("abcdefgh"), size=120))
+    # doc 0: contains EVERY anchor k-gram of the passage as isolated
+    # fragments (separated by junk), but not the passage itself
+    h, row, pos = winnow_anchor_positions(pa.array([passage]), k=16, w=16)
+    frags = " #JUNK# ".join(passage[int(p):int(p) + 16] for p in pos)
+    texts = {0: frags,
+             1: "first real copy: " + passage + " tail one",
+             2: "second real copy ->" + passage + "<- tail two"}
+    df = pd.DataFrame({"doc_id": list(texts),
+                       "text": list(texts.values())})
+    got = duplicate_passage_spans(
+        ray.data.from_pandas(df), "text", "doc_id",
+        min_len=64).to_pandas()
+    docs = set(got["doc"].astype(int)) if len(got) and \
+        "doc" in got.columns else set()
+    assert 2 in docs        # the later real copy is still caught
+    assert 1 not in docs    # the first real copy keeps
+    assert 0 not in docs    # fragments are each < min_len
