@@ -49,6 +49,8 @@ end-to-end on its corpora.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -57,6 +59,15 @@ from ..sketch.hashing import shard_of_values
 from .dedup import _str
 
 U64 = np.uint64
+
+_span_store_cache: dict[str, "SpanStore"] = {}
+
+
+def _span_attached(path: str) -> "SpanStore":
+    hit = _span_store_cache.get(path)
+    if hit is None:
+        hit = _span_store_cache[path] = SpanStore(path)
+    return hit
 
 
 def winnow_anchor_positions(col, *, k: int = 16, w: int = 16):
@@ -341,19 +352,172 @@ def duplicate_passage_spans(ds, column: str, id_column: str, *,
         .groupby("dshard").map_groups(merge_spans, batch_format="pandas")
 
 
+SPAN_MANIFEST = "manifest.json"
+_span_part_cache: dict[str, tuple] = {}
+
+
+class SpanStore:
+    """Range-partitioned on-disk span table — the DropIdStore shape for
+    (doc, start, end) rows, so passage removal streams with driver memory
+    independent of how duplicated the corpus is. Files are doc-sorted
+    parquet parts with a manifest of per-file [doc_lo, doc_hi] ranges and
+    a BlockBloom over doc ids (docs without spans — the overwhelming
+    majority — skip on the bloom miss)."""
+
+    def __init__(self, path: str):
+        import json
+
+        self.path = path
+        with open(os.path.join(path, SPAN_MANIFEST)) as fh:
+            m = json.load(fh)
+        self.n_spans = int(m["n_spans"])
+        self.files = [os.path.join(path, f) for f in m["files"]]
+        self.los = np.asarray(m["los"], dtype=np.int64)
+        self.his = np.asarray(m["his"], dtype=np.int64)
+
+    @classmethod
+    def write(cls, spans_ds, path: str, *, fpp: float = 1e-3,
+              rows_per_file: int = 1 << 22) -> "SpanStore":
+        """Distributed-sort the (doc, start, end) Dataset by doc into
+        `path`; bloom + manifest beside the parts."""
+        import json
+
+        import pyarrow.parquet as pq
+
+        from ..sketch import sizing
+        from ..sketch.block_bloom import BlockBloom
+        from .sketch_build import build_sketch
+
+        os.makedirs(path, exist_ok=True)
+        if os.path.exists(os.path.join(path, SPAN_MANIFEST)):
+            raise FileExistsError(
+                f"span store already exists at {path}")
+        n = spans_ds.count()
+        files: list[str] = []
+        los: list[int] = []
+        his: list[int] = []
+        if n == 0:
+            bloom = BlockBloom(sizing.block_bytes_needed(1, fpp))
+        else:
+            bloom = build_sketch(
+                spans_ds.select_columns(["doc"]), "doc", "block",
+                {"bytes_": sizing.block_bytes_needed(n, fpp)})
+            target = max(1, (n + rows_per_file - 1) // rows_per_file)
+            data_dir = os.path.join(path, "spans")
+            spans_ds.repartition(target).sort(["doc", "start"]) \
+                .write_parquet(data_dir)
+            for name in sorted(os.listdir(data_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                fp = os.path.join(data_dir, name)
+                md = pq.ParquetFile(fp).metadata
+                if md.num_rows == 0:
+                    os.unlink(fp)
+                    continue
+                doc_i = [i for i in range(md.num_row_groups)
+                         if md.row_group(i).num_rows]
+                stats = [md.row_group(i).column(0).statistics
+                         for i in doc_i]
+                files.append(os.path.join("spans", name))
+                los.append(min(s.min for s in stats))
+                his.append(max(s.max for s in stats))
+        with open(os.path.join(path, "bloom.bin"), "wb") as fh:
+            fh.write(bloom.to_bytes())
+        order = np.argsort(np.asarray(los, dtype=np.int64),
+                           kind="stable") if files \
+            else np.empty(0, dtype=np.int64)
+        manifest = {"n_spans": int(n),
+                    "files": [files[i] for i in order],
+                    "los": [int(los[i]) for i in order],
+                    "his": [int(his[i]) for i in order]}
+        tmp = os.path.join(path, SPAN_MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(path, SPAN_MANIFEST))
+        return cls(path)
+
+    def _part(self, f: str):
+        import pyarrow.parquet as pq
+
+        hit = _span_part_cache.get(f)
+        if hit is None:
+            t = pq.read_table(f)
+            hit = _span_part_cache[f] = (
+                t["doc"].to_numpy().astype(np.int64),
+                t["start"].to_numpy().astype(np.int64),
+                t["end"].to_numpy().astype(np.int64))
+            while len(_span_part_cache) > 16:
+                _span_part_cache.pop(next(iter(_span_part_cache)))
+        return hit
+
+    def spans_for(self, ids: np.ndarray):
+        """(doc, start, end) arrays, (doc, start)-sorted, restricted to
+        the requested doc ids — bloom prune then only overlapped parts."""
+        from ..sketch.block_bloom import BlockBloom
+        from ..sketch.hashing import hash_arrow_array
+        from .dropstore import _load_bloom
+
+        ids = np.unique(np.ascontiguousarray(ids, dtype=np.int64))
+        empty = (np.empty(0, dtype=np.int64),) * 3
+        if not len(ids) or not self.n_spans:
+            return empty
+        bloom = _load_bloom(os.path.join(self.path, "bloom.bin"))
+        maybe = bloom.find_hashes(
+            hash_arrow_array(pa.array(ids, type=pa.int64())))
+        sus = ids[maybe]
+        if not len(sus):
+            return empty
+        fi = np.searchsorted(self.los, sus, side="right") - 1
+        # a doc's spans may straddle two adjacent parts — check both
+        cand_files = set()
+        for shift in (0, 1):
+            f = fi + shift
+            ok = (f >= 0) & (f < len(self.files)) \
+                & (sus >= self.los[np.clip(f, 0, len(self.files) - 1)] - 0) \
+                & (sus <= self.his[np.clip(f, 0, len(self.files) - 1)])
+            cand_files.update(int(x) for x in np.unique(f[ok]))
+        got_d, got_s, got_e = [], [], []
+        want = np.sort(sus)
+        for f in sorted(cand_files):
+            d, s, e = self._part(self.files[f])
+            pos = np.searchsorted(want, d)
+            hit = (pos < len(want)) & (
+                want[np.minimum(pos, len(want) - 1)] == d)
+            if hit.any():
+                got_d.append(d[hit])
+                got_s.append(s[hit])
+                got_e.append(e[hit])
+        if not got_d:
+            return empty
+        d = np.concatenate(got_d)
+        s = np.concatenate(got_s)
+        e = np.concatenate(got_e)
+        order = np.lexsort((s, d))
+        return d[order], s[order], e[order]
+
+
 def remove_passages_fn(spans_source, column: str, id_column: str):
     """map_batches fn cutting each doc's spans out of `column`. The span
-    table is carried as an ObjectRef to a (doc-sorted) pandas DataFrame —
-    O(duplicated passages), the same bounded-broadcast contract as the
-    drop sets."""
+    table is carried as an ObjectRef to a (doc-sorted) pandas DataFrame
+    (bounded broadcast) or a SpanStore path-attached on shared storage —
+    the same auto-switch contract as the drop sets."""
     import ray
 
+    store_path = spans_source.path \
+        if isinstance(spans_source, SpanStore) else None
+
     def fn(t: pa.Table) -> pa.Table:
-        spans = ray.get(spans_source) if isinstance(
-            spans_source, ray.ObjectRef) else spans_source
         ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         col = _str(t[column])
+        if store_path is not None:
+            store = _span_attached(store_path)
+            sdoc, ss_a, se_a = store.spans_for(ids)
+            spans = pd.DataFrame({"doc": sdoc, "start": ss_a,
+                                  "end": se_a})
+        else:
+            spans = ray.get(spans_source) if isinstance(
+                spans_source, ray.ObjectRef) else spans_source
         sdoc = spans["doc"].to_numpy()
         lo = np.searchsorted(sdoc, ids, side="left")
         hi = np.searchsorted(sdoc, ids, side="right")
@@ -380,21 +544,43 @@ def remove_passages_fn(spans_source, column: str, id_column: str):
     return fn
 
 
+#: span tables up to this many rows broadcast via plasma (24 B/span);
+#: larger ones spill to a range-partitioned SpanStore so driver memory
+#: stays bounded at any boilerplate rate
+SPAN_BROADCAST_LIMIT = 1 << 22
+
+
 def remove_duplicate_passages(ds, column: str, id_column: str, *,
                               min_len: int = 64, k: int = 16,
                               w: int = 16, max_bucket: int = 256,
-                              num_shards: int = 64):
+                              num_shards: int = 64,
+                              broadcast_limit: int = SPAN_BROADCAST_LIMIT,
+                              store_dir: str | None = None):
     """End-to-end substring dedup: every exact cross-document substring
     of >= min_len bytes survives only in its anchor-first occurrence;
-    later copies are cut out of the text. Returns the rebuilt Dataset."""
+    later copies are cut out of the text. Returns the rebuilt Dataset.
+    Span tables <= broadcast_limit rows broadcast once; larger ones
+    spill to a SpanStore under `store_dir` (default a fresh /tmp dir —
+    point it at shared storage on a real cluster)."""
+    import tempfile
+
     import ray
 
-    spans = duplicate_passage_spans(
+    spans_ds = duplicate_passage_spans(
         ds, column, id_column, min_len=min_len, k=k, w=w,
-        max_bucket=max_bucket, num_shards=num_shards).to_pandas()
-    if not len(spans) or "doc" not in spans.columns:
+        max_bucket=max_bucket, num_shards=num_shards).materialize()
+    n = spans_ds.count()
+    if n == 0:
         return ds
-    spans = spans.sort_values(["doc", "start"]).reset_index(drop=True)
-    ref = ray.put(spans)
-    return ds.map_batches(remove_passages_fn(ref, column, id_column),
+    if n <= broadcast_limit:
+        spans = spans_ds.to_pandas()
+        if "doc" not in spans.columns:
+            return ds
+        spans = spans.sort_values(["doc", "start"]).reset_index(drop=True)
+        source = ray.put(spans)
+    else:
+        source = SpanStore.write(
+            spans_ds, store_dir or tempfile.mkdtemp(prefix="lfr-spans-",
+                                                    dir="/tmp"))
+    return ds.map_batches(remove_passages_fn(source, column, id_column),
                           batch_format="pyarrow")

@@ -177,3 +177,31 @@ def test_adjacent_pairing_covers_foreign_min(ray_session):
     assert 2 in docs        # the later real copy is still caught
     assert 1 not in docs    # the first real copy keeps
     assert 0 not in docs    # fragments are each < min_len
+
+
+def test_span_store_path_matches_broadcast(ray_session, tmp_path):
+    """Forcing the SpanStore carrier (broadcast_limit=0) must produce the
+    byte-identical rebuilt corpus as the plasma-broadcast path."""
+    import ray.data
+
+    from libfilter_ray.stages.passages import remove_duplicate_passages
+
+    rng = np.random.default_rng(17)
+    passage = "".join(rng.choice(list("stuvwx yz"), size=140))
+    texts = []
+    for i in range(40):
+        body = "".join(rng.choice(list("abcdef gh"), size=100))
+        texts.append(body + (passage if i % 5 == 0 else ""))
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": texts})
+    ds = ray.data.from_pandas(df).repartition(4)
+    via_bcast = remove_duplicate_passages(
+        ds, "text", "doc_id", min_len=64).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    via_store = remove_duplicate_passages(
+        ds, "text", "doc_id", min_len=64, broadcast_limit=0,
+        store_dir=str(tmp_path / "spans")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert via_bcast["text"].tolist() == via_store["text"].tolist()
+    assert (via_store["text"] != df.sort_values("doc_id")["text"]
+            .reset_index(drop=True)).any()  # something was actually cut
