@@ -649,8 +649,10 @@ def _cmd_curate(args: argparse.Namespace) -> int:
 
     run_metrics: list[dict] = []
 
-    def _noted(stage: str, artifact: str, build):
-        cached = bool(ck) and os.path.exists(os.path.join(ck, artifact))
+    def _noted(stage: str, artifact, build):
+        arts = [artifact] if isinstance(artifact, str) else list(artifact)
+        cached = bool(ck) and all(
+            os.path.exists(os.path.join(ck, a)) for a in arts)
         t0 = _time.perf_counter()
         out, n = build()
         run_metrics.append({
@@ -681,46 +683,59 @@ def _cmd_curate(args: argparse.Namespace) -> int:
                                   ts_col=args.ts_column,
                                   id_col=args.id_column)
     if args.passage_dedup:
-        import numpy as np
-
-        from .stages.passages import (duplicate_passage_spans,
-                                      remove_passages_fn)
-
-        span_in = ds
-
-        def load_or_build_spans():
-            spath = os.path.join(ck, "passage_spans.parquet") if ck \
-                else None
-            if spath and os.path.exists(spath):
-                spans = pq.read_table(spath).to_pandas()
-            else:
-                spans = duplicate_passage_spans(
-                    span_in, args.column, args.id_column,
-                    min_len=args.passage_dedup).to_pandas()
-                if not len(spans) or "doc" not in spans.columns:
-                    spans = pd.DataFrame({
-                        "doc": np.array([], dtype=np.int64),
-                        "start": np.array([], dtype=np.int64),
-                        "end": np.array([], dtype=np.int64)})
-                spans = spans.sort_values(["doc", "start"]) \
-                    .reset_index(drop=True)
-                if spath:
-                    tmp = f"{spath}.tmp"
-                    pq.write_table(pa.Table.from_pandas(
-                        spans, preserve_index=False), tmp)
-                    os.replace(tmp, spath)
-            return spans, len(spans)
-
+        if args.passage_dedup < 31:
+            raise SystemExit(
+                "--passage-dedup must be >= 31 (the winnowing detection "
+                f"bound w + k - 1), got {args.passage_dedup}")
         if ck:
-            spans = _noted("passage-dedup", "passage_spans.parquet",
-                           load_or_build_spans)
+            import numpy as np
+
+            from .stages.passages import (SPAN_BROADCAST_LIMIT,
+                                          SPAN_MANIFEST, SpanStore,
+                                          duplicate_passage_spans,
+                                          remove_passages_fn)
+
+            span_in = ds
+            store_dir = os.path.join(ck, "passage_spans")
+
+            def load_or_build_spans():
+                if os.path.exists(os.path.join(store_dir, SPAN_MANIFEST)):
+                    store = SpanStore(store_dir)
+                else:
+                    import shutil
+
+                    if os.path.isdir(store_dir):
+                        shutil.rmtree(store_dir)  # unfinished write
+                    spans_ds = duplicate_passage_spans(
+                        span_in, args.column, args.id_column,
+                        min_len=args.passage_dedup).materialize()
+                    store = SpanStore.write(spans_ds, store_dir)
+                if store.n_spans == 0:
+                    return None, 0
+                if store.n_spans <= SPAN_BROADCAST_LIMIT:
+                    parts = [pq.read_table(f).to_pandas()
+                             for f in store.files]
+                    spans = pd.concat(parts).sort_values(
+                        ["doc", "start"]).reset_index(drop=True)
+                    return ray.put(spans), store.n_spans
+                return store, store.n_spans  # bounded: stream from store
+
+            source = _noted(
+                "passage-dedup",
+                os.path.join("passage_spans", SPAN_MANIFEST),
+                load_or_build_spans)
+            if source is not None:
+                ds = ds.map_batches(
+                    remove_passages_fn(source, args.column,
+                                       args.id_column),
+                    batch_format="pyarrow")
         else:
-            spans, _ = load_or_build_spans()
-        if len(spans):
-            ds = ds.map_batches(
-                remove_passages_fn(ray.put(spans), args.column,
-                                   args.id_column),
-                batch_format="pyarrow")
+            from .stages.passages import remove_duplicate_passages
+
+            # the library entry auto-switches broadcast vs SpanStore
+            ds = remove_duplicate_passages(
+                ds, args.column, args.id_column,
+                min_len=args.passage_dedup)
     if args.domain_cap:
         from .stages.crawl import (domain_cap, domain_of,
                                    keep_id_filter, per_key_cap_keep_ds)
@@ -878,8 +893,9 @@ def _cmd_curate(args: argparse.Namespace) -> int:
                 os.replace(tmpb, bpath)
                 return (boundary, keep_ids), len(rows_i)
 
-            boundary, keep_ids = _noted("token-budget", "budget.json",
-                                        load_or_build_budget)
+            boundary, keep_ids = _noted(
+                "token-budget", ["budget.json", "budget_keep.parquet"],
+                load_or_build_budget)
             ds = apply_token_budget(ds, args.lang_column, args.id_column,
                                     boundary, ray.put(keep_ids))
         else:

@@ -3536,11 +3536,8 @@ def q_duplicate_passage_stats(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
         .map_batches(plant, batch_format="pyarrow")
-    # max_bucket above the planted replication (sf0.1 plants 1250 copies)
-    # so no anchor bucket truncates coverage
     spans = duplicate_passage_spans(docs, "text", "doc_id",
-                                    min_len=128,
-                                    max_bucket=4096).to_pandas()
+                                    min_len=128).to_pandas()
     if not len(spans) or "doc" not in spans.columns:
         raise RuntimeError("planted passages produced no spans")
     spans["len"] = spans["end"] - spans["start"]

@@ -605,10 +605,13 @@ CAND_BROADCAST_BYTES = 256 << 20
 def _attach_pair_payloads(pairs_mat, cand, id_column: str,
                           payload: str, num_shards: int, *,
                           broadcast_limit: int = CAND_BROADCAST_LIMIT,
-                          broadcast_bytes: int = CAND_BROADCAST_BYTES):
+                          broadcast_bytes: int = CAND_BROADCAST_BYTES,
+                          carry_cols: list[str] | None = None):
     """Join the candidate-row Dataset `cand` (id + one `payload` column,
     MATERIALIZED) onto both endpoints of the pair Dataset: (id_a, id_b,
-    <payload>_a, <payload>_b).
+    *carry_cols, <payload>_a, <payload>_b). `carry_cols` are extra pair
+    columns preserved through BOTH carrier paths (the broadcast attach
+    keeps every input column for free; the hash joins must be told).
 
     Small candidate tables (the common case even on heavily-duplicated
     corpora once pairs are bucket-sharded) broadcast ONCE via plasma and
@@ -655,13 +658,14 @@ def _attach_pair_payloads(pairs_mat, cand, id_column: str,
             return t.rename_columns([id_column, f"{payload}{suffix}"])
         return f
 
+    carry = list(carry_cols or [])
     cand_a = cand.map_batches(rename_to("_a"), batch_format="pyarrow")
     cand_b = cand.map_batches(rename_to("_b"), batch_format="pyarrow")
     j1 = hash_equi_join(pairs_mat, cand_a, left_on="id_a",
-                        right_on=id_column, left_cols=["id_b"],
+                        right_on=id_column, left_cols=["id_b"] + carry,
                         right_cols=[f"{payload}_a"], num_shards=num_shards)
     return hash_equi_join(j1, cand_b, left_on="id_b", right_on=id_column,
-                          left_cols=["id_a", f"{payload}_a"],
+                          left_cols=["id_a", f"{payload}_a"] + carry,
                           right_cols=[f"{payload}_b"],
                           num_shards=num_shards)
 

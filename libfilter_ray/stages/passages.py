@@ -133,55 +133,54 @@ def anchor_table_fn(column: str, id_column: str, *, k: int = 16,
 
 
 def _pair_with_min(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
-    """Within each anchor bucket: pair every occurrence with the bucket's
-    minimum (doc, pos) occurrence. O(bucket) pairs; every non-first copy
-    gets a first-or-earlier partner. Buckets larger than `max_bucket`
-    truncate to their smallest members (the cap against pathological
-    boilerplate anchors — the kept members still cover the passage via
-    the min partner)."""
+    """Within each anchor bucket (sorted by (doc, pos)): pair every
+    occurrence with (a) the bucket's minimum occurrence and (b) its
+    sorted-adjacent predecessor. Both pairings are O(bucket), so EVERY
+    member participates — no truncation-by-rank (which would
+    systematically exclude the same high-doc-id copies from every one of
+    a passage's anchor buckets). `max_bucket` only clamps pathological
+    single-anchor floods (default 2^20) and is a disclosed recall bound
+    when hit. Fully vectorized — one DataFrame per shard call."""
     df = df.sort_values(["anchor", "doc", "pos"], kind="stable")
     a = df["anchor"].to_numpy()
     starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
-    ends = np.r_[starts[1:], len(a)]
+    sizes = np.r_[starts[1:], len(a)] - starts
+    clamped = np.minimum(sizes, max_bucket)
     docs = df["doc"].to_numpy()
     poss = df["pos"].to_numpy()
-    out = []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        e = min(e, s + max_bucket)
-        d0, p0 = docs[s], poss[s]
-        mem_d, mem_p = docs[s + 1:e], poss[s + 1:e]
-        keep = mem_d != d0  # cross-document only
-        if keep.any():
-            out.append(pd.DataFrame({
-                "doc_a": np.full(int(keep.sum()), d0, dtype=np.int64),
-                "pos_a": np.full(int(keep.sum()), p0, dtype=np.int64),
-                "doc_b": mem_d[keep], "pos_b": mem_p[keep]}))
-        # ADJACENT pairing too (member i vs i-1): if the bucket min is a
-        # doc sharing only the k-gram (not the passage), passage copies
-        # still pair with their sorted neighbor — failing only when
-        # foreign same-gram occurrences interleave EVERY copy pair in
-        # EVERY one of the passage's ~len/w anchor buckets
-        ad, ap = docs[s:e - 1], poss[s:e - 1]
-        bd, bp = docs[s + 1:e], poss[s + 1:e]
-        adj = (ad != bd) & (ad != d0)  # min-pairs already emitted above
-        if adj.any():
-            out.append(pd.DataFrame({
-                "doc_a": ad[adj], "pos_a": ap[adj],
-                "doc_b": bd[adj], "pos_b": bp[adj]}))
-    if not out:
-        return pd.DataFrame({
-            "doc_a": np.array([], dtype=np.int64),
-            "pos_a": np.array([], dtype=np.int64),
-            "doc_b": np.array([], dtype=np.int64),
-            "pos_b": np.array([], dtype=np.int64)})
-    res = pd.concat(out)
+    empty = pd.DataFrame({
+        "doc_a": np.array([], dtype=np.int64),
+        "pos_a": np.array([], dtype=np.int64),
+        "doc_b": np.array([], dtype=np.int64),
+        "pos_b": np.array([], dtype=np.int64)})
+    multi = clamped >= 2
+    if not multi.any():
+        return empty
+    s_m = starts[multi]
+    n_m = clamped[multi]
+    # member indices: every in-bucket offset 1..n-1
+    mem = np.repeat(s_m, n_m - 1) + (
+        np.arange(int((n_m - 1).sum()), dtype=np.int64)
+        - np.repeat(np.cumsum(n_m - 1) - (n_m - 1), n_m - 1)) + 1
+    first = np.repeat(s_m, n_m - 1)  # bucket-min partner per member
+    prev = mem - 1                   # sorted-adjacent partner per member
+    da, pa_, db, pb = [], [], [], []
+    keep_min = docs[mem] != docs[first]
+    da.append(docs[first][keep_min]); pa_.append(poss[first][keep_min])
+    db.append(docs[mem][keep_min]);   pb.append(poss[mem][keep_min])
+    keep_adj = (docs[mem] != docs[prev]) & (prev != first)
+    da.append(docs[prev][keep_adj]);  pa_.append(poss[prev][keep_adj])
+    db.append(docs[mem][keep_adj]);   pb.append(poss[mem][keep_adj])
+    res = pd.DataFrame({
+        "doc_a": np.concatenate(da), "pos_a": np.concatenate(pa_),
+        "doc_b": np.concatenate(db), "pos_b": np.concatenate(pb)})
+    if not len(res):
+        return empty
     return res.drop_duplicates(subset=["doc_a", "pos_a", "doc_b",
                                        "pos_b"]).reset_index(drop=True)
 
 
-def anchor_candidate_pairs_ds(anchors_ds, *, max_bucket: int = 256,
+def anchor_candidate_pairs_ds(anchors_ds, *, max_bucket: int = 1 << 20,
                               num_shards: int = 64):
     """(doc_a, pos_a, doc_b, pos_b) candidate Dataset from the anchor
     table — bucket-sharded exactly like candidate_pairs_ds (an anchor
@@ -240,7 +239,8 @@ def _extend_matches(ta: bytes, pa_: int, tb: bytes, pb: int,
 
 def duplicate_passage_spans(ds, column: str, id_column: str, *,
                             min_len: int = 64, k: int = 16, w: int = 16,
-                            max_bucket: int = 256, num_shards: int = 64):
+                            max_bucket: int = 1 << 20,
+                            num_shards: int = 64):
     """Dataset (doc, start, end) of byte spans to REMOVE: for every exact
     cross-document substring of >= min_len bytes, every occurrence in a
     (doc, pos) later than the anchor bucket's first keeps nothing.
@@ -256,11 +256,14 @@ def duplicate_passage_spans(ds, column: str, id_column: str, *,
     pairs = anchor_candidate_pairs_ds(anchors, max_bucket=max_bucket,
                                       num_shards=num_shards)
 
-    # normalize to the (id_a, id_b) contract of the shared payload attach,
-    # and dedupe per DIAGONAL: pairs with equal (doc_a, doc_b,
-    # pos_a - pos_b) extend to the identical maximal span (a long passage
-    # emits ~len/w anchors, all on one diagonal), so one representative
-    # per diagonal pays the verify-extend
+    # normalize to the (id_a, id_b) contract of the shared payload attach
+    # and CO-LOCATE each DIAGONAL (equal (doc_a, doc_b, pos_a - pos_b)):
+    # a passage's ~len/w anchors all lie on one diagonal and extend to
+    # the same maximal span, so the extend stage processes diagonals in
+    # sorted order and skips anchors already inside a produced span.
+    # Dropping all-but-one anchor per diagonal UP FRONT would be wrong —
+    # two DISTINCT passages can share a diagonal (templated pages with
+    # equal-length differing middles) and the second would never extend.
     def norm(t: pa.Table) -> pa.Table:
         delta = np.asarray(t["pos_a"], dtype=np.int64) \
             - np.asarray(t["pos_b"], dtype=np.int64)
@@ -273,18 +276,16 @@ def duplicate_passage_spans(ds, column: str, id_column: str, *,
         return pa.table({
             "id_a": t["doc_a"], "id_b": t["doc_b"],
             "pos_a": t["pos_a"], "pos_b": t["pos_b"],
-            "delta": pa.array(delta, type=pa.int64()),
             "diag": pa.array((dk % U64(num_shards)).astype(np.int64)),
         })
 
-    def diag_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["id_a", "id_b", "delta", "pos_b"],
+    def diag_sort(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["id_a", "id_b", "pos_a", "pos_b"],
                               kind="stable") \
-            .drop_duplicates(subset=["id_a", "id_b", "delta"]) \
             [["id_a", "id_b", "pos_a", "pos_b"]]
 
     pairs_mat = pairs.map_batches(norm, batch_format="pyarrow") \
-        .groupby("diag").map_groups(diag_dedup, batch_format="pandas") \
+        .groupby("diag").map_groups(diag_sort, batch_format="pandas") \
         .materialize()
     if pairs_mat.count() == 0:
         import ray.data
@@ -296,30 +297,48 @@ def duplicate_passage_spans(ds, column: str, id_column: str, *,
     cand = _candidate_rows(ds, id_column, pairs_mat,
                            {column: "__txt"}).materialize()
     joined = _attach_pair_payloads(pairs_mat, cand, id_column, "__txt",
-                                   num_shards)
+                                   num_shards,
+                                   carry_cols=["pos_a", "pos_b"])
 
     def extend(t: pa.Table) -> pa.Table:
         docs, starts, ends = [], [], []
         pa_arr = np.asarray(t["pos_a"], dtype=np.int64)
         pb_arr = np.asarray(t["pos_b"], dtype=np.int64)
+        da_arr = np.asarray(t["id_a"], dtype=np.int64)
         db_arr = np.asarray(t["id_b"], dtype=np.int64)
         ta_col = _str(t["__txt_a"])
         tb_col = _str(t["__txt_b"])
-        for i in range(t.num_rows):
+        # process each diagonal's anchors in (pos) order and skip anchors
+        # already inside a span this batch produced for the same diagonal
+        # (a pure optimization — splitting a diagonal across batches only
+        # costs duplicate extensions, which the span merge collapses)
+        order = np.lexsort((pb_arr, pa_arr - pb_arr, db_arr, da_arr))
+        last_key = None
+        covered_end = -1
+        for i in map(int, order):
+            key = (int(da_arr[i]), int(db_arr[i]),
+                   int(pa_arr[i]) - int(pb_arr[i]))
+            if key == last_key and int(pb_arr[i]) + k <= covered_end:
+                continue
             ta = ta_col[i].as_py().encode()
             tb = tb_col[i].as_py().encode()
             span = _extend_matches(ta, int(pa_arr[i]), tb,
                                    int(pb_arr[i]), k)
-            if span is not None and span[1] - span[0] >= min_len:
-                docs.append(int(db_arr[i]))
-                starts.append(span[0])
-                ends.append(span[1])
+            if span is not None:
+                last_key, covered_end = key, span[1]
+                if span[1] - span[0] >= min_len:
+                    docs.append(int(db_arr[i]))
+                    starts.append(span[0])
+                    ends.append(span[1])
+            else:
+                last_key, covered_end = None, -1
         return pa.table({
             "doc": pa.array(docs, type=pa.int64()),
             "start": pa.array(starts, type=pa.int64()),
             "end": pa.array(ends, type=pa.int64())})
 
-    spans = joined.map_batches(extend, batch_format="pyarrow")
+    spans = joined.map_batches(extend, batch_format="pyarrow",
+                               batch_size=None)
 
     # exact-dup spans surface once per shared anchor — merge per doc
     def add_doc_shard(t: pa.Table) -> pa.Table:
@@ -467,15 +486,15 @@ class SpanStore:
         sus = ids[maybe]
         if not len(sus):
             return empty
-        fi = np.searchsorted(self.los, sus, side="right") - 1
-        # a doc's spans may straddle two adjacent parts — check both
+        # every file whose [lo, hi] doc range contains a suspect: files
+        # are globally doc-sorted so los AND his are nondecreasing; a doc
+        # straddling several parts (all with lo <= doc <= hi) picks them
+        # all via [first hi >= doc, first lo > doc)
+        f_lo = np.searchsorted(self.his, sus, side="left")
+        f_hi = np.searchsorted(self.los, sus, side="right")
         cand_files = set()
-        for shift in (0, 1):
-            f = fi + shift
-            ok = (f >= 0) & (f < len(self.files)) \
-                & (sus >= self.los[np.clip(f, 0, len(self.files) - 1)] - 0) \
-                & (sus <= self.his[np.clip(f, 0, len(self.files) - 1)])
-            cand_files.update(int(x) for x in np.unique(f[ok]))
+        for a, b in zip(f_lo, f_hi):
+            cand_files.update(range(int(a), int(b)))
         got_d, got_s, got_e = [], [], []
         want = np.sort(sus)
         for f in sorted(cand_files):
@@ -527,6 +546,18 @@ def remove_passages_fn(spans_source, column: str, id_column: str):
         out = []
         ss = spans["start"].to_numpy()
         se = spans["end"].to_numpy()
+        def snap(b: bytes, s: int, e: int) -> tuple[int, int]:
+            """Shrink a byte span to UTF-8 character boundaries: byte
+            extension can stop mid-multibyte-character (copies sharing a
+            lead byte), and cutting there would leave dangling
+            continuation bytes that break .decode(). Shrinking is always
+            safe — the trimmed bytes were part of the duplicate."""
+            while s < e and s < len(b) and (b[s] & 0xC0) == 0x80:
+                s += 1  # finish the char straddling the left edge
+            while e > s and e < len(b) and (b[e] & 0xC0) == 0x80:
+                e -= 1  # keep the char straddling the right edge whole
+            return s, e
+
         for i, txt in enumerate(texts):
             if lo[i] == hi[i] or txt is None:
                 out.append(txt)
@@ -534,8 +565,11 @@ def remove_passages_fn(spans_source, column: str, id_column: str):
             b = txt.encode()
             parts, cur = [], 0
             for j in range(lo[i], hi[i]):
-                parts.append(b[cur:ss[j]])
-                cur = max(cur, int(se[j]))
+                s2, e2 = snap(b, int(ss[j]), int(se[j]))
+                if e2 <= s2:
+                    continue
+                parts.append(b[cur:s2])
+                cur = max(cur, e2)
             parts.append(b[cur:])
             out.append(b"".join(parts).decode())
         return t.set_column(t.schema.get_field_index(column), column,
@@ -552,7 +586,7 @@ SPAN_BROADCAST_LIMIT = 1 << 22
 
 def remove_duplicate_passages(ds, column: str, id_column: str, *,
                               min_len: int = 64, k: int = 16,
-                              w: int = 16, max_bucket: int = 256,
+                              w: int = 16, max_bucket: int = 1 << 20,
                               num_shards: int = 64,
                               broadcast_limit: int = SPAN_BROADCAST_LIMIT,
                               store_dir: str | None = None):

@@ -802,7 +802,7 @@ def test_curate_passage_dedup_stage(tmp_path, ray_session):
         if r["row_id"] % 3 == 0:
             assert boiler not in r["text"]            # later copies cut
     import os
-    assert os.path.exists(f"{ck}/passage_spans.parquet")
+    assert os.path.exists(f"{ck}/passage_spans/manifest.json")
     out2 = tmp_path / "o2"
     assert main(common + ["--output", str(out2)]) == 0  # re-attach
     lines = [json.loads(ln) for ln in

@@ -205,3 +205,98 @@ def test_span_store_path_matches_broadcast(ray_session, tmp_path):
     assert via_bcast["text"].tolist() == via_store["text"].tolist()
     assert (via_store["text"] != df.sort_values("doc_id")["text"]
             .reset_index(drop=True)).any()  # something was actually cut
+
+
+def test_join_path_carries_positions(ray_session):
+    """The hash-join fallback of the pair-payload attach must carry
+    pos_a/pos_b through both joins (the broadcast path keeps them for
+    free; a dropped column here crashes the extend stage only at
+    production scale)."""
+    import ray.data
+
+    from libfilter_ray.stages.dedup import _attach_pair_payloads
+
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "id_a": np.array([1, 1, 2], dtype=np.int64),
+        "id_b": np.array([2, 3, 3], dtype=np.int64),
+        "pos_a": np.array([10, 20, 30], dtype=np.int64),
+        "pos_b": np.array([11, 21, 31], dtype=np.int64)})).materialize()
+    cand = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "__txt": ["aaa", "bbb", "ccc"]})).materialize()
+    joined = _attach_pair_payloads(
+        pairs, cand, "doc_id", "__txt", 4,
+        broadcast_limit=0, carry_cols=["pos_a", "pos_b"]).to_pandas()
+    assert {"pos_a", "pos_b", "__txt_a", "__txt_b"} <= set(joined.columns)
+    assert len(joined) == 3
+    row = joined[(joined["id_a"] == 1) & (joined["id_b"] == 3)].iloc[0]
+    assert (row["pos_a"], row["pos_b"]) == (20, 21)
+
+
+def test_same_diagonal_distinct_passages_both_removed(ray_session):
+    """Two distinct duplicated passages separated by equal-length junk
+    land on ONE diagonal; both must still be detected (the old
+    one-rep-per-diagonal dedupe dropped the second)."""
+    import ray.data
+
+    from libfilter_ray.stages.passages import duplicate_passage_spans
+
+    rng = np.random.default_rng(23)
+    X = "".join(rng.choice(list("abcdefgh"), size=100))
+    Y = "".join(rng.choice(list("qrstuvwx"), size=100))
+    docA = X + "1" * 50 + Y
+    docB = X + "2" * 50 + Y
+    df = pd.DataFrame({"doc_id": np.array([0, 1], dtype=np.int64),
+                       "text": [docA, docB]})
+    got = duplicate_passage_spans(
+        ray.data.from_pandas(df), "text", "doc_id",
+        min_len=64).to_pandas()
+    spans = sorted((int(s), int(e)) for _, (s, e) in
+                   got.loc[got["doc"] == 1, ["start", "end"]].iterrows())
+    assert spans == [(0, 100), (150, 250)], spans  # X and Y both cut
+
+
+def test_utf8_boundary_snap(ray_session):
+    """Byte extension stopping mid-multibyte-character must not produce
+    undecodable output (spans snap inward to char boundaries)."""
+    import ray.data
+
+    from libfilter_ray.stages.passages import remove_duplicate_passages
+
+    rng = np.random.default_rng(29)
+    passage = "".join(rng.choice(list("abcdefgh"), size=100))
+    # shared lead byte 0xC3: é = C3 A9, è = C3 A8 — extension runs into
+    # the lead byte and stops between C3 and the continuation
+    texts = [passage + "é after one", passage + "è after two"]
+    df = pd.DataFrame({"doc_id": np.array([0, 1], dtype=np.int64),
+                       "text": texts})
+    out = remove_duplicate_passages(
+        ray.data.from_pandas(df), "text", "doc_id",
+        min_len=64).to_pandas().sort_values("doc_id")
+    assert out.iloc[0]["text"] == texts[0]
+    cleaned = out.iloc[1]["text"]          # decodes without error
+    assert passage not in cleaned
+    assert "è" in cleaned                  # the straddled char survives
+
+
+def test_span_store_multi_file_straddle(ray_session, tmp_path):
+    """A doc whose spans straddle several store parts must get ALL of
+    them back (the first store lookup only probed one neighbor file)."""
+    import ray.data
+
+    from libfilter_ray.stages.passages import SpanStore
+
+    spans = pd.DataFrame({
+        "doc": np.array([1] * 40 + [2] * 3, dtype=np.int64),
+        "start": np.arange(43, dtype=np.int64) * 100,
+        "end": np.arange(43, dtype=np.int64) * 100 + 50})
+    ds = ray.data.from_pandas(spans)
+    store = SpanStore.write(ds, str(tmp_path / "s"), rows_per_file=8)
+    assert len(store.files) >= 4
+    d, s, e = store.spans_for(np.array([1], dtype=np.int64))
+    assert len(d) == 40 and (d == 1).all()
+    assert sorted(s.tolist()) == [i * 100 for i in range(40)]
+    d2, s2, e2 = store.spans_for(np.array([2, 99], dtype=np.int64))
+    assert len(d2) == 3
+    d3, _, _ = store.spans_for(np.array([99], dtype=np.int64))
+    assert len(d3) == 0
