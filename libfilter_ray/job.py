@@ -595,19 +595,21 @@ def _cached_array(path: str, compute, column: str = "v"):
 
 def _cmd_curate(args: argparse.Namespace) -> int:
     """Composed crawl-to-corpus curation over a web-page-shaped table:
-    keep-newest capture per url -> per-domain cap -> benchmark
-    decontamination -> self-trained frequency quality filter -> per-lang
-    token budget. Every stage is optional; each is the streaming form of
-    its stages/crawl.py / stages/corpus.py operator (bounded
-    broadcast/DropIdStore carriers throughout).
+    keep-newest capture per url -> duplicate-passage removal ->
+    per-domain cap -> benchmark decontamination -> self-trained
+    frequency quality filter -> per-lang token budget. Every stage is
+    optional; each is the streaming form of its stages/crawl.py /
+    stages/corpus.py / stages/passages.py operator (bounded
+    broadcast/DropIdStore/SpanStore carriers throughout).
 
     With --checkpoint-dir every expensive full-corpus artifact persists
     on shared storage and a resubmitted run re-attaches instead of
     recomputing: the url-dedup drop set and domain-cap keep set as
-    range-partitioned DropIdStores, the benchmark shingle set and the
-    frequency vocabulary as parquet arrays, the budget keep set as a
-    parquet + boundary json. A curate.json manifest pins the flag
-    identity (two-sided check, same contract as the clean job)."""
+    range-partitioned DropIdStores, the passage spans as a SpanStore,
+    the benchmark shingle set and the frequency vocabulary as parquet
+    arrays, the budget keep set as a parquet + boundary json. A
+    curate.json manifest pins the flag identity (two-sided check, same
+    contract as the clean job)."""
     import ray
     import ray.data
 
@@ -633,6 +635,10 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     ) if on]
     if not stages:
         raise SystemExit("all curation stages disabled — nothing to do")
+    if args.passage_dedup and args.passage_dedup < 31:
+        raise SystemExit(  # validate BEFORE any stage runs
+            "--passage-dedup must be >= 31 (the winnowing detection "
+            f"bound w + k - 1), got {args.passage_dedup}")
     ck = args.checkpoint_dir
     mode = "checkpointed" if ck else "streaming"
     print(f"stages ({mode}): " + " -> ".join(stages), file=sys.stderr)
@@ -683,10 +689,6 @@ def _cmd_curate(args: argparse.Namespace) -> int:
                                   ts_col=args.ts_column,
                                   id_col=args.id_column)
     if args.passage_dedup:
-        if args.passage_dedup < 31:
-            raise SystemExit(
-                "--passage-dedup must be >= 31 (the winnowing detection "
-                f"bound w + k - 1), got {args.passage_dedup}")
         if ck:
             import numpy as np
 

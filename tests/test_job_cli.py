@@ -809,3 +809,19 @@ def test_curate_passage_dedup_stage(tmp_path, ray_session):
              open(f"{ck}/metrics.jsonl").read().splitlines()
              if json.loads(ln)["stage"] == "passage-dedup"]
     assert [m["cached"] for m in lines] == [False, True]
+
+
+def test_curate_passage_dedup_bound_validated(tmp_path, ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "url": ["https://a/b"], "warc_ts": [pd.Timestamp("2024-01-01")],
+        "text": ["x"], "lang": ["en"], "row_id": [1]}),
+        preserve_index=False), src / "pages.parquet")
+    with pytest.raises(SystemExit):
+        main(["curate", "--input", str(src), "--table", "pages",
+              "--column", "text", "--id-column", "row_id",
+              "--passage-dedup", "16"])
