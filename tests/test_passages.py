@@ -300,3 +300,55 @@ def test_span_store_multi_file_straddle(ray_session, tmp_path):
     assert len(d2) == 3
     d3, _, _ = store.spans_for(np.array([99], dtype=np.int64))
     assert len(d3) == 0
+
+
+def test_passage_spans_randomized_trials(ray_session):
+    """Randomized corpora (planted shared chunks at random offsets, some
+    overlapping/nested) against the brute-force reference. The engine
+    pairs only min+adjacent bucket partners (documented), so a span's
+    BOUNDARY can land a few bytes inside the all-pairs-union maximum
+    when a different partner shares one extra coincidental byte —
+    soundness must be exact (every engine span inside a brute span) and
+    every brute span must be covered up to a small boundary slack."""
+    import ray.data
+
+    from libfilter_ray.stages.passages import duplicate_passage_spans
+
+    SLACK = 8
+    for trial in range(3):
+        rng = np.random.default_rng(100 + trial)
+
+        def rnd(n):
+            return "".join(rng.choice(list("abcdefgh ij"), size=n))
+
+        chunks = [rnd(int(rng.integers(64, 140))) for _ in range(3)]
+        texts = {}
+        for d in range(6):
+            parts = [rnd(int(rng.integers(10, 60)))]
+            for c in chunks:
+                if rng.random() < 0.5:
+                    parts.append(c)
+                    parts.append(rnd(int(rng.integers(5, 30))))
+            texts[d] = "".join(parts)
+        df = pd.DataFrame({"doc_id": list(texts),
+                           "text": list(texts.values())})
+        got = duplicate_passage_spans(
+            ray.data.from_pandas(df).repartition(3), "text", "doc_id",
+            min_len=64).to_pandas()
+        want = _brute_common_spans(texts, 64)
+        got_by_doc = {int(d): sorted(
+            (int(s), int(e)) for _, (s, e) in
+            got.loc[got["doc"] == d, ["start", "end"]].iterrows())
+            for d in got["doc"].unique()} if len(got) and \
+            "doc" in got.columns else {}
+        for d, spans in want.items():
+            mine = got_by_doc.get(d, [])
+            assert len(mine) == len(spans), (trial, d, mine, spans)
+            for (gs, ge), (ws, we) in zip(mine, spans):
+                # soundness: engine span inside the true duplicate region
+                assert ws <= gs and ge <= we, (trial, d, mine, spans)
+                # coverage: boundaries within the pairing slack
+                assert gs - ws <= SLACK and we - ge <= SLACK, \
+                    (trial, d, mine, spans)
+        for d, mine in got_by_doc.items():
+            assert d in want and len(want[d]) == len(mine)
