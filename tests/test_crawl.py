@@ -321,3 +321,33 @@ def test_crawl_ops_never_collect_payloads(ray_session, monkeypatch):
     for cols, rows in collected:
         assert not banned & set(cols), \
             f"payload columns collected to driver: {cols} ({rows} rows)"
+
+
+def test_crawl_delta_randomized(ray_session):
+    """Randomized snapshot pairs vs a pandas outer-merge reference."""
+    import ray.data
+
+    from libfilter_ray.stages.crawl import crawl_delta
+
+    for trial in range(3):
+        rng = np.random.default_rng(50 + trial)
+        urls = [f"https://d{i % 4}.example.org/p{i}" for i in range(60)]
+        a_idx = rng.choice(60, size=40, replace=False)
+        b_idx = rng.choice(60, size=40, replace=False)
+        a = pd.DataFrame({
+            "url": [urls[i] for i in a_idx],
+            "text": [f"v{rng.integers(0, 2)} of {i}" for i in a_idx]})
+        b = pd.DataFrame({
+            "url": [urls[i] for i in b_idx],
+            "text": [f"v{rng.integers(0, 2)} of {i}" for i in b_idx]})
+        got = crawl_delta(ray.data.from_pandas(a).repartition(3),
+                          ray.data.from_pandas(b).repartition(3)) \
+            .to_pandas().set_index("url")["status"].to_dict()
+        m = a.merge(b, on="url", how="outer", suffixes=("_a", "_b"),
+                    indicator=True)
+        for _, r in m.iterrows():
+            want = ("added" if r["_merge"] == "right_only" else
+                    "removed" if r["_merge"] == "left_only" else
+                    "unchanged" if r["text_a"] == r["text_b"]
+                    else "changed")
+            assert got[r["url"]] == want, (trial, r["url"])

@@ -203,3 +203,31 @@ def test_jaccard_pairwise_matches_set_reference(pairs, k):
         union = len(A | B)
         want = inter / union if union else 1.0
         assert abs(got[i] - want) < 1e-12, (i, a, b, got[i], want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(alphabet="abcdefgh", min_size=60, max_size=150),
+       st.text(alphabet="xyzw", min_size=0, max_size=40),
+       st.text(alphabet="pqrs", min_size=0, max_size=40))
+def test_winnow_anchor_alignment_property(passage, pre, post):
+    """For ANY shared substring long enough to contain a full window,
+    interior winnowing anchors align at identical content offsets in
+    both embeddings — the passage-dedup detection guarantee."""
+    from libfilter_ray.stages.passages import winnow_anchor_positions
+
+    k, w = 16, 16
+    t1 = pre + passage + post
+    t2 = post + pre + passage + pre + post  # different surroundings
+    h, row, pos = winnow_anchor_positions(
+        pa.array([t1, t2], type=pa.string()), k=k, w=w)
+    off1 = len(pre.encode())
+    off2 = len((post + pre).encode())
+    plen = len(passage.encode())
+    margin = w + k - 1
+
+    def interior(r, off):
+        return {(int(hh), int(p) - off)
+                for hh, rr, p in zip(h, row, pos)
+                if rr == r and off + margin <= p < off + plen - margin}
+
+    assert interior(0, off1) == interior(1, off2)
