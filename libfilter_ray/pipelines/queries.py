@@ -1736,6 +1736,119 @@ def q_ann_topk_pq(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_ann_topk_ivf_exhaustive(sf_dir: str) -> pd.DataFrame:
+    """The IVF path under the driver's SQL gate: with nprobe =
+    num_centroids every inverted list is probed, the centroid mask is
+    all-True, and ivf_topk is EXACTLY brute force (same scores, same
+    deterministic tie-break) — so the approximate operator's machinery
+    (train -> broadcast -> per-batch masked scoring -> partial top-k ->
+    exact merge) is validated end-to-end against SQL_ANN_TOPK. float64
+    kernel for bit-parity with the double-precision oracle."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import ivf_topk
+
+    emb = _read(sf_dir, "embeddings")
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+        .sort_by("vec_id").slice(0, 3)
+    Q = np.stack([np.asarray(v) for v in qtab["embedding"].to_pylist()])
+    qids = np.asarray(qtab["vec_id"]).astype(np.int64)
+    out = ivf_topk(emb, Q, k=5, num_centroids=8, nprobe=8,
+                   dtype=np.float64)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    out = out.drop(columns=["cosine"])  # float tie-breaks live in `rank`
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_ann_topk_pq_exhaustive(sf_dir: str) -> pd.DataFrame:
+    """The PQ path under the driver's SQL gate: rerank*k >= batch_size
+    makes every row of every block a rerank candidate, so the exact-cosine
+    rerank IS brute force regardless of codebook quality — validating the
+    encode/ADC/gather/rerank machinery end-to-end against SQL_ANN_TOPK
+    (float64 rerank for oracle bit-parity)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import pq_topk
+
+    emb = _read(sf_dir, "embeddings")
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+        .sort_by("vec_id").slice(0, 3)
+    Q = np.stack([np.asarray(v) for v in qtab["embedding"].to_pylist()])
+    qids = np.asarray(qtab["vec_id"]).astype(np.int64)
+    out = pq_topk(emb, Q, k=5, m=8, ncodes=64, rerank=820,
+                  batch_size=4096, rerank_dtype=np.float64)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    out = out.drop(columns=["cosine"])
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _list_f64(A: np.ndarray) -> pa.ListArray:
+    n, d = A.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+        pa.array(np.ascontiguousarray(A, dtype=np.float64).ravel(),
+                 type=pa.float64()))
+
+
+def q_embedding_exact_pairs(sf_dir: str) -> pd.DataFrame:
+    """Distributed EXACT cosine similarity self-join (stages/ann.py:
+    exact_cosine_pairs) — the deterministic, SQL-gated complement of the
+    hyperplane-LSH `embedding_near_dup` row, exactly as
+    ngram_jaccard_near_dup anchors MinHash+LSH. Planting is
+    SQL-expressible: each vector is cloned at vec_id+100000 with +0.2 on
+    its first component (planted-pair cosine 0.980-0.985 on this corpus vs
+    max non-planted 0.567, so threshold 0.8 has a ~0.2 margin on both
+    sides — float-summation-order noise between numpy and DuckDB is
+    irrelevant). Two chunked passes exercise the bounded-broadcast shape;
+    output is integer pairs only."""
+    from ..stages.ann import exact_cosine_pairs
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "embedding": pa.array([], type=pa.list_(
+                              pa.float64()))})
+        if not len(ids):
+            return empty
+        col = t["embedding"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # float64 from the start: SQL casts each float32 element to DOUBLE
+        # before adding 0.2, so the engine must too (exact same values)
+        X = np.asarray(col.values, dtype=np.float64).reshape(len(ids), -1)
+        P = X.copy()
+        P[:, 0] += 0.2
+        return pa.table({
+            "vec_id": pa.array(np.concatenate([ids, ids + 100000])),
+            "embedding": _list_f64(np.vstack([X, P])),
+        })
+
+    dup = emb.map_batches(plant, batch_format="pyarrow")
+    pairs = exact_cosine_pairs(dup, threshold=0.8, num_chunks=2)
+    out = pairs[["id_a", "id_b"]].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_EMBEDDING_EXACT_PAIRS = """
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         [CAST(embedding[1] AS DOUBLE) + 0.2]
+           || list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
 def q_minhash_near_dup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup detection over documents with planted near
     duplicates (each doc cloned at +100000 with a token appended). Returns
@@ -1852,6 +1965,47 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     out["n_images"] = out["n_images"].astype("int64")
     out["avg_bytes"] = out["avg_bytes"].round(2)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_multimodal_meta_counts(sf_dir: str) -> pd.DataFrame:
+    """SQL-gated slice of the multimodal plumbing: the image pipeline runs
+    for REAL (deterministic payload attach -> actor-pool feature stage, the
+    wide binary column dying in-stage), and the aggregate groups on typed
+    metadata the oracle can recompute — format is doc_id-parity by
+    construction (stages/multimodal.py:attach_fake_images). The exact-count
+    companion to the rows-only `multimodal_features` row, same pattern as
+    the membership companions of the sketch-payload rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ..stages.multimodal import ImageFeatureStage, attach_fake_images
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    feats = ds.map_batches(attach_fake_images, batch_format="pyarrow",
+                           batch_size=256) \
+        .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                     batch_size=256, concurrency=(2, 16))
+
+    def meta_only(t: pa.Table) -> pa.Table:
+        meta = t["image_meta"]
+        meta = meta.combine_chunks() if isinstance(meta, pa.ChunkedArray) \
+            else meta
+        return pa.table({"lang": t["lang"],
+                         "format": pc.struct_field(meta, "format")})
+
+    out = feats.map_batches(meta_only, batch_format="pyarrow") \
+        .groupby(["lang", "format"]) \
+        .aggregate(Count(alias_name="n_images")).to_pandas()
+    out["n_images"] = out["n_images"].astype("int64")
+    return out.sort_values(["lang", "format"]).reset_index(drop=True)
+
+
+SQL_MULTIMODAL_META_COUNTS = """
+SELECT lang,
+       CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+       count(*)::BIGINT AS n_images
+FROM documents GROUP BY lang, format ORDER BY lang, format
+"""
 
 
 def q_domain_doc_counts(sf_dir: str) -> pd.DataFrame:
@@ -3640,6 +3794,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
     "duplicate_passage_stats": q_duplicate_passage_stats,
+    "ann_topk_ivf_exhaustive": q_ann_topk_ivf_exhaustive,
+    "ann_topk_pq_exhaustive": q_ann_topk_pq_exhaustive,
+    "embedding_exact_pairs": q_embedding_exact_pairs,
+    "multimodal_meta_counts": q_multimodal_meta_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -3700,4 +3858,8 @@ ORACLES: dict[str, str] = {
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
+    "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,
+    "ann_topk_pq_exhaustive": SQL_ANN_TOPK,
+    "embedding_exact_pairs": SQL_EMBEDDING_EXACT_PAIRS,
+    "multimodal_meta_counts": SQL_MULTIMODAL_META_COUNTS,
 }

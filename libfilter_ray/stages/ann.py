@@ -90,6 +90,80 @@ def brute_topk(ds, queries: np.ndarray, *, column: str = "embedding",
     return out
 
 
+def exact_cosine_pairs(ds, *, column: str = "embedding",
+                       id_column: str = "vec_id", threshold: float = 0.8,
+                       num_chunks: int = 1, batch_size: int = 4096,
+                       dtype=np.float64) -> pd.DataFrame:
+    """Distributed EXACT cosine similarity self-join: every pair
+    (id_a < id_b) with cosine >= threshold. The deterministic complement of
+    the hyperplane-LSH near-dup path (stages/dedup.py:
+    embedding_near_dup_pairs) — LSH trades recall for subquadratic cost;
+    this is the exact tool for small/medium corpora and the conformance
+    oracle for the approximate one (mirroring how ngram_jaccard_near_dup
+    anchors MinHash+LSH).
+
+    Scale shape: exact all-pairs is inherently O(n^2) compute. It runs as
+    `num_chunks` streaming passes: pass c gathers ONLY chunk c (rows with
+    splitmix64(id) % num_chunks == c) into one plasma broadcast, then
+    streams the WHOLE corpus against it — each task one (batch x chunk)
+    matmul, emitting only above-threshold pairs whose streamed id is
+    smaller than the chunk id (each unordered pair is owned by exactly one
+    pass: the one holding its larger id). Peak broadcast memory is
+    O(n/num_chunks x dim) regardless of corpus size; compute spreads over
+    blocks x chunks tasks. The collected result is O(matching pairs) only.
+    """
+    import ray
+
+    from ..sketch.hashing import splitmix64
+
+    def ids_of(t: pa.Table) -> np.ndarray:
+        col = t[id_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return np.asarray(col).astype(np.int64)
+
+    parts = []
+    for c in range(num_chunks):
+        def pick_chunk(t: pa.Table, c=c) -> pa.Table:
+            ids = ids_of(t)
+            keep = (splitmix64(ids.view(np.uint64), seed=0xC41F)
+                    % np.uint64(num_chunks)) == np.uint64(c)
+            return t.select([id_column, column]).filter(pa.array(keep))
+
+        chunk = ds.map_batches(pick_chunk, batch_format="pyarrow",
+                               batch_size=batch_size).to_pandas()
+        if not len(chunk):
+            continue
+        cids = chunk[id_column].to_numpy().astype(np.int64)
+        M = _normalize(np.stack(chunk[column].to_numpy()).astype(dtype))
+        cref = ray.put((cids, M))
+
+        def scan(t: pa.Table) -> pa.Table:
+            empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                              "id_b": pa.array([], type=pa.int64()),
+                              "cosine": pa.array([], type=pa.float64())})
+            if t.num_rows == 0:
+                return empty
+            cid, Mm = ray.get(cref)  # zero-copy plasma read per task
+            X = _normalize(_matrix(t, column, Mm.dtype))
+            bids = ids_of(t)
+            sim = X @ Mm.T  # (batch, chunk)
+            hit = (sim >= threshold) & (bids[:, None] < cid[None, :])
+            r, k = np.nonzero(hit)
+            return pa.table({
+                "id_a": pa.array(bids[r]),
+                "id_b": pa.array(cid[k]),
+                "cosine": pa.array(sim[r, k].astype(np.float64)),
+            })
+
+        parts.append(ds.map_batches(scan, batch_format="pyarrow",
+                                    batch_size=batch_size).to_pandas())
+
+    if not parts:
+        return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def train_centroids(ds, *, column: str = "embedding", num_centroids: int = 16,
                     sample_rows: int = 4096, iters: int = 10,
                     seed: int = 11) -> np.ndarray:
@@ -249,7 +323,8 @@ def pq_topk(ds, queries: np.ndarray, *, column: str = "embedding",
             id_column: str = "vec_id", k: int = 10, m: int = 8,
             ncodes: int = 256, rerank: int = 4,
             batch_size: int = 4096,
-            books: np.ndarray | None = None) -> pd.DataFrame:
+            books: np.ndarray | None = None,
+            rerank_dtype=np.float32) -> pd.DataFrame:
     """PQ approximate top-k with exact rerank: codebooks train on a
     bounded sample, every batch encodes to m uint8 codes and scores ALL
     queries by asymmetric distance (one (m x ncodes) lookup table per
@@ -258,7 +333,12 @@ def pq_topk(ds, queries: np.ndarray, *, column: str = "embedding",
     only the gathered candidate vectors. Same output schema as
     `brute_topk`; recall depends on m/ncodes (asserted vs brute in
     tests). At scale the corpus-resident state is the m-byte code table —
-    a dim*4/m-fold memory reduction (32x at dim=64, m=8)."""
+    a dim*4/m-fold memory reduction (32x at dim=64, m=8).
+
+    Exhaustive gate: when rerank*k >= batch_size every row of every block
+    becomes a rerank candidate, so the exact-cosine rerank IS brute force —
+    with rerank_dtype=np.float64 the output matches brute_topk bit-for-bit
+    and shares its SQL oracle (`ann_topk_pq_exhaustive`)."""
     import ray
 
     if books is None:
@@ -326,7 +406,8 @@ def pq_topk(ds, queries: np.ndarray, *, column: str = "embedding",
 
     vecs = ds.map_batches(pick, batch_format="pyarrow",
                           batch_size=batch_size).to_pandas()
-    V = _normalize(np.stack(vecs[column].to_numpy()).astype(np.float32))
+    V = _normalize(np.stack(vecs[column].to_numpy()).astype(rerank_dtype))
+    Qr = _normalize(np.asarray(queries, dtype=rerank_dtype))
     vid = vecs[id_column].to_numpy().astype(np.int64)
     order = np.argsort(vid)
     vid, V = vid[order], V[order]
@@ -336,7 +417,7 @@ def pq_topk(ds, queries: np.ndarray, *, column: str = "embedding",
             cand.loc[cand["query_id"] == qi, "neighbor_id"]
             .to_numpy().astype(np.int64))
         pos = np.searchsorted(vid, nb)
-        cos = V[pos] @ Q[qi]
+        cos = V[pos] @ Qr[qi]
         sel = np.lexsort((nb, -cos))[:k]
         for r, s in enumerate(sel):
             out_rows.append((qi, nb[s], float(cos[s]), r + 1))
@@ -347,12 +428,18 @@ def pq_topk(ds, queries: np.ndarray, *, column: str = "embedding",
 def ivf_topk(ds, queries: np.ndarray, *, column: str = "embedding",
              id_column: str = "vec_id", k: int = 10, num_centroids: int = 16,
              nprobe: int = 4, batch_size: int = 4096,
-             train: str = "sample") -> pd.DataFrame:
+             train: str = "sample", dtype=np.float32) -> pd.DataFrame:
     """IVF approximate top-k: score only rows whose nearest centroid is in
     the query's `nprobe` closest lists. Same output schema as brute_topk.
     train="sample" (default) trains centroids driver-side on a bounded
     sample; train="distributed" runs full-corpus Lloyd iterations
-    (train_centroids_distributed) — the 100 TB path."""
+    (train_centroids_distributed) — the 100 TB path.
+
+    With nprobe >= num_centroids every list is probed, the centroid mask is
+    all-True, and the result is EXACTLY brute_topk (same scores, same
+    deterministic tie-break) — pass dtype=np.float64 for bit-parity with a
+    double-precision SQL oracle. That exhaustive mode is how the IVF path is
+    driver-gated (`ann_topk_ivf_exhaustive`)."""
     import ray
 
     if train == "distributed":
@@ -360,7 +447,8 @@ def ivf_topk(ds, queries: np.ndarray, *, column: str = "embedding",
                                         num_centroids=num_centroids)
     else:
         C = train_centroids(ds, column=column, num_centroids=num_centroids)
-    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    C = C.astype(dtype)
+    Q = _normalize(np.asarray(queries, dtype=dtype))
     # per-query probe set (nprobe nearest centroids)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
     allowed = np.zeros((Q.shape[0], C.shape[0]), dtype=bool)
@@ -374,7 +462,7 @@ def ivf_topk(ds, queries: np.ndarray, *, column: str = "embedding",
                              "neighbor_id": pa.array([], type=pa.int64()),
                              "cosine": pa.array([], type=pa.float64())})
         Qm, Cm, allow = ray.get(qref)  # zero-copy plasma read per task
-        X = _normalize(_matrix(t, column))
+        X = _normalize(_matrix(t, column, Qm.dtype))
         ids = np.asarray(t[id_column].combine_chunks()
                          if isinstance(t[id_column], pa.ChunkedArray)
                          else t[id_column]).astype(np.int64)

@@ -361,6 +361,80 @@ def test_ivf_recall_vs_brute(ray_session):
     assert np.mean(recalls) >= 0.7, recalls
 
 
+def test_ivf_exhaustive_probe_equals_brute(ray_session):
+    """nprobe = num_centroids probes every list -> the centroid mask is
+    all-True and ivf_topk must equal brute_topk exactly (neighbor ids AND
+    ranks) — the invariant behind the SQL-gated ann_topk_ivf_exhaustive."""
+    import pyarrow.parquet as pq
+
+    from libfilter_ray.stages.ann import brute_topk, ivf_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+    Q = X[7:12]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet").repartition(4)
+    exact = brute_topk(ds, Q, k=8, dtype=np.float64)
+    full = ivf_topk(ds, Q, k=8, num_centroids=8, nprobe=8,
+                    dtype=np.float64)
+    pd.testing.assert_frame_equal(
+        full[["query_id", "neighbor_id", "rank"]].reset_index(drop=True),
+        exact[["query_id", "neighbor_id", "rank"]].reset_index(drop=True))
+
+
+def test_pq_exhaustive_rerank_equals_brute(ray_session):
+    """rerank*k >= batch_size makes every row a rerank candidate, so the
+    exact-cosine rerank IS brute force regardless of codebook quality —
+    the invariant behind the SQL-gated ann_topk_pq_exhaustive."""
+    import pyarrow.parquet as pq
+
+    from libfilter_ray.stages.ann import brute_topk, pq_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+    Q = X[3:6]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet").repartition(4)
+    exact = brute_topk(ds, Q, k=6, dtype=np.float64)
+    full = pq_topk(ds, Q, k=6, m=8, ncodes=32, rerank=700,
+                   batch_size=4096, rerank_dtype=np.float64)
+    pd.testing.assert_frame_equal(
+        full[["query_id", "neighbor_id", "rank"]].reset_index(drop=True),
+        exact[["query_id", "neighbor_id", "rank"]].reset_index(drop=True))
+
+
+def test_exact_cosine_pairs_matches_numpy_and_chunk_invariant(ray_session):
+    """exact_cosine_pairs == the O(n^2) numpy reference (every pair once,
+    id_a < id_b), and the result is identical at any num_chunks — the
+    chunking is a memory shape, not a semantics knob."""
+    from libfilter_ray.stages.ann import exact_cosine_pairs
+
+    rng = np.random.default_rng(42)
+    # 3 clusters + noise so there ARE above-threshold pairs
+    centers = rng.normal(size=(3, 16))
+    X = np.repeat(centers, 40, axis=0) + rng.normal(scale=0.25,
+                                                    size=(120, 16))
+    ids = rng.permutation(3000)[:120].astype(np.int64)  # non-contiguous ids
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    ref = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+           for i in range(120) for j in range(i + 1, 120)
+           if S[i, j] >= 0.8}
+    assert len(ref) > 100  # the fixture actually exercises the operator
+
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([row.tolist() for row in X],
+                              type=pa.list_(pa.float64()))})).repartition(5)
+    outs = []
+    for nc in (1, 3):
+        out = exact_cosine_pairs(ds, threshold=0.8, num_chunks=nc,
+                                 batch_size=32)
+        got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+        assert len(got) == len(out), "duplicate pair emitted"
+        assert got == ref, nc
+        outs.append(out[["id_a", "id_b"]].reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 def test_distributed_kmeans_matches_local_lloyd(ray_session):
     """Full-corpus distributed Lloyd == a single-process Lloyd over the
     same data from the same init (up to float ulps in the summation order:
