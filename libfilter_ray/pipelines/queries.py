@@ -264,6 +264,41 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_exact_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group order statistics WITHOUT materializing any group
+    (stages/order_stats.py:exact_group_quantiles): iterative histogram
+    range refinement — rounds+2 streaming passes, probes x buckets driver
+    state, final bounded gather. The 100 TB-safe exact path: the
+    map_groups variant (`value_quantiles_by_type`) gathers each whole
+    group into one task, this one never does. Returns the value at rank
+    floor(q*(n-1)) per group — the exact stored double, so the oracle
+    (ORDER BY rank selection) matches bit-for-bit with no rounding."""
+    from ..stages.order_stats import exact_group_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return exact_group_quantiles(ds, "event_type", "value",
+                                 qs=(0.5, 0.9, 0.99), rounds=2, buckets=64)
+
+
+SQL_EXACT_VALUE_QUANTILES = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
+           AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       max(CASE WHEN rk = CAST(floor(0.50 * (n - 1)) AS BIGINT)
+                THEN value END) AS q50,
+       max(CASE WHEN rk = CAST(floor(0.90 * (n - 1)) AS BIGINT)
+                THEN value END) AS q90,
+       max(CASE WHEN rk = CAST(floor(0.99 * (n - 1)) AS BIGINT)
+                THEN value END) AS q99
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_top_users_by_events(sf_dir: str) -> pd.DataFrame:
     """Exact top-10 heavy hitters (the CMS verification oracle):
     groupby count -> total-order sort (count desc, user_id asc) -> limit."""
@@ -3798,6 +3833,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk_pq_exhaustive": q_ann_topk_pq_exhaustive,
     "embedding_exact_pairs": q_embedding_exact_pairs,
     "multimodal_meta_counts": q_multimodal_meta_counts,
+    "exact_value_quantiles": q_exact_value_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -3862,4 +3898,5 @@ ORACLES: dict[str, str] = {
     "ann_topk_pq_exhaustive": SQL_ANN_TOPK,
     "embedding_exact_pairs": SQL_EMBEDDING_EXACT_PAIRS,
     "multimodal_meta_counts": SQL_MULTIMODAL_META_COUNTS,
+    "exact_value_quantiles": SQL_EXACT_VALUE_QUANTILES,
 }
