@@ -154,6 +154,38 @@ def is_prefix_of(x: int, y: int) -> bool:
     return a == 0 or (a.bit_length() - 1) <= c
 
 
+def tail_pair(x: int, y: int) -> int:
+    """Combine two encoded tails that represent sequences identical except
+    for their LAST digit, returning the encoding of the one-digit-shorter
+    common prefix; 0 if not combinable (util.h:212-224 `tail_pair` /
+    util.hpp `Combinable` — an insert-elision optimization the reference
+    defines but never calls; provided for §2.8 kernel completeness).
+
+    Derivation (not a transliteration): a tail sequence b1..bk is encoded
+    as b1..bk followed by a 1 sentinel then zero padding, so two sequences
+    of equal length k differing only in bk have equal trailing-zero counts
+    z and an XOR with exactly one set bit, at position z+1. The combined
+    encoding moves the sentinel up one position, which is the average
+    (x + y) / 2 = common_prefix_bits + 2^(z+1).
+
+    Correctness properties (tested exhaustively): a slot holding the
+    combined value answers a SUPERSET of what x and y answered (so the
+    elision can never introduce a false negative), and EXACTLY their
+    union on full-length query tails (ctz == 0, i.e. tail*2+1 — the only
+    shape `find` ever probes with), so filter behavior is unchanged."""
+    assert x != 0 and y != 0 and x < (1 << 15) and y < (1 << 15)
+    if x == y:
+        return 0
+    xy = x ^ y
+    if xy & (xy - 1):  # more than one differing bit
+        return 0
+    zx = (x & -x).bit_length() - 1  # ctz
+    zy = (y & -y).bit_length() - 1
+    if zx != zy or xy != (1 << (zx + 1)):
+        return 0
+    return (x + y) >> 1
+
+
 def _is_prefix_of_vec(x: np.ndarray, qtail: np.ndarray) -> np.ndarray:
     """Vectorized is_prefix_of for uint16 arrays (x may be 0 -> False)."""
     x32 = x.astype(np.int32)

@@ -14,7 +14,7 @@ import pytest
 
 from libfilter_ray.sketch.taffy_cuckoo import (EMPTY_TAIL_MARK, Feistel,
                                                FrozenTaffyCuckoo, TaffyCuckoo,
-                                               is_prefix_of)
+                                               is_prefix_of, tail_pair)
 
 from conftest import rand_u64
 
@@ -61,6 +61,55 @@ def test_is_prefix_of_static_asserts():
     for x, y in [(1, 3), (1, 2), (3, 1), (3, 2), (5, 2), (6, 2), (7, 2),
                  (2, 5), (2, 6), (2, 7)]:
         assert not is_prefix_of(x, y)
+
+
+def test_tail_pair_static_asserts():
+    """cpp/include/filter/util.hpp Combinable static_asserts."""
+    assert tail_pair(1, 3) == 2
+    assert tail_pair(5, 7) == 6
+    assert tail_pair(2, 6) == 4
+    assert tail_pair(1, 5) == 0
+    assert tail_pair(1, 6) == 0
+
+
+def test_tail_pair_union_property_exhaustive():
+    """The property that makes the elision valid: a slot holding the
+    combined tail answers exactly the union of what x and y would answer,
+    for EVERY query tail. Exhaustive over 7-bit encodings (the structure
+    is width-independent), plus symmetry and only-last-digit-differs
+    soundness via an explicit decode."""
+
+    WIDTH = 15  # the reference's tail field (x >> 15 == 0 precondition)
+
+    def decode(e: int) -> str:
+        """encoding -> bit-sequence string. Per util.h:160-166 the
+        sequence is ALL bits above the lowest set 1 (the sentinel),
+        INCLUDING leading zeros: 0b01010101 -> '0101010' (width 8),
+        0b10000000... at the top -> the empty sequence."""
+        z = (e & -e).bit_length() - 1
+        k = WIDTH - 1 - z  # sequence length
+        return format(e >> (z + 1), "b").zfill(k) if k else ""
+
+    vals = range(1, 1 << 7)  # exhaustive over the low 7 bits of the field
+    for x in vals:
+        for y in vals:
+            if x == y:
+                continue
+            c = tail_pair(x, y)
+            assert c == tail_pair(y, x)  # commutative
+            sx, sy = decode(x), decode(y)
+            combinable = (len(sx) == len(sy) and len(sx) >= 1
+                          and sx[:-1] == sy[:-1] and sx[-1] != sy[-1])
+            assert (c != 0) == combinable, (x, y, sx, sy, c)
+            if c:
+                assert decode(c) == sx[:-1]
+                for q in vals:
+                    either = is_prefix_of(x, q) or is_prefix_of(y, q)
+                    # no false negatives: combined answers a superset
+                    assert not either or is_prefix_of(c, q), (x, y, q)
+                    if q & 1:  # full-length query tail (what find probes
+                        # with: tail*2+1, sentinel at bit 0) -> exact union
+                        assert is_prefix_of(c, q) == either, (x, y, q)
 
 
 def test_golden_sequential_conformance():
