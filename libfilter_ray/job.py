@@ -48,7 +48,9 @@ Subcommands:
 - ``profile`` one-pass column profile: rows, distinct estimate (HLL) and,
   for numeric columns, quantiles (KLL) — per key with ``--key``. The
   "what is in this corpus" first look, one streaming pass regardless of
-  corpus size.
+  corpus size. ``--exact-quantiles`` swaps the KLL estimates for exact
+  order statistics (stages/order_stats.py iterative range refinement — a
+  few extra streaming passes, still no group materialization).
 - ``list``    print every registered pipeline and whether it carries a
   DuckDB oracle.
 """
@@ -982,6 +984,8 @@ def _cmd_profile(args: argparse.Namespace) -> int:
             f"cannot profile column of type {ftype} — supported: "
             "string/binary (NDV) and integer/float (NDV + quantiles); "
             "cast timestamps/bools to a supported type first")
+    if args.exact_quantiles and not numeric:
+        raise SystemExit("--exact-quantiles requires a numeric column")
     ndv_col = args.column
     if pa.types.is_floating(ftype):
         # floats aren't hashable sketch keys — count distinctness on the
@@ -1029,6 +1033,18 @@ def _cmd_profile(args: argparse.Namespace) -> int:
                 row[f"p{int(q * 100):02d}"] = round(float(v), 4)
         rows.append(row)
     out = pd.DataFrame(rows)
+    if args.exact_quantiles and len(out):
+        # exact order statistics by iterative range refinement
+        # (stages/order_stats.py): a few extra streaming passes, no group
+        # ever materialized — replaces the KLL estimates with exact values
+        from .stages.order_stats import exact_group_quantiles
+
+        ex = exact_group_quantiles(ds, key, args.column, qs=_PROFILE_QS,
+                                   rounds=args.exact_rounds)
+        ex = ex.rename(columns={
+            f"q{int(q * 100)}": f"p{int(q * 100):02d}" for q in _PROFILE_QS})
+        kll_cols = [f"p{int(q * 100):02d}" for q in _PROFILE_QS]
+        out = out.drop(columns=kll_cols).merge(ex, on=key)
     if len(out):
         out = out.sort_values(key).reset_index(drop=True)
     if not args.key and f"{key}" in out.columns:
@@ -1204,6 +1220,12 @@ def make_parser() -> argparse.ArgumentParser:
     pf.add_argument("--key", default=None, help="profile per this key")
     pf.add_argument("--p", type=int, default=14, help="HLL precision")
     pf.add_argument("--k", type=int, default=200, help="KLL parameter")
+    pf.add_argument("--exact-quantiles", action="store_true",
+                    help="exact order statistics via iterative range "
+                         "refinement instead of KLL estimates (a few "
+                         "extra streaming passes)")
+    pf.add_argument("--exact-rounds", type=int, default=2,
+                    help="refinement rounds for --exact-quantiles")
     pf.add_argument("--output", default=None)
     pf.set_defaults(fn=_cmd_profile)
 

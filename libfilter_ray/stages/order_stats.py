@@ -178,5 +178,8 @@ def exact_group_quantiles(ds, key: str, column: str,
     rows: dict = {}
     for p in probes:
         rows.setdefault(p["group"], {})[f"q{int(p['q'] * 100)}"] = p["lo"]
+    if not rows:  # empty input / all-null column
+        return pd.DataFrame(columns=[key] + [f"q{int(q * 100)}"
+                                             for q in qs])
     out = pd.DataFrame([{key: g, **v} for g, v in rows.items()])
     return out.sort_values(key).reset_index(drop=True)

@@ -432,6 +432,42 @@ def test_profile_subcommand_within_sketch_bounds(tmp_path, ray_session):
     assert "p50" not in p2.columns  # string column: no quantiles
 
 
+def test_profile_exact_quantiles_match_duckdb(tmp_path, ray_session):
+    """`profile --exact-quantiles` returns EXACT order statistics (the
+    value at rank floor(q*(n-1))), bit-equal to DuckDB rank selection —
+    not KLL estimates; and rejects non-numeric columns up front."""
+    import duckdb
+    import pytest
+
+    out = tmp_path / "prof.parquet"
+    assert main(["profile", "--input", SF_DIR_01, "--table", "events",
+                 "--column", "value", "--key", "event_type",
+                 "--exact-quantiles", "--output", str(out)]) == 0
+    prof = pq.read_table(str(out)).to_pandas().set_index("event_type")
+    con = duckdb.connect()
+    exact = con.sql(
+        "WITH r AS (SELECT event_type, value,"
+        " row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 rk,"
+        " count(*) OVER (PARTITION BY event_type) n"
+        f" FROM read_parquet('{SF_DIR_01}/events.parquet')"
+        " WHERE value IS NOT NULL)"
+        " SELECT event_type,"
+        " max(CASE WHEN rk = CAST(floor(0.05*(n-1)) AS BIGINT)"
+        "     THEN value END) p05,"
+        " max(CASE WHEN rk = CAST(floor(0.50*(n-1)) AS BIGINT)"
+        "     THEN value END) p50,"
+        " max(CASE WHEN rk = CAST(floor(0.99*(n-1)) AS BIGINT)"
+        "     THEN value END) p99"
+        " FROM r GROUP BY event_type").df().set_index("event_type")
+    for k in exact.index:
+        for c in ("p05", "p50", "p99"):
+            assert prof.loc[k, c] == exact.loc[k, c], (k, c)
+
+    with pytest.raises(SystemExit, match="requires a numeric column"):
+        main(["profile", "--input", SF_DIR_01, "--table", "documents",
+              "--column", "text", "--exact-quantiles"])
+
+
 def test_profile_edge_cases(tmp_path, ray_session):
     """Profile review regressions: unsupported column types exit cleanly;
     zero-row tables produce an empty profile, not a KeyError; ungrouped
