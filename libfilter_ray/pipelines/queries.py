@@ -264,6 +264,65 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_part_lineitem_full_join(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER face of the hash-partitioned equi-join (stages/joins.py,
+    how='full outer'): large parts x per-part high-quantity lineitem
+    counts, where both directions have unmatched rows (parts nobody ships
+    in bulk; bulk-shipped parts that aren't large). Correct under
+    co-partitioning: an unmatched key null-extends exactly once, on its
+    own shard. Nulls are coalesced to sentinels IN BOTH the engine and the
+    SQL so the compared output is all-integer."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import hash_equi_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_size"]) \
+        .filter(expr="p_size >= 49")
+    big = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"]) \
+        .filter(expr="l_quantity >= 49") \
+        .groupby("l_partkey").aggregate(Count(alias_name="n_big"))
+    joined = hash_equi_join(
+        part, big, left_on="p_partkey", right_on="l_partkey",
+        left_cols=["p_size"], right_cols=["n_big"], how="full outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        size = t["p_size"].combine_chunks() \
+            if isinstance(t["p_size"], pa.ChunkedArray) else t["p_size"]
+        nbig = t["n_big"].combine_chunks() \
+            if isinstance(t["n_big"], pa.ChunkedArray) else t["n_big"]
+        lv = pc.is_valid(size).to_numpy(zero_copy_only=False)
+        rv = pc.is_valid(nbig).to_numpy(zero_copy_only=False)
+        status = np.where(lv & rv, "both",
+                          np.where(lv, "left_only", "right_only"))
+        return pa.table({
+            "partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "p_size": pc.cast(pc.fill_null(size, -1), pa.int64()),
+            "n_big": pc.cast(pc.fill_null(nbig, 0), pa.int64()),
+            "status": pa.array(status.tolist(), type=pa.string()),
+        })
+
+    out = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("partkey").reset_index(drop=True)
+
+
+SQL_PART_LINEITEM_FULL_JOIN = """
+WITH l AS (SELECT p_partkey AS partkey, p_size FROM part
+           WHERE p_size >= 49),
+     r AS (SELECT l_partkey AS partkey, count(*)::BIGINT AS n_big
+           FROM lineitem WHERE l_quantity >= 49 GROUP BY 1)
+SELECT COALESCE(l.partkey, r.partkey) AS partkey,
+       COALESCE(l.p_size, -1)::BIGINT AS p_size,
+       COALESCE(r.n_big, 0)::BIGINT AS n_big,
+       CASE WHEN l.partkey IS NOT NULL AND r.partkey IS NOT NULL
+            THEN 'both'
+            WHEN l.partkey IS NOT NULL THEN 'left_only'
+            ELSE 'right_only' END AS status
+FROM l FULL JOIN r ON l.partkey = r.partkey
+ORDER BY partkey
+"""
+
+
 def q_exact_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-group order statistics WITHOUT materializing any group
     (stages/order_stats.py:exact_group_quantiles): iterative histogram
@@ -3834,6 +3893,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_exact_pairs": q_embedding_exact_pairs,
     "multimodal_meta_counts": q_multimodal_meta_counts,
     "exact_value_quantiles": q_exact_value_quantiles,
+    "part_lineitem_full_join": q_part_lineitem_full_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -3899,4 +3959,5 @@ ORACLES: dict[str, str] = {
     "embedding_exact_pairs": SQL_EMBEDDING_EXACT_PAIRS,
     "multimodal_meta_counts": SQL_MULTIMODAL_META_COUNTS,
     "exact_value_quantiles": SQL_EXACT_VALUE_QUANTILES,
+    "part_lineitem_full_join": SQL_PART_LINEITEM_FULL_JOIN,
 }

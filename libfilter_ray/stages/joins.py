@@ -48,8 +48,12 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     correct, both sides agree.
 
     Output columns: [left_on] + left_cols + right_cols (names must be
-    disjoint; the right key is renamed to `left_on`). `how` is "inner" or
-    "left outer". With "left outer", unmatched right columns are null.
+    disjoint; the right key is renamed to `left_on`). `how` is "inner",
+    "left outer" or "full outer". With "left outer", unmatched right
+    columns are null; with "full outer" both directions null-extend and
+    the key column is coalesced (correct under co-partitioning: an
+    unmatched row's key hashes to exactly one shard, so it null-extends
+    exactly once, there).
 
     vs Ray 2.49's experimental ``Dataset.join`` (hash-shuffle + aggregator
     actors): measured on orders x lineitem at sf0.1/32 CPUs this
@@ -61,11 +65,13 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     `bloom_prune_right=True` builds a distributed BlockBloom of the LEFT
     keys (mergeable-partial tree, `sketch_build.build_sketch`) and filters
     the right side per batch BEFORE its shuffle — the classic semi-join
-    reduction, powered by the engine's own §2.1 sketch. Safe for both join
-    types (a pruned right row could never match; bloom false positives
-    just ride the shuffle and drop in the per-shard join). Worth it when
-    the right side is much larger than its matching fraction; the left
-    side pays one extra counting/build pass.
+    reduction, powered by the engine's own §2.1 sketch. Safe for inner and
+    left outer (a pruned right row could never match; bloom false
+    positives just ride the shuffle and drop in the per-shard join), but
+    REJECTED for full outer: a pruned right row must still appear
+    null-extended there. Worth it when the right side is much larger than
+    its matching fraction; the left side pays one extra counting/build
+    pass.
     """
     from ..sketch.hashing import hash_arrow_array, shard_of_values
 
@@ -73,8 +79,13 @@ def hash_equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     KEY = left_on
     out_cols = [KEY] + left_cols + right_cols
 
-    if how not in ("inner", "left outer"):
-        raise ValueError(f"how must be 'inner' or 'left outer', got {how!r}")
+    if how not in ("inner", "left outer", "full outer"):
+        raise ValueError("how must be 'inner', 'left outer' or "
+                         f"'full outer', got {how!r}")
+    if how == "full outer" and bloom_prune_right:
+        raise ValueError(
+            "bloom_prune_right is incompatible with a full outer join: "
+            "pruned right rows must still appear null-extended")
     carried = [KEY] + left_cols + right_cols
     dupes = {c for c in carried if carried.count(c) > 1}
     if dupes:

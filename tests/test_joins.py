@@ -153,6 +153,61 @@ def test_hash_equi_join_left_outer_nulls(ray_session, rng):
     assert sorted(out.loc[out["k"] == 2, "b"].astype(int)) == [7, 8]
 
 
+def test_hash_equi_join_full_outer_matches_pandas(ray_session, rng):
+    """Full outer == pandas outer merge: both directions null-extend,
+    fan-out keys multiply, the coalesced key is never null (non-null-key
+    rows), and each unmatched key appears exactly once."""
+    from libfilter_ray.stages.joins import hash_equi_join
+
+    n, m = 400, 600
+    lt = pa.table({
+        "lk": pa.array(rng.integers(0, 80, n), type=pa.int64()),
+        "a": pa.array(np.arange(n), type=pa.int64()),
+    })
+    rt = pa.table({
+        "rk": pa.array(rng.integers(40, 160, m), type=pa.int64()),
+        "b": pa.array(np.arange(m), type=pa.int64()),
+    })
+    out = hash_equi_join(
+        ray.data.from_arrow(lt).repartition(4),
+        ray.data.from_arrow(rt).repartition(3),
+        left_on="lk", right_on="rk", left_cols=["a"], right_cols=["b"],
+        num_shards=7, how="full outer").to_pandas()
+    want = lt.to_pandas().merge(
+        rt.to_pandas().rename(columns={"rk": "lk"}), on="lk", how="outer")
+    key = ["lk", "a", "b"]
+    a = out.sort_values(key).reset_index(drop=True)[key].astype("float64")
+    b = want.sort_values(key).reset_index(drop=True)[key].astype("float64")
+    pd.testing.assert_frame_equal(a, b)
+    assert out["lk"].notna().all()  # coalesced key
+    assert out["a"].isna().any() and out["b"].isna().any()  # both sides
+
+
+def test_hash_equi_join_full_outer_null_keys_and_prune_reject(ray_session):
+    """Null keys never match but DO null-extend from both sides under
+    full outer (SQL semantics); bloom pruning is rejected for full outer
+    (it would drop right-only rows)."""
+    from libfilter_ray.stages.joins import hash_equi_join
+
+    lt = pa.table({"k": pa.array([1, None, 3], type=pa.int64()),
+                   "a": pa.array([10, 20, 30], type=pa.int64())})
+    rt = pa.table({"rk": pa.array([None, 3, 5], type=pa.int64()),
+                   "b": pa.array([7, 8, 9], type=pa.int64())})
+    kw = dict(left_on="k", right_on="rk", left_cols=["a"],
+              right_cols=["b"], num_shards=3)
+    out = hash_equi_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                         how="full outer", **kw).to_pandas()
+    # 1 match (3-3) + left rows {1, null} + right rows {null, 5}
+    assert len(out) == 5
+    assert out.loc[out["b"] == 8, "k"].tolist() == [3]
+    assert out["k"].isna().sum() == 2  # one null-key row from EACH side
+    assert out.loc[out["a"].isna() & out["b"].isna()].empty
+
+    with pytest.raises(ValueError, match="incompatible with a full outer"):
+        hash_equi_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                       how="full outer", bloom_prune_right=True, **kw)
+
+
 def test_hash_equi_join_bloom_pruned_equals_plain(ray_session, rng):
     """Semi-join bloom reduction: identical result, right side pre-filtered
     before the shuffle (left keys cover ~1/4 of right keys)."""
