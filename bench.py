@@ -155,6 +155,11 @@ def run_bench() -> dict:
     # exact duplicate-passage removal (winnowing anchors -> min-partner
     # pairing -> byte-exact extend; 1250 planted copies at sf0.1)
     timed("duplicate_passage_stats", q.q_duplicate_passage_stats)
+    # exact order statistics by iterative range refinement (4 streaming
+    # passes over events.value, no group materialization)
+    timed("exact_value_quantiles", q.q_exact_value_quantiles)
+    # full-outer face of the hash-partitioned equi-join
+    timed("part_lineitem_full_join", q.q_part_lineitem_full_join)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)

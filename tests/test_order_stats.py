@@ -84,6 +84,34 @@ def test_final_cap_raises(ray_session):
         _run(df, rounds=0, final_cap=10)
 
 
+def test_never_collects_corpus_scale_frames(ray_session, monkeypatch):
+    """Scale guard (same spy as the dedup/crawl families): the operator may
+    collect only the per-group base aggregate, sparse probes x buckets
+    histogram partials, and the narrowed final gather — never a frame
+    anywhere near corpus size."""
+    import ray.data
+
+    n = 20_000
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], size=n),
+                       "v": rng.normal(0, 1, size=n)})
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    collected: list[int] = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    got = exact_group_quantiles(ds, "g", "v", qs=QS, rounds=2, buckets=32)
+    pd.testing.assert_frame_equal(got, _ref(df), check_exact=True)
+    assert collected, "spy never fired"
+    assert max(collected) < n / 4, collected
+
+
 def test_values_are_bit_exact_passthrough(ray_session):
     # the selected quantile must be one of the stored doubles, unmodified
     rng = np.random.default_rng(19)

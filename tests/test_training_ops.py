@@ -435,6 +435,39 @@ def test_exact_cosine_pairs_matches_numpy_and_chunk_invariant(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+def test_exact_cosine_pairs_bounded_broadcast(ray_session, monkeypatch):
+    """Scale guard: per chunked pass the operator may collect one
+    chunk-sized frame (the broadcast side, ~n/num_chunks rows) and the
+    O(matching pairs) result — never the full corpus in one frame."""
+    import ray.data
+
+    from libfilter_ray.stages.ann import exact_cosine_pairs
+
+    rng = np.random.default_rng(5)
+    n, chunks = 1200, 4
+    X = rng.normal(size=(n, 8))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in X],
+                              type=pa.list_(pa.float64()))})).repartition(5)
+
+    collected: list[int] = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    exact_cosine_pairs(ds, threshold=0.95, num_chunks=chunks,
+                       batch_size=256)
+    assert collected, "spy never fired"
+    # chunk gathers stay near n/num_chunks (hash-split slack x1.5); pair
+    # frames at threshold 0.95 on random gaussians are near-empty
+    assert max(collected) <= 1.5 * n / chunks, collected
+
+
 def test_distributed_kmeans_matches_local_lloyd(ray_session):
     """Full-corpus distributed Lloyd == a single-process Lloyd over the
     same data from the same init (up to float ulps in the summation order:
