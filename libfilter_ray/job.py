@@ -555,6 +555,23 @@ def _clean_checkpointed(args: argparse.Namespace, paths: list[str],
     return 0
 
 
+def _parse_mix(spec: str) -> dict[str, float]:
+    """'en=0.5,zh=0.2,...' -> {lang: weight}. Weight math (normalize,
+    floor to per-lang budgets) lives in stages/corpus.mixture_budgets."""
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        lang, eq, w = part.partition("=")
+        lang = lang.strip()
+        if not lang or not eq or not w.strip():
+            raise SystemExit(f"bad --mix entry {part!r} "
+                             "(want lang=weight,lang=weight,...)")
+        try:
+            out[lang] = float(w)
+        except ValueError:
+            raise SystemExit(f"bad --mix weight {w!r} for {lang!r}")
+    return out
+
+
 def _curate_manifest_guard(ck: str, args: argparse.Namespace) -> None:
     """Two-sided flag-identity check for a resumed curate run: every
     cached artifact under `ck` was computed under these exact flags, so
@@ -563,11 +580,13 @@ def _curate_manifest_guard(ck: str, args: argparse.Namespace) -> None:
         "table", "column", "id_column", "url_column", "ts_column",
         "lang_column", "no_url_dedup", "passage_dedup", "domain_cap",
         "benchmark", "benchmark_column", "shingle_k",
-        "contamination_threshold", "min_commonness", "token_budget")}
+        "contamination_threshold", "min_commonness", "token_budget",
+        "mix")}
     mpath = os.path.join(ck, "curate.json")
     if os.path.exists(mpath):
         with open(mpath) as fh:
             prev = json.load(fh)
+        prev.setdefault("mix", None)  # manifests predating --mix
         if prev != ident:
             diff = sorted(set(prev.items()) ^ set(ident.items()))
             raise SystemExit(
@@ -633,10 +652,22 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         ("decontaminate", bool(args.benchmark)),
         (f"freq-quality(<{args.min_commonness})",
          bool(args.min_commonness)),
-        (f"token-budget({args.token_budget})", bool(args.token_budget)),
+        (f"token-budget({args.token_budget}"
+         + (f", mix {args.mix}" if args.mix else "") + ")",
+         bool(args.token_budget)),
     ) if on]
     if not stages:
         raise SystemExit("all curation stages disabled — nothing to do")
+    mix = _parse_mix(args.mix) if args.mix else None
+    if mix is not None and not args.token_budget:
+        raise SystemExit("--mix needs --token-budget (the TOTAL token "
+                         "budget the weights split)")
+    if mix is not None:  # validate weights BEFORE any stage runs
+        from .stages.corpus import mixture_budgets
+        try:
+            mixture_budgets(mix, args.token_budget)
+        except ValueError as e:
+            raise SystemExit(str(e))
     if args.passage_dedup and args.passage_dedup < 31:
         raise SystemExit(  # validate BEFORE any stage runs
             "--passage-dedup must be >= 31 (the winnowing detection "
@@ -858,10 +889,13 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     if args.token_budget:
         import numpy as np
 
-        from .stages.corpus import (apply_token_budget, space_token_counts,
+        from .stages.corpus import (apply_token_budget, mixture_budgets,
+                                    space_token_counts,
                                     token_budget_keep_ids,
                                     token_budget_sample)
 
+        budget = (mixture_budgets(mix, args.token_budget)
+                  if mix is not None else args.token_budget)
         col = args.column
         if ck:
             bpath = os.path.join(ck, "budget.json")
@@ -880,7 +914,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
                 boundary, keep_ref0 = token_budget_keep_ids(
                     ds, args.lang_column, args.id_column,
                     lambda t: space_token_counts(t[col]),
-                    budget=args.token_budget)
+                    budget=budget)
                 keep_ids = ray.get(keep_ref0)
                 rows_l, rows_i = [], []
                 for lg, arr in keep_ids.items():
@@ -906,7 +940,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
             ds = token_budget_sample(
                 ds, args.lang_column, args.id_column,
                 lambda t: space_token_counts(t[col]),
-                budget=args.token_budget)
+                budget=budget)
     if ck and run_metrics:
         with open(os.path.join(ck, "metrics.jsonl"), "a") as fh:
             for m in run_metrics:
@@ -1190,7 +1224,13 @@ def make_parser() -> argparse.ArgumentParser:
                     help="drop docs whose avg global token count is "
                          "below this (0 = off)")
     cu.add_argument("--token-budget", type=int, default=0,
-                    help="per-language token budget (0 = off)")
+                    help="per-language token budget (0 = off); with "
+                         "--mix, the TOTAL budget the weights split")
+    cu.add_argument("--mix", default=None,
+                    help="weighted corpus mixture 'en=0.5,zh=0.2,...': "
+                         "each language is budgeted "
+                         "floor(weight share x --token-budget) tokens; "
+                         "languages absent from the mix are dropped")
     cu.add_argument("--checkpoint-dir", default=None,
                     help="shared-storage run dir: every stage artifact "
                          "(drop/keep stores, shingle set, vocab, budget "

@@ -3572,6 +3572,84 @@ SELECT lang,
 FROM kept GROUP BY lang ORDER BY lang
 """
 
+# Weighted corpus mixture: lang -> target share of a 20k-token budget.
+# Fixed literals so the identical integers embed in the SQL oracle.
+MIXTURE_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.15, "fr": 0.1,
+                   "es": 0.05}
+MIXTURE_TOTAL_BUDGET = 20_000
+
+
+def q_weighted_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted training-data mixing: sample each language to
+    floor(weight x 20000) tokens (en 10000 / zh 4000 / de 3000 /
+    fr 2000 / es 1000) in deterministic hash-rank order — the
+    per-lang-budget generalization of `token_budget_sample`, one
+    rank-bucket prefix scan for the whole mix. Output: per-lang kept
+    docs, kept tokens (<= that lang's budget) and kept-id sum (proves
+    WHICH rows survive)."""
+    from ..stages.corpus import (space_token_counts,
+                                 weighted_token_budget_sample)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def tok_of(t: pa.Table) -> np.ndarray:
+        return space_token_counts(t["text"])
+
+    kept = weighted_token_budget_sample(
+        docs, "lang", "doc_id", tok_of,
+        weights=MIXTURE_WEIGHTS, total_budget=MIXTURE_TOTAL_BUDGET)
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_kept": pa.array(np.ones(t.num_rows, np.int64)),
+            "kept_tokens": pa.array(space_token_counts(t["text"]),
+                                    type=pa.int64()),
+            "sum_kept_ids": pa.array(
+                np.asarray(t["doc_id"], dtype=np.int64)),
+        })
+
+    out = kept.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("kept_tokens", alias_name="kept_tokens"),
+            Sum("sum_kept_ids", alias_name="sum_kept_ids")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_kept", "kept_tokens", "sum_kept_ids"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _mixture_budget_values() -> str:
+    from ..stages.corpus import mixture_budgets
+
+    budgets = mixture_budgets(MIXTURE_WEIGHTS, MIXTURE_TOTAL_BUDGET)
+    return ", ".join(f"('{lang}', {b})"
+                     for lang, b in sorted(budgets.items()))
+
+
+SQL_WEIGHTED_MIXTURE_SAMPLE = f"""
+WITH budgets(lang, budget) AS (VALUES {_mixture_budget_values()}),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         (doc_id * 2654435761) % 4294967296 AS r
+  FROM documents
+),
+kept AS (
+  SELECT p.doc_id, p.lang, p.n_tok
+  FROM per_doc p JOIN budgets b ON p.lang = b.lang
+  QUALIFY sum(p.n_tok) OVER (PARTITION BY p.lang ORDER BY r, p.doc_id
+                             ROWS UNBOUNDED PRECEDING) <= b.budget
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
 
 def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
     """Incremental-crawl planning: per-url diff of two snapshots
@@ -3884,6 +3962,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontamination_stats": q_decontamination_stats,
     "freq_quality_stats": q_freq_quality_stats,
     "token_budget_sample": q_token_budget_sample,
+    "weighted_mixture_sample": q_weighted_mixture_sample,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -3952,6 +4031,7 @@ ORACLES: dict[str, str] = {
     "decontamination_stats": SQL_DECONTAMINATION,
     "freq_quality_stats": SQL_FREQ_QUALITY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
+    "weighted_mixture_sample": SQL_WEIGHTED_MIXTURE_SAMPLE,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,

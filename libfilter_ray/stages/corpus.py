@@ -13,7 +13,11 @@ and per-language token-budget sampling (training-data mixing).
 - `token_budget_keep_ids` / `token_budget_sample`: keep documents per
   language in deterministic hash-rank order until a token budget is
   exhausted (cumulative-including-current <= budget) — corpus mixing to
-  a target size. The cumulative scan is distributed by RANK-BUCKET
+  a target size. `budget` is an int (same cap for every language) or a
+  {lang: budget} dict (languages absent from the dict are dropped);
+  `mixture_budgets` / `weighted_token_budget_sample` derive the dict
+  from mixture weights x a total token budget, the standard
+  training-data mixing step (e.g. 50% en / 20% zh / ...). The cumulative scan is distributed by RANK-BUCKET
   REFINEMENT, the classic two-level prefix scan: a (lang x 4096-bucket)
   aggregate finds each language's boundary bucket on the driver (bounded:
   langs x 4096 rows), only the boundary bucket's rows (corpus/4096) are
@@ -163,14 +167,37 @@ def commonness_flags(column: str, id_col: str, vocab_ref, *,
 BUDGET_BUCKET_BITS = 12
 
 
+def _budget_for(budget, lang: str) -> int:
+    """Per-language budget: an int applies uniformly; a {lang: budget}
+    dict budgets absent languages 0 (i.e. drops them from the mix)."""
+    if isinstance(budget, dict):
+        return int(budget.get(lang, 0))
+    return int(budget)
+
+
+def mixture_budgets(weights: dict[str, float],
+                    total_budget: int) -> dict[str, int]:
+    """{lang: floor(weight/sum(weights) x total_budget)} — the
+    deterministic integer budgets of a weighted corpus mixture, shaped
+    so the same literals embed in an ANSI-SQL oracle."""
+    tw = float(sum(weights.values()))
+    if tw <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("mixture weights must be non-negative with a "
+                         f"positive sum, got {weights}")
+    return {lang: int(np.floor(w / tw * total_budget))
+            for lang, w in weights.items()}
+
+
 def token_budget_keep_ids(ds, lang_col: str, id_col: str,
-                          token_count_of, *, budget: int,
+                          token_count_of, *,
+                          budget: int | dict[str, int],
                           bucket_bits: int = BUDGET_BUCKET_BITS):
     """{lang: (n_full_buckets_boundary, sorted boundary keep ids)} plus a
     broadcastable rule — returned as (boundary_bucket_per_lang dict,
     keep_ids ObjectRef) — selecting per language the documents with the
     smallest (rank, id) whose cumulative token count (including the
-    current row) stays <= `budget`.
+    current row) stays <= `budget` (int: uniform per lang; dict: per-lang
+    budgets, absent langs dropped — see `_budget_for`).
 
     Two-level distributed prefix scan:
     1. one narrow pass aggregates (lang, rank-bucket) -> (tokens, docs);
@@ -207,16 +234,17 @@ def token_budget_keep_ids(ds, lang_col: str, id_col: str,
 
     boundary: dict[str, tuple[int, int]] = {}
     for lang, grp in agg.groupby("lang"):
+        b_lang = _budget_for(budget, str(lang))
         grp = grp.sort_values("bucket")
         cum = grp["tokens"].cumsum()
-        over = cum > budget
+        over = cum > b_lang
         if not over.any():
             boundary[str(lang)] = (1 << bucket_bits, 0)  # keep everything
             continue
         i = int(np.argmax(over.to_numpy()))
         b = int(grp["bucket"].iloc[i])
         spent = int(cum.iloc[i - 1]) if i > 0 else 0
-        boundary[str(lang)] = (b, budget - spent)
+        boundary[str(lang)] = (b, b_lang - spent)
 
     # collect ONLY boundary-bucket rows (corpus / 2^bits), resolve exact
     # per-lang cutoffs by (rank, id)
@@ -263,16 +291,34 @@ def token_budget_keep_ids(ds, lang_col: str, id_col: str,
 
 
 def token_budget_sample(ds, lang_col: str, id_col: str, token_count_of,
-                        *, budget: int,
+                        *, budget: int | dict[str, int],
                         bucket_bits: int = BUDGET_BUCKET_BITS):
     """Dataset filtered to each language's token-budget sample: documents
     in ascending (cap_rank, id) order while the running token total
-    (including the current document) stays <= `budget`."""
+    (including the current document) stays <= `budget` (int or per-lang
+    dict)."""
     boundary, keep_ref = token_budget_keep_ids(
         ds, lang_col, id_col, token_count_of, budget=budget,
         bucket_bits=bucket_bits)
     return apply_token_budget(ds, lang_col, id_col, boundary, keep_ref,
                               bucket_bits=bucket_bits)
+
+
+def weighted_token_budget_sample(ds, lang_col: str, id_col: str,
+                                 token_count_of, *,
+                                 weights: dict[str, float],
+                                 total_budget: int,
+                                 bucket_bits: int = BUDGET_BUCKET_BITS):
+    """Weighted corpus mixing: sample each language to
+    floor(weight share x total_budget) tokens in deterministic
+    (cap_rank, id) order; languages absent from `weights` are dropped.
+    Same two-level rank-bucket prefix scan as `token_budget_sample` —
+    one narrow aggregate pass + one boundary-bucket gather per run,
+    regardless of how many languages the mix names."""
+    return token_budget_sample(
+        ds, lang_col, id_col, token_count_of,
+        budget=mixture_budgets(weights, total_budget),
+        bucket_bits=bucket_bits)
 
 
 def apply_token_budget(ds, lang_col: str, id_col: str, boundary: dict,

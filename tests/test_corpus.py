@@ -130,6 +130,95 @@ def test_token_budget_large_budget_keeps_all(ray_session):
     assert len(kept) == len(df)
 
 
+def _weighted_reference(df, budgets: dict):
+    from libfilter_ray.stages.crawl import cap_rank_of
+
+    n_tok = df["text"].map(
+        lambda t: sum(1 for w in t.split(" ") if w)).to_numpy()
+    ref = df.assign(n_tok=n_tok,
+                    rank=cap_rank_of(df["doc_id"].to_numpy()))
+    kept = []
+    for lang, grp in ref.groupby("lang"):
+        grp = grp.sort_values(["rank", "doc_id"], kind="stable")
+        cum = grp["n_tok"].cumsum()
+        kept.append(grp[cum <= budgets.get(str(lang), 0)])
+    return pd.concat(kept)
+
+
+def test_mixture_budgets_floor_and_validation():
+    import pytest
+
+    from libfilter_ray.stages.corpus import mixture_budgets
+
+    got = mixture_budgets({"en": 0.5, "zh": 0.2, "de": 0.15,
+                           "fr": 0.1, "es": 0.05}, 20_000)
+    assert got == {"en": 10_000, "zh": 4_000, "de": 3_000,
+                   "fr": 2_000, "es": 1_000}
+    # unnormalized weights normalize; floor rounds down
+    assert mixture_budgets({"a": 2, "b": 1}, 100) == {"a": 66, "b": 33}
+    with pytest.raises(ValueError):
+        mixture_budgets({"a": -1, "b": 2}, 100)
+    with pytest.raises(ValueError):
+        mixture_budgets({"a": 0.0}, 100)
+
+
+def test_weighted_mixture_matches_reference(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (mixture_budgets,
+                                             space_token_counts,
+                                             weighted_token_budget_sample)
+
+    df = _docs(n=240)
+    ds = ray.data.from_pandas(df).repartition(8)
+    weights = {"en": 0.6, "de": 0.3, "fr": 0.1}
+    kept = weighted_token_budget_sample(
+        ds, "lang", "doc_id", lambda t: space_token_counts(t["text"]),
+        weights=weights, total_budget=1_500).to_pandas()
+    want = _weighted_reference(df, mixture_budgets(weights, 1_500))
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+    # each language's kept tokens respects ITS budget, not the total
+    n_tok = kept["text"].map(
+        lambda t: sum(1 for w in t.split(" ") if w))
+    per_lang = n_tok.groupby(kept["lang"]).sum()
+    for lang, b in mixture_budgets(weights, 1_500).items():
+        assert per_lang.get(lang, 0) <= b
+
+
+def test_weighted_mixture_drops_absent_langs(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (space_token_counts,
+                                             weighted_token_budget_sample)
+
+    df = _docs(n=120)  # langs en/de/fr round-robin
+    kept = weighted_token_budget_sample(
+        ray.data.from_pandas(df).repartition(4), "lang", "doc_id",
+        lambda t: space_token_counts(t["text"]),
+        weights={"en": 0.7, "de": 0.3}, total_budget=10**9).to_pandas()
+    assert set(kept["lang"]) == {"en", "de"}
+    # the named langs keep everything under an effectively infinite budget
+    assert len(kept) == int((df["lang"] != "fr").sum())
+
+
+def test_dict_budget_boundary_refinement(ray_session):
+    """Per-lang budgets through the tiny-bucket (bucket_bits=2) path so
+    dict budgets exercise exact mid-bucket boundary resolution too."""
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (space_token_counts,
+                                             token_budget_sample)
+
+    df = _docs(n=240)
+    budgets = {"en": 700, "de": 300, "fr": 120}
+    kept = token_budget_sample(
+        ray.data.from_pandas(df).repartition(8), "lang", "doc_id",
+        lambda t: space_token_counts(t["text"]),
+        budget=budgets, bucket_bits=2).to_pandas()
+    want = _weighted_reference(df, budgets)
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+
+
 def test_token_budget_zero_keeps_none(ray_session):
     import ray.data
 
