@@ -360,7 +360,11 @@ def test_hash_equi_join_validates_inputs(ray_session):
                        left_cols=["a"], right_cols=["a"])
     with pytest.raises(ValueError, match="how"):
         hash_equi_join(lds, rds, left_on="k", right_on="rk",
-                       left_cols=["a"], right_cols=["b"], how="full outer")
+                       left_cols=["a"], right_cols=["b"], how="right outer")
+    with pytest.raises(ValueError, match="full outer"):
+        hash_equi_join(lds, rds, left_on="k", right_on="rk",
+                       left_cols=["a"], right_cols=["b"], how="full outer",
+                       bloom_prune_right=True)
     with pytest.raises(ValueError, match="salting"):
         hash_equi_join(lds, rds, left_on="k", right_on="rk",
                        left_cols=["a"], right_cols=["b"], how="left outer",
