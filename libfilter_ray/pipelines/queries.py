@@ -3651,6 +3651,100 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+# Self-trained bigram-LM quality threshold: keep docs whose avg bigram
+# negative log-likelihood is <= tau. Fixed literal so the identical
+# value embeds in the SQL oracle; LM_MIN_COUNT=2 is the model prune.
+LM_NLL_TAU = 3.35
+
+
+def q_lm_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """CCNet-shaped LM quality filter with REAL log-probs, the LM
+    self-trained on the corpus in one distributed pass: per-language
+    add-one-smoothed bigram model (stages/corpus.py:build_bigram_lm_ref;
+    bigrams with count < 2 pruned — the zipfian scale knob), broadcast
+    once, then a streaming scoring pass computes each document's avg
+    -ln P(w2|w1, lang). Docs with avg NLL <= 3.35 are kept; docs with
+    < 2 tokens are unscoreable and kept. Output per lang: doc counts,
+    kept counts, kept-id sum (proves WHICH docs survive) and the mean
+    doc NLL (rounded — the one float column)."""
+    from ..stages.corpus import build_bigram_lm_ref, lm_nll_stage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    model_ref = build_bigram_lm_ref(docs, "text", "lang")
+    score = lm_nll_stage("text", "doc_id", "lang", model_ref)
+
+    def stats(t: pa.Table) -> pa.Table:
+        s = score(t)
+        n_bg = np.asarray(s["n_bigrams"], dtype=np.int64)
+        nll = np.asarray(s["nll_sum"], dtype=np.float64)
+        ids = np.asarray(s["doc_id"], dtype=np.int64)
+        kept = (n_bg == 0) | (nll <= LM_NLL_TAU * n_bg)
+        scored = n_bg > 0
+        with np.errstate(invalid="ignore"):
+            ratio = np.where(scored, nll / np.maximum(n_bg, 1), 0.0)
+        return pa.table({
+            "lang": s["lang"],
+            "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_kept": pa.array(kept.astype(np.int64)),
+            "sum_kept_ids": pa.array(np.where(kept, ids, 0)),
+            "n_scored": pa.array(scored.astype(np.int64)),
+            "sum_ratio": pa.array(ratio),
+        })
+
+    out = docs.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("sum_kept_ids", alias_name="sum_kept_ids"),
+            Sum("n_scored", alias_name="n_scored"),
+            Sum("sum_ratio", alias_name="sum_ratio")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_docs", "n_kept", "sum_kept_ids"):
+        out[c] = out[c].astype("int64")
+    out["avg_nll"] = (out["sum_ratio"] / out["n_scored"]).round(4)
+    return out[["lang", "n_docs", "n_kept", "sum_kept_ids", "avg_nll"]]
+
+
+SQL_LM_QUALITY_FILTER = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         UNNEST(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS tok,
+         UNNEST(range(1, len(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) + 1)) AS i
+  FROM documents
+),
+bg AS (
+  SELECT a.doc_id, a.lang, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bgc AS (SELECT lang, w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2, 3
+        HAVING count(*) >= 2),
+pfc AS (SELECT lang, w1, count(*) AS c1 FROM bg GROUP BY 1, 2),
+voc AS (SELECT lang, count(DISTINCT tok) AS v FROM toks GROUP BY 1),
+scores AS (
+  SELECT g.doc_id, count(*) AS n_bg,
+         sum(-ln((coalesce(c.c2, 0) + 1.0) / (p.c1 + v.v))) AS nll
+  FROM bg g
+  JOIN pfc p ON p.lang = g.lang AND p.w1 = g.w1
+  JOIN voc v ON v.lang = g.lang
+  LEFT JOIN bgc c ON c.lang = g.lang AND c.w1 = g.w1 AND c.w2 = g.w2
+  GROUP BY 1
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s.n_bg IS NULL
+                       OR s.nll <= {LM_NLL_TAU} * s.n_bg
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN s.n_bg IS NULL
+                       OR s.nll <= {LM_NLL_TAU} * s.n_bg
+                THEN d.doc_id ELSE 0 END) AS BIGINT) AS sum_kept_ids,
+       round(avg(s.nll / s.n_bg), 4) AS avg_nll
+FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
     """Incremental-crawl planning: per-url diff of two snapshots
     (added / removed / changed / unchanged), so a re-ingest processes
@@ -3963,6 +4057,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "freq_quality_stats": q_freq_quality_stats,
     "token_budget_sample": q_token_budget_sample,
     "weighted_mixture_sample": q_weighted_mixture_sample,
+    "lm_quality_filter": q_lm_quality_filter,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -4032,6 +4127,7 @@ ORACLES: dict[str, str] = {
     "freq_quality_stats": SQL_FREQ_QUALITY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "weighted_mixture_sample": SQL_WEIGHTED_MIXTURE_SAMPLE,
+    "lm_quality_filter": SQL_LM_QUALITY_FILTER,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,

@@ -355,3 +355,188 @@ def apply_token_budget(ds, lang_col: str, id_col: str, boundary: dict,
         return t.filter(pa.array(m))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# self-trained bigram LM quality filter (CCNet-shaped, real log-probs)
+# ---------------------------------------------------------------------------
+
+#: field separator inside LM hash keys — unambiguous for any token text
+#: that can appear after a space split (tokens never contain 0x1F).
+LM_SEP = "\x1f"
+
+#: bigrams seen fewer times than this are dropped from the model (scored
+#: as unseen). The prune is what bounds the broadcast model: at web scale
+#: raise it until the surviving bigram table fits a worker heap (the
+#: count distribution is zipfian — min_count=4 already cuts ~90% of
+#: distinct bigrams on real crawls).
+LM_MIN_COUNT = 2
+
+
+def _batch_bigrams(t: pa.Table, column: str, lang_col: str):
+    """Vectorized per-batch bigram extraction: (w1, w2, lang, row_of)
+    where row_of maps each bigram to its batch row. Tokens are the
+    engine-wide space split with empties dropped BEFORE pairing — SQL
+    parity: adjacent ordinals of list_filter(string_split(text,' '),
+    x -> x <> '')."""
+    import pyarrow.compute as pc
+
+    flat, splits = _word_lists(t[column])
+    n = len(splits) - 1
+    if len(flat) == 0:
+        empty = pa.array([], type=pa.string())
+        return empty, empty, empty, np.empty(0, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(splits))
+    nonempty = np.asarray(pc.not_equal(flat, ""), dtype=bool)
+    flat_ne = flat.filter(pa.array(nonempty))
+    rows_ne = rows[nonempty]
+    if len(rows_ne) < 2:
+        empty = pa.array([], type=pa.string())
+        return empty, empty, empty, np.empty(0, dtype=np.int64)
+    adj = np.flatnonzero(rows_ne[1:] == rows_ne[:-1])
+    w1 = flat_ne.take(pa.array(adj))
+    w2 = flat_ne.take(pa.array(adj + 1))
+    row_of = rows_ne[adj]
+    lang = _str(t[lang_col]).take(pa.array(row_of))
+    return w1, w2, lang, row_of
+
+
+def _lm_keys(kind: str, *parts) -> np.ndarray:
+    """u64 hash of kind + LM_SEP-joined string parts (vectorized)."""
+    import pyarrow.compute as pc
+
+    return hash_arrow_array(
+        pc.binary_join_element_wise(kind, *parts, LM_SEP))
+
+
+def build_bigram_lm_ref(ds, column: str, lang_col: str, *,
+                        min_count: int = LM_MIN_COUNT):
+    """Plasma ObjectRef of a per-language add-one-smoothed bigram LM
+    trained on the corpus itself — the self-trained stand-in for CCNet's
+    external KenLM quality model.
+
+    Model = (sorted u64 bigram-key hashes + counts [pruned at
+    `min_count`], sorted u64 prefix-key hashes + counts [unpruned, the
+    count of w1 as a bigram PREFIX, so P(.|w1) sums to <= 1], {lang: V}
+    vocabulary sizes). Scoring uses
+    P(w2 | w1, lang) = (c(w1 w2) + 1) / (c(w1 .) + V_lang).
+
+    ONE distributed pass: each batch emits distinct-key partial counts
+    for three key kinds (bigram / prefix / token — the token rows only
+    feed the distinct-vocabulary count), a (kind, lang, h) groupby sums
+    them, and only the aggregated model table reaches the driver. Driver
+    memory is O(distinct bigrams surviving `min_count`) — the zipfian
+    prune is the scale knob (see LM_MIN_COUNT)."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        w1, w2, lang, _ = _batch_bigrams(t, column, lang_col)
+        bh = _lm_keys("B", lang, w1, w2).view(np.int64)
+        ph = _lm_keys("P", lang, w1).view(np.int64)
+        # tokens (for V): every non-empty token of the batch, per lang
+        import pyarrow.compute as pc
+
+        flat, splits = _word_lists(t[column])
+        n = len(splits) - 1
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(splits))
+        ne = np.asarray(pc.not_equal(flat, ""), dtype=bool) \
+            if len(flat) else np.empty(0, dtype=bool)
+        tok = flat.filter(pa.array(ne)) if len(flat) else \
+            pa.array([], type=pa.string())
+        tlang = _str(t[lang_col]).take(pa.array(rows[ne])) if len(flat) \
+            else pa.array([], type=pa.string())
+        th = _lm_keys("T", tlang, tok).view(np.int64)
+
+        hs, kinds, langs, ns = [], [], [], []
+        for kind, h, lg in ((0, bh, lang), (1, ph, lang), (2, th, tlang)):
+            if not len(h):
+                continue
+            # lang of each distinct key: first occurrence (keys embed
+            # the lang, so all occurrences agree)
+            uh, first, cnt = np.unique(h, return_index=True,
+                                       return_counts=True)
+            hs.append(uh)
+            kinds.append(np.full(len(uh), kind, dtype=np.int64))
+            lg = lg.combine_chunks() if isinstance(lg, pa.ChunkedArray) \
+                else lg
+            langs.append(lg.take(pa.array(first)))
+            ns.append(cnt.astype(np.int64))
+        if not hs:
+            return pa.table({"kind": pa.array([], type=pa.int64()),
+                             "lang": pa.array([], type=pa.string()),
+                             "h": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({
+            "kind": pa.array(np.concatenate(kinds)),
+            "lang": pa.concat_arrays(langs),
+            "h": pa.array(np.concatenate(hs)),
+            "n": pa.array(np.concatenate(ns)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["kind", "lang", "h"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if not len(agg):
+        return ray.put((np.empty(0, np.uint64), np.empty(0, np.int64),
+                        np.empty(0, np.uint64), np.empty(0, np.int64),
+                        {}))
+    big = agg[(agg["kind"] == 0) & (agg["n"] >= min_count)]
+    pre = agg[agg["kind"] == 1]
+    vocab = agg[agg["kind"] == 2].groupby("lang").size()
+    bh = big["h"].to_numpy().view(np.uint64)
+    border = np.argsort(bh, kind="stable")
+    ph = pre["h"].to_numpy().view(np.uint64)
+    porder = np.argsort(ph, kind="stable")
+    return ray.put((
+        bh[border], big["n"].to_numpy().astype(np.int64)[border],
+        ph[porder], pre["n"].to_numpy().astype(np.int64)[porder],
+        {str(lg): int(v) for lg, v in vocab.items()}))
+
+
+def _sorted_lookup(sorted_h: np.ndarray, h: np.ndarray,
+                   counts: np.ndarray) -> np.ndarray:
+    """counts[h] for keys present in the sorted model table, 0 otherwise."""
+    out = np.zeros(len(h), dtype=np.int64)
+    if len(sorted_h) and len(h):
+        idx = np.searchsorted(sorted_h, h)
+        hit = (idx < len(sorted_h)) & (
+            sorted_h[np.minimum(idx, len(sorted_h) - 1)] == h)
+        out[hit] = counts[idx[hit]]
+    return out
+
+
+def lm_nll_stage(column: str, id_col: str, lang_col: str, model_ref):
+    """map_batches fn: (id, lang, n_bigrams, nll_sum) per document —
+    nll_sum = sum over the doc's bigrams of -ln P(w2 | w1, lang) under
+    the broadcast model (ray.put once, zero-copy plasma read + per-worker
+    deserialize memo per task). Docs with < 2 tokens emit n_bigrams = 0,
+    nll_sum = 0 — the caller's keep rule treats them as unscoreable
+    (kept). Fully vectorized: Arrow joins + one searchsorted per kind."""
+    from .broadcast import cached_broadcast
+
+    def fn(t: pa.Table) -> pa.Table:
+        bh_s, bc, ph_s, pcnt, vby = cached_broadcast(model_ref,
+                                                     lambda m: m)
+        w1, w2, lang, row_of = _batch_bigrams(t, column, lang_col)
+        n = t.num_rows
+        nll_sum = np.zeros(n, dtype=np.float64)
+        n_bg = np.zeros(n, dtype=np.int64)
+        if len(row_of):
+            c2 = _sorted_lookup(bh_s, _lm_keys("B", lang, w1, w2), bc)
+            c1 = _sorted_lookup(ph_s, _lm_keys("P", lang, w1), pcnt)
+            lcodes, uniq = pd.factorize(np.asarray(lang))
+            V = np.array([vby.get(str(lg), 0) for lg in uniq],
+                         dtype=np.int64)[lcodes]
+            nll = -np.log((c2 + 1.0) / (c1 + V))
+            np.add.at(nll_sum, row_of, nll)
+            n_bg = np.bincount(row_of, minlength=n).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            lang_col: t[lang_col],
+            "n_bigrams": pa.array(n_bg),
+            "nll_sum": pa.array(nll_sum),
+        })
+
+    return fn

@@ -266,3 +266,76 @@ def test_token_budget_random_corpora_property(ray_session):
         want = _budget_reference(df, budget)
         assert sorted(kept["doc_id"]) == sorted(want["doc_id"]), \
             (trial, budget, bits)
+
+
+def _brute_lm_nll(df, min_count=2):
+    """Set/dict reference implementation of the bigram LM scoring."""
+    from collections import Counter
+
+    bg = Counter()
+    pf = Counter()
+    vocab = {}
+    toks = {}
+    for _, r in df.iterrows():
+        words = [w for w in r["text"].split(" ") if w]
+        toks[r["doc_id"]] = words
+        vocab.setdefault(r["lang"], set()).update(words)
+        for a, b in zip(words, words[1:]):
+            bg[(r["lang"], a, b)] += 1
+            pf[(r["lang"], a)] += 1
+    out = {}
+    for _, r in df.iterrows():
+        words = toks[r["doc_id"]]
+        V = len(vocab[r["lang"]])
+        nll, n = 0.0, 0
+        for a, b in zip(words, words[1:]):
+            c2 = bg[(r["lang"], a, b)]
+            c2 = c2 if c2 >= min_count else 0
+            nll += -np.log((c2 + 1.0) / (pf[(r["lang"], a)] + V))
+            n += 1
+        out[r["doc_id"]] = (n, nll)
+    return out
+
+
+def test_bigram_lm_matches_bruteforce(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (build_bigram_lm_ref,
+                                             lm_nll_stage)
+
+    df = _docs(120, seed=3)
+    # edge rows: empty, single-token, double-space, repeated bigram
+    extra = pd.DataFrame({
+        "doc_id": np.array([1000, 1001, 1002, 1003], dtype=np.int64),
+        "text": ["", "solo", "the  fast key", "loop loop loop loop"],
+        "lang": ["en", "en", "de", "fr"]})
+    df = pd.concat([df, extra], ignore_index=True)
+    ds = ray.data.from_pandas(df).repartition(5)
+    ref = build_bigram_lm_ref(ds, "text", "lang")
+    got = ds.map_batches(lm_nll_stage("text", "doc_id", "lang", ref),
+                         batch_format="pyarrow").to_pandas() \
+        .set_index("doc_id").sort_index()
+    want = _brute_lm_nll(df)
+    assert len(got) == len(want)
+    for did, (n, nll) in want.items():
+        assert got.loc[did, "n_bigrams"] == n
+        assert abs(got.loc[did, "nll_sum"] - nll) < 1e-9, did
+
+
+def test_bigram_lm_block_invariance(ray_session):
+    """Model and scores are independent of how the corpus is blocked."""
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (build_bigram_lm_ref,
+                                             lm_nll_stage)
+
+    df = _docs(90, seed=5)
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        ref = build_bigram_lm_ref(ds, "text", "lang")
+        outs.append(ds.map_batches(
+            lm_nll_stage("text", "doc_id", "lang", ref),
+            batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
