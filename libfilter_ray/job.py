@@ -581,12 +581,14 @@ def _curate_manifest_guard(ck: str, args: argparse.Namespace) -> None:
         "lang_column", "no_url_dedup", "passage_dedup", "domain_cap",
         "benchmark", "benchmark_column", "shingle_k",
         "contamination_threshold", "min_commonness", "token_budget",
-        "mix")}
+        "mix", "lm_threshold", "lm_min_count")}
     mpath = os.path.join(ck, "curate.json")
     if os.path.exists(mpath):
         with open(mpath) as fh:
             prev = json.load(fh)
         prev.setdefault("mix", None)  # manifests predating --mix
+        prev.setdefault("lm_threshold", 0.0)  # ... predating --lm-*
+        prev.setdefault("lm_min_count", 2)
         if prev != ident:
             diff = sorted(set(prev.items()) ^ set(ident.items()))
             raise SystemExit(
@@ -640,7 +642,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         need += [args.url_column, args.ts_column]
     if args.domain_cap:
         need.append(args.url_column)
-    if args.token_budget:
+    if args.token_budget or args.lm_threshold:
         need.append(args.lang_column)
     _check_columns(paths, sorted(set(need)))
 
@@ -652,6 +654,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         ("decontaminate", bool(args.benchmark)),
         (f"freq-quality(<{args.min_commonness})",
          bool(args.min_commonness)),
+        (f"lm-quality(<={args.lm_threshold})", bool(args.lm_threshold)),
         (f"token-budget({args.token_budget}"
          + (f", mix {args.mix}" if args.mix else "") + ")",
          bool(args.token_budget)),
@@ -886,6 +889,72 @@ def _cmd_curate(args: argparse.Namespace) -> int:
             return t.filter(pa.array(~rare))
 
         ds = ds.map_batches(drop_rare, batch_format="pyarrow")
+    if args.lm_threshold:
+        import numpy as np
+
+        from .stages.corpus import build_bigram_lm_ref, lm_nll_stage
+
+        if ck:
+            lm_path = os.path.join(ck, "lm_model.parquet")
+
+            def load_or_build_lm():
+                if os.path.exists(lm_path):
+                    mt = pq.read_table(lm_path)
+                    kind = mt["kind"].to_numpy()
+                    h = mt["h"].to_numpy().astype(np.int64) \
+                        .view(np.uint64)
+                    n = mt["n"].to_numpy().astype(np.int64)
+                    langs = mt["lang"].to_pylist()
+                    bm, pm, vm = kind == 0, kind == 1, kind == 2
+                    model = (h[bm], n[bm], h[pm], n[pm],
+                             {str(lg): int(c) for lg, c in
+                              zip(np.array(langs, dtype=object)[vm],
+                                  n[vm])})
+                    return ray.put(model), int(bm.sum())
+                ref = build_bigram_lm_ref(ds, args.column,
+                                          args.lang_column,
+                                          min_count=args.lm_min_count)
+                bh, bc, ph, pc_, vby = ray.get(ref)
+                kinds = np.concatenate([
+                    np.zeros(len(bh), np.int64),
+                    np.ones(len(ph), np.int64),
+                    np.full(len(vby), 2, np.int64)])
+                vl = sorted(vby)
+                tmp = f"{lm_path}.tmp"
+                pq.write_table(pa.table({
+                    "kind": pa.array(kinds),
+                    "lang": pa.array([""] * (len(bh) + len(ph)) + vl),
+                    "h": pa.array(np.concatenate([
+                        bh.view(np.int64), ph.view(np.int64),
+                        np.zeros(len(vby), np.int64)])),
+                    "n": pa.array(np.concatenate([
+                        bc, pc_,
+                        np.array([vby[lg] for lg in vl], np.int64)])),
+                }), tmp)
+                os.replace(tmp, lm_path)
+                return ref, len(bh)
+
+            model_ref = _noted("lm-quality", "lm_model.parquet",
+                               load_or_build_lm)
+        else:
+            model_ref = build_bigram_lm_ref(ds, args.column,
+                                            args.lang_column,
+                                            min_count=args.lm_min_count)
+        lm_score = lm_nll_stage(args.column, args.id_column,
+                                args.lang_column, model_ref)
+        lm_tau = float(args.lm_threshold)
+
+        def drop_unlikely(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            s = lm_score(t)
+            n_bg = np.asarray(s["n_bigrams"], dtype=np.int64)
+            nll = np.asarray(s["nll_sum"], dtype=np.float64)
+            # < 2 tokens = unscoreable -> kept, same rule as the query
+            keep = (n_bg == 0) | (nll <= lm_tau * n_bg)
+            return t.filter(pa.array(keep))
+
+        ds = ds.map_batches(drop_unlikely, batch_format="pyarrow")
     if args.token_budget:
         import numpy as np
 
@@ -1223,6 +1292,13 @@ def make_parser() -> argparse.ArgumentParser:
     cu.add_argument("--min-commonness", type=int, default=0,
                     help="drop docs whose avg global token count is "
                          "below this (0 = off)")
+    cu.add_argument("--lm-threshold", type=float, default=0.0,
+                    help="drop docs whose avg bigram NLL under the "
+                         "self-trained per-lang LM exceeds this "
+                         "(0 = off; docs with < 2 tokens are kept)")
+    cu.add_argument("--lm-min-count", type=int, default=2,
+                    help="prune LM bigrams seen fewer times than this "
+                         "(the model-size scale knob)")
     cu.add_argument("--token-budget", type=int, default=0,
                     help="per-language token budget (0 = off); with "
                          "--mix, the TOTAL budget the weights split")

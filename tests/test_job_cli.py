@@ -861,3 +861,71 @@ def test_curate_passage_dedup_bound_validated(tmp_path, ray_session):
         main(["curate", "--input", str(src), "--table", "pages",
               "--column", "text", "--id-column", "row_id",
               "--passage-dedup", "16"])
+
+
+def test_curate_lm_quality_stage(tmp_path, ray_session):
+    """--lm-threshold drops exactly the docs whose avg bigram NLL under
+    the self-trained LM exceeds tau (brute-force reference); the
+    checkpointed run re-attaches to the parquet model and matches."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from libfilter_ray.stages.corpus import LM_MIN_COUNT
+
+    rng = np.random.default_rng(17)
+    common = ["the", "data", "engine", "fast", "key"]
+    rows = []
+    for i in range(150):
+        if i % 5 == 0:  # improbable-bigram docs
+            words = rng.choice([f"z{j}" for j in range(3000)], size=16)
+        else:  # docs built from a handful of repeated bigrams
+            words = np.array(common * 4)[:16]
+        rows.append({
+            "url": f"https://d{i % 4}.org/p{i}",
+            "warc_ts": pd.Timestamp("2024-03-01"),
+            "text": " ".join(words), "lang": ("en", "de")[i % 2],
+            "row_id": np.int64(i)})
+    rows.append({"url": "https://d0.org/empty",
+                 "warc_ts": pd.Timestamp("2024-03-01"),
+                 "text": "solo", "lang": "en",
+                 "row_id": np.int64(5000)})  # unscoreable -> kept
+    df = pd.DataFrame(rows)
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        src / "pages.parquet")
+
+    # brute-force per-doc avg NLL to pick tau between the two modes
+    from tests.test_corpus import _brute_lm_nll
+
+    ref = _brute_lm_nll(df.rename(columns={"row_id": "doc_id"}),
+                        min_count=LM_MIN_COUNT)
+    avg = {did: nll / n for did, (n, nll) in ref.items() if n}
+    lo = max(v for v in avg.values() if v < np.median(list(avg.values())))
+    hi = min(v for v in avg.values() if v > lo)
+    tau = (lo + hi) / 2
+    want_kept = {did for did, (n, nll) in ref.items()
+                 if n == 0 or nll <= tau * n}
+
+    out = tmp_path / "out"
+    assert main(["curate", "--input", str(src), "--table", "pages",
+                 "--column", "text", "--id-column", "row_id",
+                 "--no-url-dedup", "--lm-threshold", str(tau),
+                 "--output", str(out)]) == 0
+    got = set(pq.read_table(out)["row_id"].to_pylist())
+    assert got == want_kept
+    assert 5000 in got  # the unscoreable doc survived
+
+    # checkpointed: build, then resume from the parquet model
+    ck = tmp_path / "ck"
+    for tag in ("c1", "c2"):
+        o = tmp_path / tag
+        assert main(["curate", "--input", str(src), "--table", "pages",
+                     "--column", "text", "--id-column", "row_id",
+                     "--no-url-dedup", "--lm-threshold", str(tau),
+                     "--checkpoint-dir", str(ck),
+                     "--output", str(o)]) == 0
+        assert set(pq.read_table(o)["row_id"].to_pylist()) == want_kept
+    assert (ck / "lm_model.parquet").exists()
