@@ -3745,6 +3745,49 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+def q_keyword_topk(sf_dir: str) -> pd.DataFrame:
+    """Per-document keyword extraction: top-3 tokens ranked by tf/df
+    (frequent in the doc, rare in the corpus — tf-idf's ordering with
+    the log dropped, chosen because IEEE division is correctly rounded
+    so numpy and SQL rank identically; ties break word ASC). Document
+    frequencies are built in one distributed pass and broadcast
+    (stages/corpus.py:build_doc_freq_ref); extraction streams. Output
+    is all-integer + the word, hash-exact across engines."""
+    from ..stages.corpus import build_doc_freq_ref, keyword_topk_stage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df_ref = build_doc_freq_ref(docs, "text")
+    out = docs.map_batches(keyword_topk_stage("text", "doc_id", df_ref,
+                                              k=3),
+                           batch_format="pyarrow").to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    return out
+
+
+SQL_KEYWORD_TOPK = """
+WITH words AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM words GROUP BY 1, 2),
+df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM words GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.word, t.tf, d.df,
+         row_number() OVER (
+             PARTITION BY t.doc_id
+             ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.word ASC
+         ) AS rank
+  FROM tf t JOIN df d USING (word)
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
     """Incremental-crawl planning: per-url diff of two snapshots
     (added / removed / changed / unchanged), so a re-ingest processes
@@ -4058,6 +4101,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_budget_sample": q_token_budget_sample,
     "weighted_mixture_sample": q_weighted_mixture_sample,
     "lm_quality_filter": q_lm_quality_filter,
+    "keyword_topk": q_keyword_topk,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -4128,6 +4172,7 @@ ORACLES: dict[str, str] = {
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "weighted_mixture_sample": SQL_WEIGHTED_MIXTURE_SAMPLE,
     "lm_quality_filter": SQL_LM_QUALITY_FILTER,
+    "keyword_topk": SQL_KEYWORD_TOPK,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,

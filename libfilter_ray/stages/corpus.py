@@ -540,3 +540,105 @@ def lm_nll_stage(column: str, id_col: str, lang_col: str, model_ref):
         })
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# idf-weighted keyword extraction (tf/df ranking)
+# ---------------------------------------------------------------------------
+
+def build_doc_freq_ref(ds, column: str):
+    """Plasma ObjectRef of (sorted u64 word hashes, int64 document
+    frequencies): how many documents contain each distinct token. ONE
+    distributed pass — each batch emits per-word counts of the docs that
+    contain it (distinct-within-row, exact because a document is one
+    row), a groupby sums them, only the vocabulary-sized table reaches
+    the driver. The broadcast side of `keyword_topk_stage`."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, splits = _word_lists(t[column])
+        n = len(splits) - 1
+        if len(flat) == 0:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        import pyarrow.compute as pc
+
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(splits))
+        ne = np.asarray(pc.not_equal(flat, ""), dtype=bool)
+        h = hash_arrow_array(flat.filter(pa.array(ne)))
+        rows = rows[ne]
+        # distinct (row, word) pairs -> per-word containing-doc counts
+        pair = np.unique(np.stack([rows.view(U64), h], axis=1), axis=0)
+        uh, cnt = np.unique(pair[:, 1], return_counts=True)
+        return pa.table({"h": pa.array(uh.view(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="n")).to_pandas()
+    if not len(agg):
+        return ray.put((np.empty(0, np.uint64), np.empty(0, np.int64)))
+    h = agg["h"].to_numpy().view(np.uint64)
+    order = np.argsort(h, kind="stable")
+    return ray.put((h[order], agg["n"].to_numpy().astype(np.int64)[order]))
+
+
+def keyword_topk_stage(column: str, id_col: str, df_ref, *, k: int = 3):
+    """map_batches fn: the top-`k` keywords of each document ranked by
+    tf/df — frequent in the doc, rare in the corpus (the tf-idf ordering
+    with idf's log dropped: tf/df ranks IDENTICALLY to tf * (1/df) and,
+    unlike ln(), IEEE division is correctly rounded, so numpy and any
+    SQL engine order ties identically). Ties break (word ASC). Output
+    rows: (id, rank 1..k, word, tf, df) — all-integer + the word, so
+    results hash-compare exactly across engines. Docs with fewer than
+    `k` distinct tokens emit fewer rows; empty/null docs emit none."""
+    from .broadcast import cached_broadcast
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dh, dfc = cached_broadcast(df_ref, lambda m: m)
+        flat, splits = _word_lists(t[column])
+        n = len(splits) - 1
+        ids = _str(t[id_col]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            "word": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "df": pa.array([], type=pa.int64())})
+        if len(flat) == 0:
+            return empty
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(splits))
+        ne = np.asarray(pc.not_equal(flat, ""), dtype=bool)
+        words = flat.filter(pa.array(ne))
+        rows = rows[ne]
+        if not len(rows):
+            return empty
+        wpd = pd.DataFrame({"row": rows,
+                            "word": np.asarray(words, dtype=object)})
+        tf = wpd.groupby(["row", "word"], sort=False).size() \
+            .rename("tf").reset_index()
+        h = hash_arrow_array(pa.array(tf["word"], type=pa.string()))
+        idx = np.searchsorted(dh, h)
+        hit = (idx < len(dh)) & (dh[np.minimum(idx, len(dh) - 1)] == h)
+        if not hit.all():
+            raise RuntimeError("token missing from doc-freq table — "
+                               "df_ref built on a different corpus?")
+        tf["df"] = dfc[idx]
+        tf["score"] = tf["tf"].to_numpy() / tf["df"].to_numpy()
+        tf = tf.sort_values(["row", "score", "word"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        topk = tf.groupby("row", sort=True).head(k)
+        rank = topk.groupby("row", sort=False).cumcount() + 1
+        return pa.table({
+            id_col: pa.array(ids[topk["row"].to_numpy()]),
+            "rank": pa.array(rank.to_numpy().astype(np.int64)),
+            "word": pa.array(topk["word"], type=pa.string()),
+            "tf": pa.array(topk["tf"].to_numpy().astype(np.int64)),
+            "df": pa.array(topk["df"].to_numpy().astype(np.int64)),
+        })
+
+    return fn

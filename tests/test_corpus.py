@@ -339,3 +339,47 @@ def test_bigram_lm_block_invariance(ray_session):
             batch_format="pyarrow").to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_keyword_topk_matches_bruteforce(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (build_doc_freq_ref,
+                                             keyword_topk_stage)
+
+    df = _docs(80, seed=9)
+    extra = pd.DataFrame({
+        "doc_id": np.array([900, 901, 902], dtype=np.int64),
+        "text": ["", "one one  two", "a b"],
+        "lang": ["en", "en", "en"]})
+    df = pd.concat([df, extra], ignore_index=True)
+    ds = ray.data.from_pandas(df).repartition(4)
+    ref = build_doc_freq_ref(ds, "text")
+    got = ds.map_batches(keyword_topk_stage("text", "doc_id", ref, k=3),
+                         batch_format="pyarrow").to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    # brute force
+    docs_words = {r.doc_id: [w for w in r.text.split(" ") if w]
+                  for r in df.itertuples()}
+    dfreq = {}
+    for ws in docs_words.values():
+        for w in set(ws):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    rows = []
+    for did, ws in docs_words.items():
+        tf = {}
+        for w in ws:
+            tf[w] = tf.get(w, 0) + 1
+        ranked = sorted(tf.items(),
+                        key=lambda kv: (-kv[1] / dfreq[kv[0]], kv[0]))
+        for r, (w, c) in enumerate(ranked[:3], 1):
+            rows.append((did, r, w, c, dfreq[w]))
+    want = pd.DataFrame(rows, columns=["doc_id", "rank", "word", "tf",
+                                       "df"]) \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64", "tf": "int64", "df": "int64"}),
+        want.astype({"rank": "int64", "tf": "int64", "df": "int64"}))
+    assert 900 not in set(got["doc_id"])     # empty doc: no rows
+    assert (got[got.doc_id == 902].shape[0] == 2)  # < k distinct words
