@@ -3788,6 +3788,67 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+# train/val/test shares in percent — literals shared with the oracle
+SPLIT_SHARES = {"train": 90, "val": 5, "test": 5}
+
+
+def q_train_val_test_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 90/5/5 train/val/test split by Knuth-rank hash of
+    doc_id (stages/corpus.py:hash_split_stage): stable across runs and
+    re-partitioning, docs never migrate between splits as the corpus
+    grows — the property random sampling lacks. Output per (lang,
+    split): doc count, token count, id sum (proves WHICH docs landed
+    where)."""
+    from ..stages.corpus import hash_split_stage, space_token_counts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    split = hash_split_stage("doc_id", SPLIT_SHARES)
+
+    def stats(t: pa.Table) -> pa.Table:
+        s = split(t)
+        return pa.table({
+            "lang": s["lang"],
+            "split": s["split"],
+            "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_tokens": pa.array(space_token_counts(s["text"]),
+                                 type=pa.int64()),
+            "sum_ids": pa.array(
+                np.asarray(s["doc_id"], dtype=np.int64)),
+        })
+
+    out = docs.map_batches(stats, batch_format="pyarrow") \
+        .groupby(["lang", "split"]).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("sum_ids", alias_name="sum_ids")) \
+        .to_pandas().sort_values(["lang", "split"]).reset_index(drop=True)
+    for c in ("n_docs", "n_tokens", "sum_ids"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_TRAIN_VAL_TEST_SPLIT = """
+WITH slotted AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         ((doc_id * 2654435761) % 4294967296) % 100 AS slot
+  FROM documents
+),
+labeled AS (
+  SELECT *, CASE WHEN slot < 90 THEN 'train'
+                 WHEN slot < 95 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM slotted
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM labeled GROUP BY lang, split ORDER BY lang, split
+"""
+
+
 def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
     """Incremental-crawl planning: per-url diff of two snapshots
     (added / removed / changed / unchanged), so a re-ingest processes
@@ -4102,6 +4163,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "weighted_mixture_sample": q_weighted_mixture_sample,
     "lm_quality_filter": q_lm_quality_filter,
     "keyword_topk": q_keyword_topk,
+    "train_val_test_split": q_train_val_test_split,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -4173,6 +4235,7 @@ ORACLES: dict[str, str] = {
     "weighted_mixture_sample": SQL_WEIGHTED_MIXTURE_SAMPLE,
     "lm_quality_filter": SQL_LM_QUALITY_FILTER,
     "keyword_topk": SQL_KEYWORD_TOPK,
+    "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,

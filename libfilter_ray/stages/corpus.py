@@ -642,3 +642,37 @@ def keyword_topk_stage(column: str, id_col: str, df_ref, *, k: int = 3):
         })
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split (train / validation / test)
+# ---------------------------------------------------------------------------
+
+def hash_split_stage(id_col: str, splits: dict[str, int], *,
+                     denom: int = 100):
+    """map_batches fn appending a `split` column: each row lands in the
+    named slice whose cumulative [lo, hi) window (in `denom`-ths of the
+    32-bit Knuth rank space, insertion order) contains
+    cap_rank_of(id) % denom. Pure function of the id — stable across
+    runs, machines and re-partitioning, and docs never move between
+    splits when the corpus grows (the property random sampling lacks).
+    `splits` maps name -> share; shares must sum to `denom`.
+    SQL parity: ((id * 2654435761) % 4294967296) % denom."""
+    from .crawl import cap_rank_of
+
+    if sum(splits.values()) != denom:
+        raise ValueError(f"split shares {splits} must sum to {denom}")
+    names = list(splits)
+    edges = np.cumsum([splits[nm] for nm in names])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = _str(t[id_col]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        slot = cap_rank_of(ids) % denom
+        which = np.searchsorted(edges, slot, side="right")
+        lab = pa.DictionaryArray.from_arrays(
+            pa.array(which.astype(np.int32)), pa.array(names)) \
+            .dictionary_decode()
+        return t.append_column("split", lab)
+
+    return fn

@@ -383,3 +383,30 @@ def test_keyword_topk_matches_bruteforce(ray_session):
         want.astype({"rank": "int64", "tf": "int64", "df": "int64"}))
     assert 900 not in set(got["doc_id"])     # empty doc: no rows
     assert (got[got.doc_id == 902].shape[0] == 2)  # < k distinct words
+
+
+def test_hash_split_stable_and_validated(ray_session):
+    import pytest
+    import ray.data
+
+    from libfilter_ray.stages.corpus import hash_split_stage
+
+    with pytest.raises(ValueError, match="sum"):
+        hash_split_stage("doc_id", {"train": 80, "val": 10})
+
+    df = _docs(200, seed=13)
+    split = hash_split_stage("doc_id", {"train": 90, "val": 5,
+                                        "test": 5})
+    outs = []
+    for blocks in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = ds.map_batches(split, batch_format="pyarrow").to_pandas()
+        outs.append(out.set_index("doc_id")["split"].sort_index())
+    pd.testing.assert_series_equal(outs[0], outs[1])
+    # growing the corpus never moves an existing doc between splits
+    bigger = pd.concat([df, _docs(100, seed=99).assign(
+        doc_id=lambda d: d.doc_id + 10_000)], ignore_index=True)
+    out2 = ray.data.from_pandas(bigger) \
+        .map_batches(split, batch_format="pyarrow").to_pandas() \
+        .set_index("doc_id")["split"]
+    pd.testing.assert_series_equal(outs[0], out2.loc[outs[0].index])
