@@ -473,11 +473,16 @@ def build_bigram_lm_ref(ds, column: str, lang_col: str, *,
             "n": pa.array(np.concatenate(ns)),
         })
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Min, Sum
 
+    # single int64 group key (h embeds kind+lang); kind/lang ride as
+    # Min carries — constant per group, and the shuffle sorts 8-byte
+    # keys instead of (int, string, int) triples
     agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["kind", "lang", "h"]) \
-        .aggregate(Sum("n", alias_name="n")).to_pandas()
+        .groupby("h").aggregate(
+            Sum("n", alias_name="n"),
+            Min("kind", alias_name="kind"),
+            Min("lang", alias_name="lang")).to_pandas()
     if not len(agg):
         return ray.put((np.empty(0, np.uint64), np.empty(0, np.int64),
                         np.empty(0, np.uint64), np.empty(0, np.int64),
