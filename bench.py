@@ -160,6 +160,9 @@ def run_bench() -> dict:
     timed("exact_value_quantiles", q.q_exact_value_quantiles)
     # full-outer face of the hash-partitioned equi-join
     timed("part_lineitem_full_join", q.q_part_lineitem_full_join)
+    # self-trained bigram LM quality filter (distributed model build +
+    # broadcast scoring — the real-log-prob CCNet shape)
+    timed("lm_quality_filter", q.q_lm_quality_filter)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)
