@@ -2643,6 +2643,122 @@ FROM s GROUP BY lang ORDER BY lang
 """
 
 
+def q_quality_percentile_cut(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style top-30% quality selection with an EXACT per-language
+    percentile threshold: score every doc with the composite quality
+    formula (one streaming regex pass, projected to a narrow 24 B/doc
+    (id, lang, score) table), find each language's exact 70th-percentile
+    score with the iterative histogram-refinement order-statistics
+    engine (stages/order_stats.py — no per-group sort or
+    materialization), then keep docs with score >= threshold. The
+    selected threshold is an actual data value, so the float comparison
+    is bit-identical in numpy and SQL (the score formula's cross-engine
+    parity is proven by `quality_filter_counts`). Output per lang: doc
+    count, kept count, kept-id sum, threshold."""
+    from ..functions.textstats import quality_stats
+    from ..stages.order_stats import exact_group_quantiles
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def score_stage(t: pa.Table) -> pa.Table:
+        s = quality_stats(t["text"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "score": pa.array(s["quality_score"]),
+        })
+
+    # narrow projection materialized ONCE so the multi-pass quantile
+    # refinement and the final cut never re-run the regex scoring
+    scored = docs.map_batches(score_stage,
+                              batch_format="pyarrow").materialize()
+    qdf = exact_group_quantiles(scored, "lang", "score", qs=(0.7,))
+    thr = dict(zip(qdf["lang"].astype(str), qdf["q70"].astype(float)))
+
+    def cut_stats(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t["lang"], dtype=object)
+        tv = np.array([thr[lg] for lg in langs], dtype=np.float64)
+        score = np.asarray(t["score"], dtype=np.float64)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        kept = score >= tv
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_kept": pa.array(kept.astype(np.int64)),
+            "sum_kept_ids": pa.array(np.where(kept, ids, 0)),
+        })
+
+    out = scored.map_batches(cut_stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("sum_kept_ids", alias_name="sum_kept_ids")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_docs", "n_kept", "sum_kept_ids"):
+        out[c] = out[c].astype("int64")
+    out["threshold"] = out["lang"].map(thr).round(6)
+    return out
+
+
+SQL_QUALITY_PERCENTILE_CUT = r"""
+WITH c AS (
+  SELECT doc_id, lang,
+         len(text)::DOUBLE                                    AS n_chars,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_extract_all(text, '\S+')) END)::DOUBLE
+             AS n_tokens,
+         len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE    AS n_punct,
+         (len(regexp_extract_all(text,
+              '(?i)\b(the|and|of|to|is|in|that|for|with|was)\b'))
+        + len(regexp_extract_all(text,
+              '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|von|zu)\b'))
+        + len(regexp_extract_all(text,
+              '(?i)\b(el|la|los|las|es|y|en|que|de|un|una|por)\b'))
+        + len(regexp_extract_all(text,
+              '(?i)\b(le|la|les|est|et|en|que|de|un|une|pour|dans)\b')))::DOUBLE
+             AS n_stop,
+         (len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0)
+             AS has_cjk
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         0.35 * least(greatest(n_tokens / 50.0, 0.0), 1.0)
+       + 0.30 * least(greatest(CASE WHEN has_cjk THEN 1.0
+                                    ELSE (n_stop / greatest(n_tokens, 1.0))
+                                         / 0.2
+                               END, 0.0), 1.0)
+       + 0.20 * least(greatest(1.0 - (CASE WHEN n_chars > 0
+                                           THEN n_punct
+                                                / greatest(n_chars, 1.0)
+                                           ELSE 0.0 END) / 0.3, 0.0), 1.0)
+       + 0.15 * least(greatest(1.0 - abs((CASE WHEN n_tokens > 0
+                                               THEN n_chars
+                                                    / greatest(n_tokens,
+                                                               1.0)
+                                               ELSE 0.0 END) - 5.5)
+                               / 10.0, 0.0), 1.0) AS score
+  FROM c),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score) - 1
+              AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s),
+thr AS (
+  SELECT lang, max(CASE WHEN rk = CAST(floor(0.70 * (n - 1)) AS BIGINT)
+                        THEN score END) AS t
+  FROM ranked GROUP BY lang)
+SELECT s.lang,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN s.score >= th.t THEN 1 ELSE 0 END)::BIGINT
+           AS n_kept,
+       sum(CASE WHEN s.score >= th.t THEN s.doc_id ELSE 0 END)::BIGINT
+           AS sum_kept_ids,
+       round(max(th.t), 6) AS threshold
+FROM s JOIN thr th ON th.lang = s.lang
+GROUP BY s.lang ORDER BY s.lang
+"""
+
+
 def q_training_prep_pipeline(sf_dir: str) -> pd.DataFrame:
     """End-to-end training-data prep, fully composed AND fully oracled:
     quality filter (C4-style composite score >= 0.5) -> exact dedup
@@ -4164,6 +4280,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lm_quality_filter": q_lm_quality_filter,
     "keyword_topk": q_keyword_topk,
     "train_val_test_split": q_train_val_test_split,
+    "quality_percentile_cut": q_quality_percentile_cut,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -4236,6 +4353,7 @@ ORACLES: dict[str, str] = {
     "lm_quality_filter": SQL_LM_QUALITY_FILTER,
     "keyword_topk": SQL_KEYWORD_TOPK,
     "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
+    "quality_percentile_cut": SQL_QUALITY_PERCENTILE_CUT,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,
