@@ -581,7 +581,8 @@ def _curate_manifest_guard(ck: str, args: argparse.Namespace) -> None:
         "lang_column", "no_url_dedup", "passage_dedup", "domain_cap",
         "benchmark", "benchmark_column", "shingle_k",
         "contamination_threshold", "min_commonness", "token_budget",
-        "mix", "lm_threshold", "lm_min_count")}
+        "mix", "lm_threshold", "lm_min_count", "blocklist",
+        "blocklist_digest")}
     mpath = os.path.join(ck, "curate.json")
     if os.path.exists(mpath):
         with open(mpath) as fh:
@@ -589,6 +590,8 @@ def _curate_manifest_guard(ck: str, args: argparse.Namespace) -> None:
         prev.setdefault("mix", None)  # manifests predating --mix
         prev.setdefault("lm_threshold", 0.0)  # ... predating --lm-*
         prev.setdefault("lm_min_count", 2)
+        prev.setdefault("blocklist", None)  # ... predating --blocklist
+        prev.setdefault("blocklist_digest", None)
         if prev != ident:
             diff = sorted(set(prev.items()) ^ set(ident.items()))
             raise SystemExit(
@@ -640,13 +643,24 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     need = [args.column, args.id_column]
     if not args.no_url_dedup:
         need += [args.url_column, args.ts_column]
-    if args.domain_cap:
+    if args.domain_cap or args.blocklist:
         need.append(args.url_column)
     if args.token_budget or args.lm_threshold:
         need.append(args.lang_column)
     _check_columns(paths, sorted(set(need)))
 
+    # the blocklist digest pins CONTENT (not just the path) in the
+    # checkpoint manifest: cached downstream artifacts (drop sets, vocab,
+    # model, budget) were computed on the blocklist-filtered corpus
+    args.blocklist_digest = None
+    if args.blocklist:
+        import hashlib
+
+        with open(args.blocklist, "rb") as fh:
+            args.blocklist_digest = hashlib.sha256(fh.read()).hexdigest()
+
     stages = [s for s, on in (
+        (f"blocklist({args.blocklist})", bool(args.blocklist)),
         ("url-dedup-latest", not args.no_url_dedup),
         (f"passage-dedup(>={args.passage_dedup})",
          bool(args.passage_dedup)),
@@ -703,6 +717,14 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         return out
 
     ds = ray.data.read_parquet(paths)
+    if args.blocklist:
+        from .stages.crawl import blocked_domains_ref, blocklist_filter
+
+        with open(args.blocklist) as fh:
+            domains = [ln.strip() for ln in fh if ln.strip()
+                       and not ln.lstrip().startswith("#")]
+        ds = blocklist_filter(ds, args.url_column,
+                              blocked_domains_ref(domains))
     raw = ds
     if not args.no_url_dedup:
         from .stages.crawl import keyed_latest_drop_ds, url_dedup_latest
@@ -1276,6 +1298,10 @@ def make_parser() -> argparse.ArgumentParser:
     cu.add_argument("--lang-column", default="lang")
     cu.add_argument("--no-url-dedup", action="store_true",
                     help="skip keep-newest-capture url dedup")
+    cu.add_argument("--blocklist", default=None,
+                    help="text file of blocked domains (one per line, "
+                         "# comments): drop docs whose url host equals "
+                         "or is a subdomain of an entry (UT1 semantics)")
     cu.add_argument("--passage-dedup", type=int, default=0,
                     help="remove exact cross-document substrings of at "
                          "least this many bytes, keeping the first "

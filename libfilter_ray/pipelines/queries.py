@@ -2643,6 +2643,74 @@ FROM s GROUP BY lang ORDER BY lang
 """
 
 
+# domain blocklist (UT1 shape) — literals shared with the SQL oracle;
+# "example.org" exercises the dot-suffix (subdomain) match: every
+# synthesized host <source>.example.org of a blocked source matches
+# exactly, and the suffix rule is what a real blocklist relies on.
+BLOCKED_DOMAINS = ("src3.example.org", "src7.example.org",
+                   "src11.example.org", "tracker.example.net")
+
+
+def q_blocklist_filter_stats(sf_dir: str) -> pd.DataFrame:
+    """UT1-style URL blocklist filtering: drop documents whose url host
+    equals a blocked domain or is a subdomain of one (dot-suffix match).
+    The blocklist broadcasts once as a sorted hash set (8 B/domain — a
+    10^7-entry UT1 list is one 80 MB plasma object); each batch peels
+    host labels with O(label depth) vectorized passes
+    (stages/crawl.py:blocked_url_mask). Output per lang: doc count,
+    blocked count, kept-id sum."""
+    from ..sources.webpages import url_of
+    from ..stages.crawl import blocked_domains_ref, blocked_url_mask
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "source"])
+    blocked_ref = blocked_domains_ref(BLOCKED_DOMAINS)
+
+    def stats(t: pa.Table) -> pa.Table:
+        urls = url_of(t["doc_id"], t["lang"], t["source"])
+        blocked = blocked_url_mask(urls, blocked_ref)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_blocked": pa.array(blocked.astype(np.int64)),
+            "sum_kept_ids": pa.array(np.where(blocked, 0, ids)),
+        })
+
+    out = docs.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_blocked", alias_name="n_blocked"),
+            Sum("sum_kept_ids", alias_name="sum_kept_ids")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_docs", "n_blocked", "sum_kept_ids"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_BLOCKLIST_FILTER = f"""
+WITH blocked(d) AS (VALUES {", ".join(f"('{d}')" for d in BLOCKED_DOMAINS)}),
+u AS (
+  SELECT doc_id, lang, source || '.example.org' AS host
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, lang,
+         EXISTS (SELECT 1 FROM blocked b
+                 WHERE u.host = b.d OR u.host LIKE '%.' || b.d)
+             AS is_blocked
+  FROM u
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_blocked,
+       CAST(sum(CASE WHEN is_blocked THEN 0 ELSE doc_id END) AS BIGINT)
+           AS sum_kept_ids
+FROM flagged GROUP BY lang ORDER BY lang
+"""
+
+
 def q_quality_percentile_cut(sf_dir: str) -> pd.DataFrame:
     """Gopher-style top-30% quality selection with an EXACT per-language
     percentile threshold: score every doc with the composite quality
@@ -4281,6 +4349,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "keyword_topk": q_keyword_topk,
     "train_val_test_split": q_train_val_test_split,
     "quality_percentile_cut": q_quality_percentile_cut,
+    "blocklist_filter_stats": q_blocklist_filter_stats,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -4354,6 +4423,7 @@ ORACLES: dict[str, str] = {
     "keyword_topk": SQL_KEYWORD_TOPK,
     "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
     "quality_percentile_cut": SQL_QUALITY_PERCENTILE_CUT,
+    "blocklist_filter_stats": SQL_BLOCKLIST_FILTER,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,

@@ -351,3 +351,45 @@ def test_crawl_delta_randomized(ray_session):
                     "unchanged" if r["text_a"] == r["text_b"]
                     else "changed")
             assert got[r["url"]] == want, (trial, r["url"])
+
+
+def test_blocked_url_mask_suffix_semantics(ray_session):
+    import pyarrow as pa
+
+    from libfilter_ray.stages.crawl import (blocked_domains_ref,
+                                            blocked_url_mask)
+
+    ref = blocked_domains_ref(["example.org", "ads.tracker.net"])
+    urls = pa.array([
+        "https://example.org/x",            # exact host
+        "https://sub.example.org/x",        # subdomain
+        "https://a.b.c.example.org/x",      # deep subdomain
+        "https://badexample.org/x",         # suffix but NOT at a dot
+        "https://example.org.evil.com/x",   # blocked name as PREFIX
+        "https://ads.tracker.net/x",        # second entry, exact
+        "https://tracker.net/x",            # parent of a blocked sub
+        "not-a-url",                        # malformed -> "" host
+        "https://EXAMPLE.org/x",            # case-sensitive (no match)
+    ])
+    got = blocked_url_mask(urls, ref).tolist()
+    assert got == [True, True, True, False, False, True, False,
+                   False, False]
+
+
+def test_blocklist_filter_drops_rows(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from libfilter_ray.stages.crawl import (blocked_domains_ref,
+                                            blocklist_filter)
+
+    df = pd.DataFrame({
+        "url": [f"https://{h}/p" for h in
+                ["keep.org", "bad.org", "x.bad.org", "fine.net"] * 25],
+        "row_id": np.arange(100, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = blocklist_filter(ds, "url",
+                           blocked_domains_ref(["bad.org"])).to_pandas()
+    assert len(out) == 50
+    assert not out["url"].str.contains("bad.org").any()

@@ -929,3 +929,46 @@ def test_curate_lm_quality_stage(tmp_path, ray_session):
                      "--output", str(o)]) == 0
         assert set(pq.read_table(o)["row_id"].to_pylist()) == want_kept
     assert (ck / "lm_model.parquet").exists()
+
+
+def test_curate_blocklist_stage(tmp_path, ray_session):
+    """--blocklist drops blocked hosts and subdomains; a checkpointed
+    run pins the blocklist CONTENT, so editing the file under the same
+    checkpoint dir is refused."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    hosts = ["keep.org", "bad.org", "sub.bad.org", "fine.net"]
+    df = pd.DataFrame({
+        "url": [f"https://{hosts[i % 4]}/p{i}" for i in range(120)],
+        "warc_ts": pd.Timestamp("2024-03-01"),
+        "text": ["alpha beta gamma"] * 120,
+        "lang": ["en"] * 120,
+        "row_id": np.arange(120, dtype=np.int64)})
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        src / "pages.parquet")
+    blk = tmp_path / "blk.txt"
+    blk.write_text("# comment\nbad.org\n")
+
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    argv = ["curate", "--input", str(src), "--table", "pages",
+            "--column", "text", "--id-column", "row_id",
+            "--no-url-dedup", "--blocklist", str(blk),
+            "--token-budget", "10_000_000".replace("_", ""),
+            "--checkpoint-dir", str(ck), "--output", str(out)]
+    assert main(argv) == 0
+    got = pq.read_table(out).to_pandas()
+    h = got["url"].str.split("/").str[2]
+    assert set(h) == {"keep.org", "fine.net"}
+    assert len(got) == 60
+
+    # same content resubmits fine; edited content is refused
+    assert main(argv[:-1] + [str(tmp_path / "out2")]) == 0
+    blk.write_text("bad.org\nfine.net\n")
+    with pytest.raises(SystemExit, match="curate run with"):
+        main(argv[:-1] + [str(tmp_path / "out3")])
