@@ -4033,6 +4033,72 @@ FROM labeled GROUP BY lang, split ORDER BY lang, split
 """
 
 
+def q_top_collocations(sf_dir: str) -> pd.DataFrame:
+    """Corpus collocation extraction: each language's top-5 bigrams by
+    corpus count (ties: w1 ASC, w2 ASC). Same distributed shape as the
+    LM build — per-batch distinct-bigram partial counts, one grouped
+    sum (keyed on the bigram STRINGS here, the output needs them), a
+    5-rows-per-lang driver head. The descriptive-statistics face of the
+    bigram machinery (collocations feed tokenizer merges and phrase
+    mining)."""
+    from ..stages.corpus import _batch_bigrams
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w1, w2, lang, _ = _batch_bigrams(t, "text", "lang")
+        if not len(w1):
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({"lang": np.asarray(lang, dtype=object),
+                           "w1": np.asarray(w1, dtype=object),
+                           "w2": np.asarray(w2, dtype=object)})
+        g = df.groupby(["lang", "w1", "w2"], sort=False).size() \
+            .rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "w1", "w2"]) \
+        .aggregate(Sum("n", alias_name="n")) \
+        .sort(["lang", "n", "w1", "w2"],
+              descending=[False, True, False, False]) \
+        .to_pandas()
+    out = counts.groupby("lang", sort=True).head(5).reset_index(drop=True)
+    out["rank"] = out.groupby("lang", sort=False).cumcount() + 1
+    out["n"] = out["n"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out[["lang", "rank", "w1", "w2", "n"]]
+
+
+SQL_TOP_COLLOCATIONS = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         UNNEST(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS tok,
+         UNNEST(range(1, len(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) + 1)) AS i
+  FROM documents
+),
+bg AS (
+  SELECT a.lang, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+counts AS (
+  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS n
+  FROM bg GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY n DESC, w1 ASC, w2 ASC) AS rank
+  FROM counts
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, w1, w2, n
+FROM ranked WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+
 def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
     """Incremental-crawl planning: per-url diff of two snapshots
     (added / removed / changed / unchanged), so a re-ingest processes
@@ -4350,6 +4416,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "train_val_test_split": q_train_val_test_split,
     "quality_percentile_cut": q_quality_percentile_cut,
     "blocklist_filter_stats": q_blocklist_filter_stats,
+    "top_collocations": q_top_collocations,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -4424,6 +4491,7 @@ ORACLES: dict[str, str] = {
     "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
     "quality_percentile_cut": SQL_QUALITY_PERCENTILE_CUT,
     "blocklist_filter_stats": SQL_BLOCKLIST_FILTER,
+    "top_collocations": SQL_TOP_COLLOCATIONS,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,
