@@ -4099,6 +4099,71 @@ FROM ranked WHERE rank <= 5 ORDER BY lang, rank
 """
 
 
+# fixed search terms — literals shared with the SQL oracle
+INDEX_TERMS = ("table", "query")
+
+
+def q_inverted_index_search(sf_dir: str) -> pd.DataFrame:
+    """Build-once/probe-many exact retrieval: a token-hash-BUCKETED
+    inverted index is built over the corpus in one distributed pass
+    (distinct (token, doc) combiner -> bucket shuffle -> each bucket
+    task writes its OWN parquet partition, postings never return
+    through the driver — state/inverted_index.py), then AND/OR term
+    queries read exactly one bucket file per term. The exact-postings
+    face of the reference's build->freeze->probe contract. Output: one
+    row per search term with its document frequency plus the shared
+    AND/OR match stats."""
+    import tempfile
+
+    from ..state.inverted_index import InvertedIndex
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = InvertedIndex.build(docs, "text", "doc_id",
+                              tempfile.mkdtemp(prefix="lfr-invidx-",
+                                               dir="/tmp"))
+    hits_and = idx.search(INDEX_TERMS, mode="and")
+    hits_or = idx.search(INDEX_TERMS, mode="or")
+    return pd.DataFrame({
+        "term": list(INDEX_TERMS),
+        "df": [np.int64(len(idx.postings(t))) for t in INDEX_TERMS],
+        "n_and": np.int64(len(hits_and)),
+        "sum_and_ids": np.int64(hits_and.sum()) if len(hits_and)
+        else np.int64(0),
+        "n_or": np.int64(len(hits_or)),
+    }).sort_values("term").reset_index(drop=True)
+
+
+SQL_INVERTED_INDEX_SEARCH = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id,
+           UNNEST(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS word
+    FROM documents)
+),
+t(term) AS (VALUES {", ".join(f"('{w}')" for w in INDEX_TERMS)}),
+dfs AS (
+  SELECT t.term, CAST(count(w.doc_id) AS BIGINT) AS df
+  FROM t LEFT JOIN words w ON w.word = t.term GROUP BY t.term
+),
+m_and AS (
+  SELECT doc_id FROM words
+  WHERE word IN {str(tuple(INDEX_TERMS))}
+  GROUP BY doc_id HAVING count(DISTINCT word) = {len(INDEX_TERMS)}
+),
+m_or AS (
+  SELECT DISTINCT doc_id FROM words
+  WHERE word IN {str(tuple(INDEX_TERMS))}
+)
+SELECT d.term, d.df,
+       (SELECT CAST(count(*) AS BIGINT) FROM m_and) AS n_and,
+       (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM m_and)
+           AS sum_and_ids,
+       (SELECT CAST(count(*) AS BIGINT) FROM m_or) AS n_or
+FROM dfs d ORDER BY d.term
+"""
+
+
 def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
     """Incremental-crawl planning: per-url diff of two snapshots
     (added / removed / changed / unchanged), so a re-ingest processes
@@ -4417,6 +4482,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_percentile_cut": q_quality_percentile_cut,
     "blocklist_filter_stats": q_blocklist_filter_stats,
     "top_collocations": q_top_collocations,
+    "inverted_index_search": q_inverted_index_search,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -4492,6 +4558,7 @@ ORACLES: dict[str, str] = {
     "quality_percentile_cut": SQL_QUALITY_PERCENTILE_CUT,
     "blocklist_filter_stats": SQL_BLOCKLIST_FILTER,
     "top_collocations": SQL_TOP_COLLOCATIONS,
+    "inverted_index_search": SQL_INVERTED_INDEX_SEARCH,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,
