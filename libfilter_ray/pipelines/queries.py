@@ -4164,6 +4164,70 @@ FROM dfs d ORDER BY d.term
 """
 
 
+def q_bm25_search(sf_dir: str) -> pd.DataFrame:
+    """BM25 ranked retrieval over the bucketed inverted index
+    (state/inverted_index.py): build once distributed (postings + term
+    frequencies + a doc-length sidecar, every bucket its own parquet
+    partition), then score the query's candidate set with the
+    Robertson/Lucene formulation (k1=1.2, b=0.75) reading one postings
+    bucket per term and only the candidates' doc-length buckets. Ties
+    break by doc id. Output: the top-10 (rank, doc_id, score)."""
+    import tempfile
+
+    from ..state.inverted_index import InvertedIndex
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = InvertedIndex.build(docs, "text", "doc_id",
+                              tempfile.mkdtemp(prefix="lfr-bm25-",
+                                               dir="/tmp"))
+    ids, scores = idx.search_bm25(INDEX_TERMS, k=10)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(ids) + 1, dtype=np.int64),
+        "doc_id": ids,
+        "score": np.round(scores, 6),
+    })
+
+
+SQL_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+consts AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfs AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY 1),
+dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM toks GROUP BY 1),
+q(term) AS (VALUES {", ".join(f"('{w}')" for w in INDEX_TERMS)}),
+scores AS (
+  SELECT t.doc_id,
+         sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * (1.2 + 1.0)
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)))
+             AS score
+  FROM tf t
+  JOIN q ON t.word = q.term
+  JOIN dfs d ON d.word = t.word
+  JOIN dlen l ON l.doc_id = t.doc_id
+  CROSS JOIN consts c
+  GROUP BY t.doc_id
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
 def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
     """Incremental-crawl planning: per-url diff of two snapshots
     (added / removed / changed / unchanged), so a re-ingest processes
@@ -4483,6 +4547,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "blocklist_filter_stats": q_blocklist_filter_stats,
     "top_collocations": q_top_collocations,
     "inverted_index_search": q_inverted_index_search,
+    "bm25_search": q_bm25_search,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -4559,6 +4624,7 @@ ORACLES: dict[str, str] = {
     "blocklist_filter_stats": SQL_BLOCKLIST_FILTER,
     "top_collocations": SQL_TOP_COLLOCATIONS,
     "inverted_index_search": SQL_INVERTED_INDEX_SEARCH,
+    "bm25_search": SQL_BM25_SEARCH,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,

@@ -46,8 +46,9 @@ INDEX_MANIFEST = "index.json"
 
 
 def _token_doc_pairs(t: pa.Table, column: str, id_column: str):
-    """(tokens Arrow array, doc ids ndarray) of the batch's DISTINCT
-    (token, doc) pairs — space-split, empties dropped."""
+    """(tokens Arrow array, doc ids ndarray, tf ndarray) of the batch's
+    DISTINCT (token, doc) pairs with their in-document term frequencies
+    — space-split, empties dropped."""
     import pyarrow.compute as pc
 
     flat, splits = _word_lists(t[column])
@@ -55,7 +56,8 @@ def _token_doc_pairs(t: pa.Table, column: str, id_column: str):
     ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     if len(flat) == 0:
-        return pa.array([], type=pa.string()), np.empty(0, np.int64)
+        return (pa.array([], type=pa.string()), np.empty(0, np.int64),
+                np.empty(0, np.int64))
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(splits))
     ne = np.asarray(pc.not_equal(flat, ""), dtype=bool)
     toks = flat.filter(pa.array(ne))
@@ -64,9 +66,12 @@ def _token_doc_pairs(t: pa.Table, column: str, id_column: str):
     # only co-locate, exactness comes from the per-bucket string sort
     h = hash_arrow_array(toks)
     key = np.stack([h, rows.view(U64)], axis=1)
-    _, first = np.unique(key, axis=0, return_index=True)
-    first.sort()
-    return toks.take(pa.array(first)), ids[rows[first]]
+    _, first, tf = np.unique(key, axis=0, return_index=True,
+                             return_counts=True)
+    order = np.argsort(first, kind="stable")
+    first, tf = first[order], tf[order]
+    return (toks.take(pa.array(first)), ids[rows[first]],
+            tf.astype(np.int64))
 
 
 class InvertedIndex:
@@ -81,6 +86,8 @@ class InvertedIndex:
             m = json.load(fh)
         self.num_buckets = int(m["num_buckets"])
         self.n_terms = int(m["n_terms"])
+        self.n_docs = int(m["n_docs"])
+        self.total_len = int(m["total_len"])
 
     # -- build ----------------------------------------------------------
 
@@ -96,12 +103,13 @@ class InvertedIndex:
         import ray
 
         def pairs(t: pa.Table) -> pa.Table:
-            toks, ids = _token_doc_pairs(t, column, id_column)
+            toks, ids, tf = _token_doc_pairs(t, column, id_column)
             bucket = (hash_arrow_array(toks) % U64(num_buckets)) \
                 .astype(np.int64)
             return pa.table({
                 "word": toks,
                 "doc": pa.array(ids),
+                "tf": pa.array(tf),
                 "bucket": pa.array(bucket),
             })
 
@@ -125,7 +133,9 @@ class InvertedIndex:
             keep = dfreq >= min_df
             if max_df is not None:
                 keep &= dfreq <= max_df
-            # postings as one LargeList column over the sorted doc array
+            # postings + tfs as parallel LargeList columns over the
+            # (word, doc)-sorted arrays
+            tfs = df["tf"].to_numpy().astype(np.int64)
             kept_rows = np.repeat(keep, dfreq)
             offsets = np.zeros(int(keep.sum()) + 1, dtype=np.int64)
             np.cumsum(dfreq[keep], out=offsets[1:])
@@ -136,6 +146,9 @@ class InvertedIndex:
                 "postings": pa.LargeListArray.from_arrays(
                     pa.array(offsets),
                     pa.array(docs[kept_rows], type=pa.int64())),
+                "tfs": pa.LargeListArray.from_arrays(
+                    pa.array(offsets),
+                    pa.array(tfs[kept_rows], type=pa.int64())),
             })
             fname = os.path.join(path, f"bucket={bucket}.parquet")
             pq.write_table(tbl, fname + ".tmp")
@@ -148,9 +161,49 @@ class InvertedIndex:
                                           batch_format="pandas") \
             .to_pandas()
         n_terms = int(summary["n_terms"].sum()) if len(summary) else 0
+
+        # doc-length sidecar (BM25 normalization): doc-id-hash-bucketed
+        # files, each written by its own task — same resumable layout
+        from ..stages.corpus import space_token_counts
+
+        def dlen_rows(t: pa.Table) -> pa.Table:
+            ids = _str(t[id_column]).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dlen = space_token_counts(t[column])
+            return pa.table({
+                "doc": pa.array(ids),
+                "dlen": pa.array(dlen, type=pa.int64()),
+                "dbucket": pa.array(
+                    (ids.view(U64) % U64(num_buckets)).astype(np.int64)),
+            })
+
+        def write_dlen_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(df["dbucket"].iloc[0])
+            df = df.sort_values("doc", kind="stable")
+            tbl = pa.table({
+                "doc": pa.array(df["doc"].to_numpy().astype(np.int64)),
+                "dlen": pa.array(df["dlen"].to_numpy()
+                                 .astype(np.int64)),
+            })
+            fname = os.path.join(path, f"doclen={bucket}.parquet")
+            pq.write_table(tbl, fname + ".tmp")
+            os.replace(fname + ".tmp", fname)
+            return pd.DataFrame({
+                "n_docs": [len(df)],
+                "total_len": [int(df["dlen"].sum())]})
+
+        dsum = ds.map_batches(dlen_rows, batch_format="pyarrow") \
+            .groupby("dbucket").map_groups(write_dlen_bucket,
+                                           batch_format="pandas") \
+            .to_pandas()
         with open(os.path.join(path, INDEX_MANIFEST), "w") as fh:
-            json.dump({"num_buckets": num_buckets,
-                       "n_terms": n_terms}, fh)
+            json.dump({
+                "num_buckets": num_buckets,
+                "n_terms": n_terms,
+                "n_docs": int(dsum["n_docs"].sum()) if len(dsum) else 0,
+                "total_len": int(dsum["total_len"].sum())
+                if len(dsum) else 0,
+            }, fh)
         return InvertedIndex(path)
 
     # -- query ----------------------------------------------------------
@@ -159,18 +212,80 @@ class InvertedIndex:
         return int(hash_arrow_array(pa.array([term])) [0]
                    % U64(self.num_buckets))
 
+    def postings_tf(self, term: str):
+        """(sorted doc ids, parallel term frequencies) for `term` —
+        (empty, empty) if unseen or pruned. Reads ONLY the term's
+        bucket file."""
+        fname = os.path.join(self.path,
+                             f"bucket={self._bucket_of(term)}.parquet")
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if not os.path.exists(fname):
+            return empty
+        t = pq.read_table(fname, columns=["word", "postings", "tfs"],
+                          filters=[("word", "=", term)])
+        if t.num_rows == 0:
+            return empty
+        return (np.asarray(t["postings"][0].as_py(), dtype=np.int64),
+                np.asarray(t["tfs"][0].as_py(), dtype=np.int64))
+
     def postings(self, term: str) -> np.ndarray:
         """Sorted int64 doc ids containing `term` (empty if unseen or
         pruned). Reads ONLY the term's bucket file."""
-        fname = os.path.join(self.path,
-                             f"bucket={self._bucket_of(term)}.parquet")
-        if not os.path.exists(fname):
-            return np.empty(0, dtype=np.int64)
-        t = pq.read_table(fname, columns=["word", "postings"],
-                          filters=[("word", "=", term)])
-        if t.num_rows == 0:
-            return np.empty(0, dtype=np.int64)
-        return np.asarray(t["postings"][0].as_py(), dtype=np.int64)
+        return self.postings_tf(term)[0]
+
+    def doc_lengths(self, docs: np.ndarray) -> np.ndarray:
+        """Token counts of the given doc ids, reading only the doc-id
+        buckets the query actually touches. Raises on unknown ids (the
+        index and the corpus must agree)."""
+        docs = np.ascontiguousarray(docs, dtype=np.int64)
+        out = np.zeros(len(docs), dtype=np.int64)
+        for b in np.unique(docs.view(U64) % U64(self.num_buckets)):
+            fname = os.path.join(self.path, f"doclen={int(b)}.parquet")
+            sel = (docs.view(U64) % U64(self.num_buckets)) == b
+            if not os.path.exists(fname):
+                raise KeyError(f"doc-length bucket {int(b)} missing")
+            t = pq.read_table(fname)
+            bd = np.asarray(t["doc"], dtype=np.int64)
+            bl = np.asarray(t["dlen"], dtype=np.int64)
+            idx = np.searchsorted(bd, docs[sel])
+            ok = (idx < len(bd)) & (bd[np.minimum(idx, len(bd) - 1)]
+                                    == docs[sel])
+            if not ok.all():
+                raise KeyError("doc id missing from doc-length sidecar")
+            out[sel] = bl[idx]
+        return out
+
+    def search_bm25(self, terms, k: int = 10, *, k1: float = 1.2,
+                    b: float = 0.75):
+        """Top-`k` documents by BM25 (Robertson/Lucene idf:
+        ln(1 + (N - df + 0.5)/(df + 0.5))), ties broken by doc id
+        ascending. Returns (doc ids, scores) ndarrays. Reads one
+        postings bucket per term plus the candidate docs' length
+        buckets — never the corpus."""
+        import math
+
+        N = self.n_docs
+        avgdl = (self.total_len / N) if N else 0.0
+        per_term = [(t, *self.postings_tf(t)) for t in terms]
+        cand = np.unique(np.concatenate(
+            [d for _, d, _ in per_term] or
+            [np.empty(0, dtype=np.int64)]))
+        if not len(cand):
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        dlen = self.doc_lengths(cand).astype(np.float64)
+        score = np.zeros(len(cand), dtype=np.float64)
+        for _t, docs, tfs in per_term:
+            if not len(docs):
+                continue
+            df = len(docs)
+            idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+            pos = np.searchsorted(cand, docs)
+            tf = tfs.astype(np.float64)
+            denom = tf + k1 * (1.0 - b + b * dlen[pos] / avgdl)
+            score[pos] += idf * tf * (k1 + 1.0) / denom
+        order = np.lexsort((cand, -score))[:k]
+        return cand[order], score[order]
 
     def search(self, terms, mode: str = "and") -> np.ndarray:
         """Sorted doc ids matching ALL (`and`) or ANY (`or`) terms."""

@@ -73,3 +73,45 @@ def test_index_df_pruning_and_reattach(tmp_path, ray_session):
     assert again.n_terms == idx.n_terms == 1
     np.testing.assert_array_equal(again.postings("stop"),
                                   idx.postings("stop"))
+
+
+def test_bm25_matches_bruteforce(tmp_path, ray_session):
+    import math
+
+    import ray.data
+
+    from libfilter_ray.state.inverted_index import InvertedIndex
+
+    df = _corpus(100, seed=41)
+    # one empty doc: contributes to N but can never be a candidate
+    df.loc[len(df)] = {"doc_id": np.int64(10_001), "text": ""}
+    ds = ray.data.from_pandas(df).repartition(4)
+    idx = InvertedIndex.build(ds, "text", "doc_id",
+                              str(tmp_path / "ix"), num_buckets=8)
+    assert idx.n_docs == len(df)
+
+    terms = ["data", "key"]
+    k1, b = 1.2, 0.75
+    N = len(df)
+    dlens = {r.doc_id: len([w for w in r.text.split(" ") if w])
+             for r in df.itertuples()}
+    avgdl = sum(dlens.values()) / N
+    want = {}
+    for t in terms:
+        docs = [r.doc_id for r in df.itertuples()
+                if t in r.text.split(" ")]
+        idf = math.log(1 + (N - len(docs) + 0.5) / (len(docs) + 0.5))
+        for d in docs:
+            tf = df.set_index("doc_id").loc[d, "text"].split(" ").count(t)
+            want[d] = want.get(d, 0.0) + idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dlens[d] / avgdl))
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ids, scores = idx.search_bm25(terms, k=10, k1=k1, b=b)
+    assert list(ids) == [d for d, _ in top]
+    for got, (_, w) in zip(scores, top):
+        assert abs(got - w) < 1e-12
+    # doc lengths round-trip, including the empty doc
+    np.testing.assert_array_equal(
+        idx.doc_lengths(np.array([10_001], dtype=np.int64)), [0])
+    with pytest.raises(KeyError):
+        idx.doc_lengths(np.array([999_999], dtype=np.int64))
