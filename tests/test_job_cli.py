@@ -972,3 +972,42 @@ def test_curate_blocklist_stage(tmp_path, ray_session):
     blk.write_text("bad.org\nfine.net\n")
     with pytest.raises(SystemExit, match="curate run with"):
         main(argv[:-1] + [str(tmp_path / "out3")])
+
+
+def test_index_subcommand_build_and_search(tmp_path, ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(30, dtype=np.int64),
+        "text": [("alpha beta " * (i % 3 + 1)).strip() if i % 5
+                 else "gamma delta" for i in range(30)]})
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        src / "docs.parquet")
+    ixd = tmp_path / "ix"
+    out = tmp_path / "hits.parquet"
+    assert main(["index", "--input", str(src), "--table", "docs",
+                 "--index-dir", str(ixd)]) == 0
+    # search without rebuild (no --input needed once built)
+    assert main(["index", "--index-dir", str(ixd), "--search",
+                 "gamma delta", "--mode", "and",
+                 "--output", str(out)]) == 0
+    hits = pq.read_table(out).to_pandas()
+    assert set(hits["doc_id"]) == set(range(0, 30, 5))
+    # bm25 mode returns ranked scores
+    out2 = tmp_path / "ranked.parquet"
+    assert main(["index", "--index-dir", str(ixd), "--search", "alpha",
+                 "--mode", "bm25", "--k", "3",
+                 "--output", str(out2)]) == 0
+    ranked = pq.read_table(out2).to_pandas()
+    assert list(ranked.columns) == ["rank", "doc_id", "score"]
+    assert len(ranked) == 3
+    assert (ranked["score"].diff().dropna() <= 0).all()
+    # unbuilt dir without --input is refused
+    with pytest.raises(SystemExit, match="needs"):
+        main(["index", "--index-dir", str(tmp_path / "nope"),
+              "--search", "x"])
