@@ -3189,6 +3189,95 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
 
+def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape — a THREE-table composition of the engine's two
+    join regimes: customer (BUILDING segment, the small side) prunes
+    orders via the broadcast Bloom + exact-confirm semi-join pattern
+    (§2.5), the date-filtered orders then hash-equi-join the
+    shipdate-filtered lineitems (fact x fact, stages/joins.py), revenue
+    aggregates per (orderkey, orderdate), and the top-10 resolves with a
+    distributed sort + limit — the driver only ever sees 10 rows."""
+    import pyarrow.compute as pc
+
+    from ..sketch import sizing
+    from ..sketch.block_bloom import BlockBloom
+    from ..sketch.hashing import hash_arrow_array
+    from ..stages.dedup import _cached_filter
+    from ..stages.joins import hash_equi_join
+
+    CUT = pd.Timestamp("1998-06-01")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(expr="c_mktsegment == 'BUILDING'") \
+        .select_columns(["c_custkey"]).to_pandas()["c_custkey"] \
+        .to_numpy().astype(np.int64)
+    f = BlockBloom(sizing.block_bytes_needed(max(len(keys), 1), 0.001))
+    f.add_hashes(hash_arrow_array(pa.array(keys, type=pa.int64())))
+    bloom_ref = ray.put(f.to_bytes())
+    exact_ref = ray.put(np.sort(keys))
+
+    def prune_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"],
+                             pa.scalar(CUT.to_pydatetime())))
+        bloom = _cached_filter(bloom_ref, BlockBloom.from_bytes)
+        maybe = bloom.find_hashes(hash_arrow_array(t["o_custkey"]))
+        t = t.filter(pa.array(maybe))
+        if t.num_rows:
+            exact = ray.get(exact_ref)
+            ck = np.asarray(t["o_custkey"], dtype=np.int64)
+            idx = np.searchsorted(exact, ck)
+            hit = (idx < len(exact)) & (
+                exact[np.minimum(idx, len(exact) - 1)] == ck)
+            t = t.filter(pa.array(hit))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    def prune_lineitem(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"],
+                                pa.scalar(CUT.to_pydatetime())))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": rev})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(prune_orders, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]) \
+        .map_batches(prune_lineitem, batch_format="pyarrow")
+    joined = hash_equi_join(orders, li, left_on="o_orderkey",
+                            right_on="l_orderkey",
+                            left_cols=["o_orderdate"],
+                            right_cols=["rev"])
+    top = joined.groupby(["o_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev", alias_name="revenue")) \
+        .sort(["revenue", "o_orderdate", "o_orderkey"],
+              descending=[True, False, False]) \
+        .limit(10).to_pandas()
+    top["revenue"] = top["revenue"].round(2)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "o_orderkey", "o_orderdate", "revenue"]]
+
+
+SQL_SHIPPING_PRIORITY = """
+WITH rev AS (
+  SELECT o.o_orderkey, o.o_orderdate,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY o.o_orderkey, o.o_orderdate
+)
+SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_orderdate,
+                               o_orderkey) AS BIGINT) AS rank,
+       o_orderkey, o_orderdate, round(revenue, 2) AS revenue
+FROM rev ORDER BY rank LIMIT 10
+"""
+
+
 def q_supplier_revenue(sf_dir: str) -> pd.DataFrame:
     """Bloom-pruned fact join in anger: suppliers with s_acctbal > 5000
     (a selective build side) hash-equi-join lineitem with
@@ -4548,6 +4637,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_collocations": q_top_collocations,
     "inverted_index_search": q_inverted_index_search,
     "bm25_search": q_bm25_search,
+    "shipping_priority": q_shipping_priority,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -4625,6 +4715,7 @@ ORACLES: dict[str, str] = {
     "top_collocations": SQL_TOP_COLLOCATIONS,
     "inverted_index_search": SQL_INVERTED_INDEX_SEARCH,
     "bm25_search": SQL_BM25_SEARCH,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,
