@@ -4317,6 +4317,81 @@ WHERE rank <= 10 ORDER BY rank
 """
 
 
+def q_ppm_decode_features(sf_dir: str) -> pd.DataFrame:
+    """REAL image decode under the driver gate: deterministic valid
+    binary-P6 PPM payloads are attached per doc (pure function of
+    doc_id), decoded by the actor-pool PpmFeatureStage — an actual
+    header parse + numpy reshape, not a stubbed fake — and the decoded
+    widths/heights/channel means aggregate per lang. The oracle
+    recomputes every pixel arithmetically from the synthesis formula,
+    so a decoder that misreads dimensions, strides or channel order
+    hash-mismatches. (Compressed formats remain honestly stubbed —
+    no codecs in this environment.)"""
+    from ..stages.multimodal import PpmFeatureStage, attach_ppm_images
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    feats = docs.map_batches(attach_ppm_images, batch_format="pyarrow") \
+        .map_batches(PpmFeatureStage, batch_size=256, concurrency=4,
+                     batch_format="pyarrow")
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_images": pa.array(np.ones(t.num_rows, np.int64)),
+            "sum_width": t["width"],
+            "sum_height": t["height"],
+            "sum_mean_r": t["mean_r"],
+            "sum_mean_g": t["mean_g"],
+            "sum_mean_b": t["mean_b"],
+        })
+
+    out = feats.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_width", alias_name="sum_width"),
+            Sum("sum_height", alias_name="sum_height"),
+            Sum("sum_mean_r", alias_name="sum_mean_r"),
+            Sum("sum_mean_g", alias_name="sum_mean_g"),
+            Sum("sum_mean_b", alias_name="sum_mean_b")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_images", "sum_width", "sum_height"):
+        out[c] = out[c].astype("int64")
+    for ch in ("r", "g", "b"):
+        out[f"avg_mean_{ch}"] = (out[f"sum_mean_{ch}"]
+                                 / out["n_images"]).round(4)
+        out = out.drop(columns=[f"sum_mean_{ch}"])
+    return out
+
+
+SQL_PPM_DECODE_FEATURES = """
+WITH dims AS (
+  SELECT doc_id, lang,
+         8 + doc_id % 17 AS w, 8 + doc_id % 15 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.lang, d.w, d.h, ty.y AS y, tx.x AS x
+  FROM dims d, UNNEST(range(0, d.h)) AS ty(y),
+       UNNEST(range(0, d.w)) AS tx(x)
+),
+per_img AS (
+  SELECT doc_id, lang, any_value(w) AS w, any_value(h) AS h,
+         avg(CAST((x * (y + 1) + doc_id + 0) % 256 AS DOUBLE)) AS mr,
+         avg(CAST((x * (y + 1) + doc_id + 1) % 256 AS DOUBLE)) AS mg,
+         avg(CAST((x * (y + 1) + doc_id + 2) % 256 AS DOUBLE)) AS mb
+  FROM px GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(w) AS BIGINT) AS sum_width,
+       CAST(sum(h) AS BIGINT) AS sum_height,
+       round(avg(mr), 4) AS avg_mean_r,
+       round(avg(mg), 4) AS avg_mean_g,
+       round(avg(mb), 4) AS avg_mean_b
+FROM per_img GROUP BY lang ORDER BY lang
+"""
+
+
 def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
     """Incremental-crawl planning: per-url diff of two snapshots
     (added / removed / changed / unchanged), so a re-ingest processes
@@ -4638,6 +4713,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "inverted_index_search": q_inverted_index_search,
     "bm25_search": q_bm25_search,
     "shipping_priority": q_shipping_priority,
+    "ppm_decode_features": q_ppm_decode_features,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -4716,6 +4792,7 @@ ORACLES: dict[str, str] = {
     "inverted_index_search": SQL_INVERTED_INDEX_SEARCH,
     "bm25_search": SQL_BM25_SEARCH,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "ppm_decode_features": SQL_PPM_DECODE_FEATURES,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,

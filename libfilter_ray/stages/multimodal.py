@@ -247,3 +247,123 @@ def frame_sample_stage(t: pa.Table, *, every: int = 4,
     n_frames = ((sizes + 63) // 64).astype(np.int64)
     return t.append_column("frames", frames) \
         .append_column("n_frames", pa.array(n_frames, type=pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode for uncompressed formats (binary P6 PPM) — no codec
+# library needed, so this path is NOT stubbed: header parse + numpy
+# reshape is the entire decoder.
+# ---------------------------------------------------------------------------
+
+def attach_ppm_images(t: pa.Table, *, id_column: str = "doc_id",
+                      max_side: int = 24) -> pa.Table:
+    """Deterministic VALID binary-P6 PPM payloads per row (pure function
+    of the id column — retry-safe): width = 8 + id % (max_side - 7),
+    height = 8 + id % (max_side - 9), pixel (y, x, c) =
+    (x * (y + 1) + id + c) % 256. The synthesis loop is per row (this is
+    a test/bench data generator, not a hot pipeline stage); the pixel
+    fill itself is numpy per image."""
+    ids = np.asarray(t[id_column].combine_chunks()
+                     if isinstance(t[id_column], pa.ChunkedArray)
+                     else t[id_column]).astype(np.int64)
+    payloads = []
+    for i in ids:
+        w = int(8 + i % (max_side - 7))
+        h = int(8 + i % (max_side - 9))
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        px = ((x * (y + 1) + int(i) + c) % 256).astype(np.uint8)
+        payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+    return t.append_column("image",
+                           pa.array(payloads, type=pa.large_binary()))
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 array from one binary-P6 PPM payload. Raises
+    ValueError on malformed headers or truncated pixel data."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary P6 PPM")
+    # header = magic, width, height, maxval, then EXACTLY ONE whitespace
+    # byte before the body (split() would eat whitespace-valued pixels)
+    WS = (9, 10, 13, 32)
+    pos, vals = 2, []
+    try:
+        for _ in range(3):
+            while payload[pos] in WS:
+                pos += 1
+            start = pos
+            while payload[pos] not in WS:
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1  # the single post-maxval whitespace byte
+    except (IndexError, ValueError) as e:
+        raise ValueError(f"malformed PPM header: {e}")
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    body = payload[pos:]
+    need = w * h * 3
+    if len(body) < need:
+        raise ValueError(f"truncated PPM body: {len(body)} < {need}")
+    return np.frombuffer(body[:need], dtype=np.uint8).reshape(h, w, 3)
+
+
+def block_mean_thumbnail(img: np.ndarray, side: int = 4) -> np.ndarray:
+    """(side, side) float32 grayscale block-mean downsample — a real
+    resize kernel (mean over each cell of a side x side grid; cells are
+    as equal as integer division allows)."""
+    h, w, _ = img.shape
+    gray = img.astype(np.float32).mean(axis=2)
+    ys = (np.arange(side + 1) * h) // side
+    xs = (np.arange(side + 1) * w) // side
+    # integral image -> O(side^2) cell sums regardless of image size
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=ii[1:, 1:])
+    sums = (ii[ys[1:], :][:, xs[1:]] - ii[ys[:-1], :][:, xs[1:]]
+            - ii[ys[1:], :][:, xs[:-1]] + ii[ys[:-1], :][:, xs[:-1]])
+    areas = np.outer(ys[1:] - ys[:-1], xs[1:] - xs[:-1])
+    return (sums / areas).astype(np.float32)
+
+
+class PpmFeatureStage:
+    """Actor-pool stage with REAL decode: binary-P6 PPM column ->
+    (width, height, mean R/G/B, side x side gray thumbnail). Per-payload
+    header parse + one numpy reshape per image is the whole decoder —
+    uncompressed formats need no codec library, so unlike
+    ImageFeatureStage(codec='real') this path is not stubbed. Compressed
+    formats still raise at construction.
+
+    Use: ds.map_batches(PpmFeatureStage, batch_size=256, concurrency=N)
+    """
+
+    def __init__(self, codec: str = "ppm", thumb_side: int = 4):
+        if codec != "ppm":
+            raise NotImplementedError(
+                "only uncompressed binary PPM decodes in this "
+                "environment; install pillow/opencv for compressed "
+                "formats")
+        self.thumb_side = thumb_side
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        offsets, data = _flat_binary_view(t["image"])
+        n = len(offsets) - 1
+        side = self.thumb_side
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        means = np.zeros((n, 3), dtype=np.float64)
+        thumbs = np.zeros((n, side * side), dtype=np.float32)
+        for i in range(n):  # per-PAYLOAD decode; pixel math is numpy
+            img = decode_ppm(data[offsets[i]:offsets[i + 1]].tobytes())
+            height[i], width[i] = img.shape[0], img.shape[1]
+            means[i] = img.mean(axis=(0, 1))
+            thumbs[i] = block_mean_thumbnail(img, side).ravel()
+        out = t.drop_columns(["image"])  # wide payload dies here
+        flat = pa.array(thumbs.ravel(), type=pa.float32())
+        thumb_col = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * side * side, side * side,
+                               dtype=np.int64)), flat)
+        return out.append_column("width", pa.array(width)) \
+            .append_column("height", pa.array(height)) \
+            .append_column("mean_r", pa.array(means[:, 0])) \
+            .append_column("mean_g", pa.array(means[:, 1])) \
+            .append_column("mean_b", pa.array(means[:, 2])) \
+            .append_column("thumbnail", thumb_col)
