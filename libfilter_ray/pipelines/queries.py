@@ -4392,6 +4392,72 @@ FROM per_img GROUP BY lang ORDER BY lang
 """
 
 
+def q_wav_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL audio container decode under the driver gate: valid
+    RIFF/WAVE PCM16 payloads (integer waveform, pure function of
+    doc_id) are parsed by the actor-pool WavFeatureStage — an actual
+    chunk walk, not a stub — and the decoded sample counts, durations,
+    RMS and peaks aggregate per lang. The oracle recomputes every
+    sample arithmetically; v^2 sums stay under 2^53 so the RMS matches
+    BIT-exactly across engines (the reason the waveform is integer, not
+    a sine)."""
+    from ..stages.multimodal import WavFeatureStage, attach_wav_audio
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    feats = docs.map_batches(attach_wav_audio, batch_format="pyarrow") \
+        .map_batches(WavFeatureStage, batch_size=256, concurrency=4,
+                     batch_format="pyarrow")
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_clips": pa.array(np.ones(t.num_rows, np.int64)),
+            "sum_samples": t["n_samples"],
+            "sum_duration_ms": t["duration_ms"],
+            "sum_rms": t["rms"],
+            "max_peak": t["peak"],
+        })
+
+    out = feats.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_clips", alias_name="n_clips"),
+            Sum("sum_samples", alias_name="sum_samples"),
+            Sum("sum_duration_ms", alias_name="sum_duration_ms"),
+            Sum("sum_rms", alias_name="sum_rms"),
+            Max("max_peak", alias_name="max_peak")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_clips", "sum_samples", "sum_duration_ms", "max_peak"):
+        out[c] = out[c].astype("int64")
+    out["avg_rms"] = (out["sum_rms"] / out["n_clips"]).round(4)
+    return out.drop(columns=["sum_rms"])
+
+
+SQL_WAV_DECODE_STATS = """
+WITH clips AS (
+  SELECT doc_id, lang, 64 + doc_id % 1984 AS n
+  FROM documents
+),
+samples AS (
+  SELECT c.doc_id, c.lang, c.n,
+         ((k.k * (c.doc_id + 3)) % 65536) - 32768 AS v
+  FROM clips c, UNNEST(range(0, c.n)) AS k(k)
+),
+per_clip AS (
+  SELECT doc_id, lang, any_value(n) AS n,
+         sqrt(avg(CAST(v AS DOUBLE) * v)) AS rms,
+         max(abs(v)) AS peak
+  FROM samples GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(n) AS BIGINT) AS sum_samples,
+       CAST(sum((n * 1000) // 16000) AS BIGINT) AS sum_duration_ms,
+       CAST(max(peak) AS BIGINT) AS max_peak,
+       round(avg(rms), 4) AS avg_rms
+FROM per_clip GROUP BY lang ORDER BY lang
+"""
+
+
 def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
     """Incremental-crawl planning: per-url diff of two snapshots
     (added / removed / changed / unchanged), so a re-ingest processes
@@ -4714,6 +4780,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bm25_search": q_bm25_search,
     "shipping_priority": q_shipping_priority,
     "ppm_decode_features": q_ppm_decode_features,
+    "wav_decode_stats": q_wav_decode_stats,
     "crawl_delta": q_crawl_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
@@ -4793,6 +4860,7 @@ ORACLES: dict[str, str] = {
     "bm25_search": SQL_BM25_SEARCH,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "ppm_decode_features": SQL_PPM_DECODE_FEATURES,
+    "wav_decode_stats": SQL_WAV_DECODE_STATS,
     "crawl_delta": SQL_CRAWL_DELTA,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "ann_topk_ivf_exhaustive": SQL_ANN_TOPK,

@@ -367,3 +367,106 @@ class PpmFeatureStage:
             .append_column("mean_g", pa.array(means[:, 1])) \
             .append_column("mean_b", pa.array(means[:, 2])) \
             .append_column("thumbnail", thumb_col)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio container decode (RIFF/WAVE, PCM16) — header walk + numpy
+# view; uncompressed audio needs no codec library, so this path is not
+# stubbed either.
+# ---------------------------------------------------------------------------
+
+def attach_wav_audio(t: pa.Table, *, id_column: str = "doc_id",
+                     sample_rate: int = 16000, min_samples: int = 64,
+                     max_samples: int = 2048) -> pa.Table:
+    """Deterministic VALID little-endian RIFF/WAVE (PCM16 mono) payloads
+    per row — pure function of the id column. The waveform is INTEGER
+    arithmetic (sample k = ((k * (id + 3)) % 65536) - 32768) so an SQL
+    oracle can recompute every sample exactly (a sine would drift on
+    ulp-level libm differences). Synthesis loop is per row (test/bench
+    generator); the sample fill is numpy per payload."""
+    import struct
+
+    ids = np.asarray(t[id_column].combine_chunks()
+                     if isinstance(t[id_column], pa.ChunkedArray)
+                     else t[id_column]).astype(np.int64)
+    payloads = []
+    span = max_samples - min_samples
+    for i in ids:
+        n = int(min_samples + i % span)
+        k = np.arange(n, dtype=np.int64)
+        samples = ((k * (int(i) + 3)) % 65536 - 32768).astype("<i2")
+        data = samples.tobytes()
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                       sample_rate * 2, 2, 16)
+               + b"data" + struct.pack("<I", len(data)))
+        payloads.append(hdr + data)
+    return t.append_column("audio",
+                           pa.array(payloads, type=pa.large_binary()))
+
+
+def decode_wav(payload: bytes):
+    """(int16 samples ndarray, sample_rate, n_channels) from one
+    RIFF/WAVE payload — walks the chunk list (fmt may be preceded or
+    followed by other chunks), PCM16 only. Raises ValueError on
+    malformed containers."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt / data chunk")
+    audio_fmt, n_ch, rate, _bps, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM16 supported, got format {audio_fmt}/{bits}-bit")
+    return np.frombuffer(data, dtype="<i2"), rate, n_ch
+
+
+class WavFeatureStage:
+    """Actor-pool stage with REAL container decode: RIFF/WAVE PCM16
+    column -> (n_samples, sample_rate, duration_ms, rms, peak). The
+    chunk walk is per payload; sample math is numpy. Compressed audio
+    raises at construction — honestly stubbed, like compressed images."""
+
+    def __init__(self, codec: str = "pcm_s16le"):
+        if codec != "pcm_s16le":
+            raise NotImplementedError(
+                "no audio codec in this environment; RIFF/WAVE PCM16 "
+                "only")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        offsets, data = _flat_binary_view(t["audio"])
+        n = len(offsets) - 1
+        ns = np.zeros(n, dtype=np.int64)
+        rate = np.zeros(n, dtype=np.int64)
+        rms = np.zeros(n, dtype=np.float64)
+        peak = np.zeros(n, dtype=np.int64)
+        for i in range(n):  # per-PAYLOAD decode; sample math is numpy
+            s, r, ch = decode_wav(data[offsets[i]:offsets[i + 1]]
+                                  .tobytes())
+            ns[i], rate[i] = len(s) // max(ch, 1), r
+            x = s.astype(np.float64)
+            rms[i] = float(np.sqrt(np.mean(x * x))) if len(s) else 0.0
+            # widen BEFORE abs: np.abs(int16 -32768) wraps to -32768
+            peak[i] = int(np.abs(s.astype(np.int64)).max(initial=0))
+        out = t.drop_columns(["audio"])  # wide payload dies here
+        return out.append_column("n_samples", pa.array(ns)) \
+            .append_column("sample_rate", pa.array(rate)) \
+            .append_column("duration_ms", pa.array(
+                (ns * 1000) // np.maximum(rate, 1))) \
+            .append_column("rms", pa.array(rms)) \
+            .append_column("peak", pa.array(peak))

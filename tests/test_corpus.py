@@ -468,3 +468,39 @@ def test_ppm_feature_stage_real_decode(ray_session):
         img = ((x * (y + 1) + int(i) + c) % 256).astype(np.uint8)
         assert abs(out.loc[i, "mean_r"] - img[:, :, 0].mean()) < 1e-9
         assert len(out.loc[i, "thumbnail"]) == 16
+
+
+def test_wav_decode_roundtrip_and_guards():
+    import struct
+
+    import pytest
+
+    from libfilter_ray.stages.multimodal import attach_wav_audio, decode_wav
+
+    t = pa.table({"doc_id": pa.array([7, 0], type=pa.int64()),
+                  "lang": ["en", "de"]})
+    payloads = attach_wav_audio(t)["audio"].to_pylist()
+    s, rate, ch = decode_wav(payloads[0])
+    assert (rate, ch) == (16000, 1)
+    k = np.arange(64 + 7 % 1984, dtype=np.int64)
+    np.testing.assert_array_equal(
+        s.astype(np.int64), (k * 10) % 65536 - 32768)
+
+    # chunk walk survives an extra chunk before fmt (incl. odd-size pad)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    riff_size = struct.unpack("<I", payloads[0][4:8])[0] + len(extra)
+    reordered = (b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+                 + extra + payloads[0][12:])
+    s2, _, _ = decode_wav(reordered)
+    np.testing.assert_array_equal(s2, s)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + bytes(20))
+    with pytest.raises(ValueError, match="PCM16"):
+        bad = bytearray(payloads[0])
+        bad[20] = 85  # fmt code -> 0x55 (mp3)
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payloads[0][:-5])
+    with pytest.raises(ValueError, match="missing"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
