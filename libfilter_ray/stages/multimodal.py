@@ -1,11 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by actor-pool map_batches stages.
 
-The container has no image/audio codecs, so the *decode* kernels are stubbed
-(deterministic fake features, or NotImplementedError for the real path) —
-but every Ray-side piece is real and tested: schema, small-batch sizing for
-wide binary rows, actor `__init__` setup-once contract, zero-copy buffer
-access via Arrow offsets, and the output layout.
+Decode status, honestly split by format family:
+- UNCOMPRESSED formats decode for REAL — no codec library needed:
+  binary-P6 PPM images (`decode_ppm` / `PpmFeatureStage`: header scan +
+  numpy reshape, block-mean thumbnail resize) and RIFF/WAVE PCM16 audio
+  (`decode_wav` / `WavFeatureStage`: chunk walk + int16 view). Both are
+  driver-gated with SQL oracles that recompute every pixel/sample.
+- COMPRESSED formats (JPEG/PNG/MP3/...) stay stubbed — the container has
+  no codecs; `codec="real"` raises at actor construction (fail fast,
+  once per actor). Every Ray-side piece is still real and tested:
+  schema, small-batch sizing for wide binary rows, actor `__init__`
+  setup-once contract, zero-copy buffer access, output layout.
 
 At 100 TB: binary payloads dominate block size — callers must cap
 `batch_size` (here default 256) and drop the payload column immediately
