@@ -163,6 +163,11 @@ def run_bench() -> dict:
     # self-trained bigram LM quality filter (distributed model build +
     # broadcast scoring — the real-log-prob CCNet shape)
     timed("lm_quality_filter", q.q_lm_quality_filter)
+    # inverted-index build + BM25 ranked retrieval (bucketed postings,
+    # write-own-partition sink, corpus-free scoring)
+    timed("bm25_search", q.q_bm25_search)
+    # TPC-H Q3 shape: semi-join prune -> fact x fact join -> top-10
+    timed("shipping_priority", q.q_shipping_priority)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)

@@ -4331,7 +4331,7 @@ def q_ppm_decode_features(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
     feats = docs.map_batches(attach_ppm_images, batch_format="pyarrow") \
-        .map_batches(PpmFeatureStage, batch_size=256, concurrency=4,
+        .map_batches(PpmFeatureStage, batch_size=256, concurrency=(2, 16),
                      batch_format="pyarrow")
 
     def stats(t: pa.Table) -> pa.Table:
@@ -4405,7 +4405,7 @@ def q_wav_decode_stats(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
     feats = docs.map_batches(attach_wav_audio, batch_format="pyarrow") \
-        .map_batches(WavFeatureStage, batch_size=256, concurrency=4,
+        .map_batches(WavFeatureStage, batch_size=256, concurrency=(2, 16),
                      batch_format="pyarrow")
 
     def stats(t: pa.Table) -> pa.Table:
