@@ -16,14 +16,24 @@ from typing import Any, Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None, filter=None):
+    """Pruned parquet read: `columns` limits what leaves storage;
+    `filter` (a pyarrow.dataset expression, e.g. pc.field("x") > 5)
+    pushes row selection into the Arrow scan — row groups whose
+    statistics exclude the predicate are skipped entirely and the rest
+    filter in C++ before a single batch reaches Python."""
+    kwargs = {}
+    if filter is not None:
+        kwargs["filter"] = filter  # lands in **arrow_parquet_args
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns, **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -103,9 +113,9 @@ def q_bloom_semijoin(sf_dir: str) -> pd.DataFrame:
     from ..sketch.block_bloom import BlockBloom
     from ..sketch.hashing import hash_arrow_array
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    keys = cust.filter(expr="c_mktsegment == 'BUILDING'") \
-        .select_columns(["c_custkey"]).to_pandas()["c_custkey"].to_numpy()
+    cust = _read(sf_dir, "customer", columns=["c_custkey"],
+                 filter=pc.field("c_mktsegment") == "BUILDING")
+    keys = cust.to_pandas()["c_custkey"].to_numpy()
     f = BlockBloom(sizing.block_bytes_needed(max(len(keys), 1), 0.001))
     f.add_hashes(hash_arrow_array(pa.array(keys, type=pa.int64())))
     bloom_ref = ray.put(f.to_bytes())
@@ -157,9 +167,9 @@ def q_bloom_antijoin(sf_dir: str) -> pd.DataFrame:
     from ..sketch.hashing import hash_arrow_array
     from ..stages.dedup import _cached_filter
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    keys = cust.filter(expr="c_mktsegment == 'BUILDING'") \
-        .select_columns(["c_custkey"]).to_pandas()["c_custkey"].to_numpy()
+    cust = _read(sf_dir, "customer", columns=["c_custkey"],
+                 filter=pc.field("c_mktsegment") == "BUILDING")
+    keys = cust.to_pandas()["c_custkey"].to_numpy()
     f = BlockBloom(sizing.block_bytes_needed(max(len(keys), 1), 0.001))
     f.add_hashes(hash_arrow_array(pa.array(keys, type=pa.int64())))
     bloom_ref = ray.put(f.to_bytes())
@@ -3206,18 +3216,15 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
     from ..stages.joins import hash_equi_join
 
     CUT = pd.Timestamp("1998-06-01")
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    keys = cust.filter(expr="c_mktsegment == 'BUILDING'") \
-        .select_columns(["c_custkey"]).to_pandas()["c_custkey"] \
-        .to_numpy().astype(np.int64)
+    cust = _read(sf_dir, "customer", columns=["c_custkey"],
+                 filter=pc.field("c_mktsegment") == "BUILDING")
+    keys = cust.to_pandas()["c_custkey"].to_numpy().astype(np.int64)
     f = BlockBloom(sizing.block_bytes_needed(max(len(keys), 1), 0.001))
     f.add_hashes(hash_arrow_array(pa.array(keys, type=pa.int64())))
     bloom_ref = ray.put(f.to_bytes())
     exact_ref = ray.put(np.sort(keys))
 
     def prune_orders(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t["o_orderdate"],
-                             pa.scalar(CUT.to_pydatetime())))
         bloom = _cached_filter(bloom_ref, BlockBloom.from_bytes)
         maybe = bloom.find_hashes(hash_arrow_array(t["o_custkey"]))
         t = t.filter(pa.array(maybe))
@@ -3231,19 +3238,21 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
         return t.select(["o_orderkey", "o_orderdate"])
 
     def prune_lineitem(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["l_shipdate"],
-                                pa.scalar(CUT.to_pydatetime())))
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"l_orderkey": t["l_orderkey"],
                          "rev": rev})
 
+    # date predicates push into the Arrow scan (row-group stats prune +
+    # in-scan filtering) — non-qualifying rows never reach Python
+    cut = pa.scalar(CUT.to_pydatetime())
     orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=pc.field("o_orderdate") < cut) \
         .map_batches(prune_orders, batch_format="pyarrow")
     li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_extendedprice", "l_discount",
-                        "l_shipdate"]) \
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               filter=pc.field("l_shipdate") > cut) \
         .map_batches(prune_lineitem, batch_format="pyarrow")
     joined = hash_equi_join(orders, li, left_on="o_orderkey",
                             right_on="l_orderkey",
