@@ -4159,12 +4159,31 @@ def q_top_collocations(sf_dir: str) -> pd.DataFrame:
 
     counts = docs.map_batches(partial, batch_format="pyarrow") \
         .groupby(["lang", "w1", "w2"]) \
-        .aggregate(Sum("n", alias_name="n")) \
-        .sort(["lang", "n", "w1", "w2"],
-              descending=[False, True, False, False]) \
-        .to_pandas()
-    out = counts.groupby("lang", sort=True).head(5).reset_index(drop=True)
-    out["rank"] = out.groupby("lang", sort=False).cumcount() + 1
+        .aggregate(Sum("n", alias_name="n"))
+
+    # per-group top-k without a driver collect of the (huge at scale)
+    # distinct-bigram table: per-block partial top-5 per lang (at most
+    # 5 x langs rows leave any block), then lang-hash shards finish —
+    # the q_top_parts_per_brand shape
+    NSHARDS = 16
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        from ..sketch.hashing import shard_of_values
+
+        d = df.sort_values(["n", "w1", "w2"],
+                           ascending=[False, True, True], kind="stable")
+        d = d[d.groupby("lang").cumcount() < 5]
+        return d.assign(shard=shard_of_values(d["lang"], NSHARDS))
+
+    def top_shard(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["n", "w1", "w2"],
+                           ascending=[False, True, True], kind="stable")
+        d = d.assign(rank=d.groupby("lang").cumcount() + 1)
+        return d[d["rank"] <= 5].drop(columns=["shard"])
+
+    out = counts.map_batches(partial_top, batch_format="pandas") \
+        .groupby("shard").map_groups(top_shard, batch_format="pandas") \
+        .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     out["rank"] = out["rank"].astype("int64")
     return out[["lang", "rank", "w1", "w2", "n"]]
