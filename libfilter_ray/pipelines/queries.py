@@ -2754,8 +2754,11 @@ def q_quality_percentile_cut(sf_dir: str) -> pd.DataFrame:
     thr = dict(zip(qdf["lang"].astype(str), qdf["q70"].astype(float)))
 
     def cut_stats(t: pa.Table) -> pa.Table:
-        langs = np.asarray(t["lang"], dtype=object)
-        tv = np.array([thr[lg] for lg in langs], dtype=np.float64)
+        # factorize langs once per batch; thresholds gather vectorized
+        codes, uniq = pd.factorize(np.asarray(t["lang"], dtype=object))
+        tv = np.array([thr[lg] for lg in uniq],
+                      dtype=np.float64)[codes] if len(uniq) else \
+            np.empty(0, dtype=np.float64)
         score = np.asarray(t["score"], dtype=np.float64)
         ids = np.asarray(t["doc_id"], dtype=np.int64)
         kept = score >= tv
