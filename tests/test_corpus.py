@@ -504,3 +504,26 @@ def test_wav_decode_roundtrip_and_guards():
         decode_wav(payloads[0][:-5])
     with pytest.raises(ValueError, match="missing"):
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_collocations_never_collect_bigram_table(ray_session,
+                                                 monkeypatch):
+    """Scale guard: q_top_collocations may collect only the sharded
+    top-5-per-lang remainder — never the distinct-bigram count table."""
+    import ray.data
+
+    import libfilter_ray.pipelines.queries as Q
+
+    collected: list[int] = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    out = Q.q_top_collocations("/root/testdata/sf0.001")
+    assert len(out) > 0 and collected
+    # 5 langs x top-5 = 25 final rows; allow shard-remainder slack
+    assert max(collected) <= 25 * 16, collected

@@ -115,3 +115,32 @@ def test_bm25_matches_bruteforce(tmp_path, ray_session):
         idx.doc_lengths(np.array([10_001], dtype=np.int64)), [0])
     with pytest.raises(KeyError):
         idx.doc_lengths(np.array([999_999], dtype=np.int64))
+
+
+def test_index_build_never_collects_postings(tmp_path, ray_session,
+                                             monkeypatch):
+    """Scale guard (the dedup/crawl-family spy): InvertedIndex.build may
+    collect only per-bucket summary rows (and the doc-length summary) —
+    posting payloads must go straight from bucket tasks to parquet."""
+    import ray.data
+
+    from libfilter_ray.state.inverted_index import InvertedIndex
+
+    df = _corpus(4000, seed=7)
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    collected: list[int] = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    idx = InvertedIndex.build(ds, "text", "doc_id",
+                              str(tmp_path / "ix"), num_buckets=16)
+    assert idx.n_docs == len(df)
+    assert collected, "spy never fired"
+    # summaries only: <= num_buckets rows per collect, never corpus-size
+    assert max(collected) <= 16, collected
