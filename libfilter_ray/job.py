@@ -1116,12 +1116,22 @@ def _cmd_index(args: argparse.Namespace) -> int:
               f"{idx.num_buckets} buckets", file=sys.stderr)
     else:
         idx = InvertedIndex(args.index_dir)
+    if args.merge_base:
+        from .state.inverted_index import merge_indexes
+
+        if not args.merged_out:
+            raise SystemExit("--merge-base needs --merged-out")
+        merged = merge_indexes(args.merge_base, args.index_dir,
+                               args.merged_out)
+        print(f"merged: {merged.n_terms} terms over {merged.n_docs} "
+              f"docs -> {args.merged_out}", file=sys.stderr)
+        idx = merged
     if args.search:
         import pandas as pd
 
         terms = args.search.split()
         if args.mode == "bm25":
-            ids, scores = idx.search_bm25(terms, k=args.k)
+            ids, scores = idx.search_bm25(terms, k=args.k or 10)
             out = pd.DataFrame({
                 "rank": np.arange(1, len(ids) + 1, dtype=np.int64),
                 "doc_id": ids, "score": np.round(scores, 6)})
@@ -1402,12 +1412,19 @@ def make_parser() -> argparse.ArgumentParser:
     ix.add_argument("--max-df", type=int, default=None,
                     help="drop tokens in more docs than this "
                          "(stopword cut)")
+    ix.add_argument("--merge-base", default=None,
+                    help="existing index to merge this one into "
+                         "(incremental crawl: index only the NEW docs, "
+                         "then per-bucket merge — no full rebuild)")
+    ix.add_argument("--merged-out", default=None,
+                    help="output dir for --merge-base")
     ix.add_argument("--search", default=None,
                     help="space-separated query terms")
     ix.add_argument("--mode", choices=("and", "or", "bm25"),
                     default="bm25")
-    ix.add_argument("--k", type=int, default=10,
-                    help="result cap (bm25 top-k)")
+    ix.add_argument("--k", type=int, default=None,
+                    help="result cap (bm25 top-k, default 10; and/or "
+                         "default unlimited)")
     ix.add_argument("--output", default=None)
     ix.set_defaults(fn=_cmd_index)
 

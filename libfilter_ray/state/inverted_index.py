@@ -299,3 +299,129 @@ class InvertedIndex:
             out = (np.intersect1d(out, p) if mode == "and"
                    else np.union1d(out, p))
         return out
+
+
+def merge_indexes(base_path: str, delta_path: str, out_path: str):
+    """Merge two bucket-aligned indexes (disjoint doc sets) into
+    `out_path` — the incremental-crawl path: index the NEW documents as
+    a small delta, then merge per bucket instead of rebuilding over the
+    full corpus. One Ray task per bucket id reads base bucket K + delta
+    bucket K, merge-sorts the word runs (postings stay doc-sorted
+    because doc ids within a word concatenate from two sorted disjoint
+    runs re-sorted), and writes out bucket K — O(bucket) memory per
+    task, nothing through the driver but per-bucket summaries.
+    Raises ValueError on bucket-count mismatch or doc-id overlap."""
+    import json
+
+    import ray.data
+
+    base, delta = InvertedIndex(base_path), InvertedIndex(delta_path)
+    if base.num_buckets != delta.num_buckets:
+        raise ValueError(
+            f"bucket counts differ: {base.num_buckets} vs "
+            f"{delta.num_buckets} — build the delta with the base's "
+            "bucket count")
+    nb = base.num_buckets
+    os.makedirs(out_path, exist_ok=True)
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        out_rows = []
+        for b in np.asarray(t["bucket"], dtype=np.int64):
+            b = int(b)
+            parts = []
+            for src in (base_path, delta_path):
+                f = os.path.join(src, f"bucket={b}.parquet")
+                if os.path.exists(f):
+                    parts.append(pq.read_table(f))
+            n_terms = 0
+            if parts:
+                # explode both sources back to flat (word, doc, tf)
+                # pairs and rebuild with the SAME run-length writer the
+                # fresh build uses — vectorized, no per-term Python
+                merged = pa.concat_tables(parts)
+                dfreq_src = np.asarray(merged["df"], dtype=np.int64)
+                word_flat = merged["word"].combine_chunks().take(
+                    pa.array(np.repeat(np.arange(len(dfreq_src)),
+                                       dfreq_src)))
+                pcol = merged["postings"].combine_chunks()
+                tcol = merged["tfs"].combine_chunks()
+                docs = np.asarray(pcol.flatten(), dtype=np.int64)
+                tfs = np.asarray(tcol.flatten(), dtype=np.int64)
+                df = pd.DataFrame({
+                    "word": np.asarray(word_flat, dtype=object),
+                    "doc": docs, "tf": tfs}) \
+                    .sort_values(["word", "doc"], kind="stable")
+                words = df["word"].to_numpy()
+                docs = df["doc"].to_numpy()
+                same = (words[1:] == words[:-1]) & \
+                    (docs[1:] == docs[:-1]) if len(words) > 1 \
+                    else np.zeros(0, dtype=bool)
+                if same.any():
+                    raise ValueError(
+                        "doc-id overlap between base and delta — "
+                        "incremental merge needs disjoint corpora")
+                starts = np.flatnonzero(
+                    np.r_[True, words[1:] != words[:-1]]) \
+                    if len(words) else np.empty(0, np.int64)
+                ends = np.r_[starts[1:], len(words)] \
+                    if len(words) else np.empty(0, np.int64)
+                dfreq = (ends - starts).astype(np.int64)
+                offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+                np.cumsum(dfreq, out=offsets[1:])
+                tbl = pa.table({
+                    "word": pa.array(words[starts].astype(object)
+                                     if len(words) else [],
+                                     type=pa.string()),
+                    "df": pa.array(dfreq),
+                    "postings": pa.LargeListArray.from_arrays(
+                        pa.array(offsets),
+                        pa.array(docs, type=pa.int64())),
+                    "tfs": pa.LargeListArray.from_arrays(
+                        pa.array(offsets),
+                        pa.array(df["tf"].to_numpy(), type=pa.int64())),
+                })
+                fname = os.path.join(out_path, f"bucket={b}.parquet")
+                pq.write_table(tbl, fname + ".tmp")
+                os.replace(fname + ".tmp", fname)
+                n_terms = tbl.num_rows
+            dparts = []
+            for src in (base_path, delta_path):
+                f = os.path.join(src, f"doclen={b}.parquet")
+                if os.path.exists(f):
+                    dparts.append(pq.read_table(f))
+            if dparts:
+                dl = pa.concat_tables(dparts)
+                docs = np.asarray(dl["doc"], dtype=np.int64)
+                order = np.argsort(docs, kind="stable")
+                if len(docs) > 1:
+                    s = docs[order]
+                    if (s[1:] == s[:-1]).any():
+                        raise ValueError(
+                            "doc-id overlap between base and delta")
+                tbl = pa.table({
+                    "doc": pa.array(docs[order]),
+                    "dlen": pa.array(np.asarray(dl["dlen"],
+                                                dtype=np.int64)[order]),
+                })
+                fname = os.path.join(out_path, f"doclen={b}.parquet")
+                pq.write_table(tbl, fname + ".tmp")
+                os.replace(fname + ".tmp", fname)
+            out_rows.append((b, n_terms))
+        return pa.table({
+            "bucket": pa.array([r[0] for r in out_rows],
+                               type=pa.int64()),
+            "n_terms": pa.array([r[1] for r in out_rows],
+                                type=pa.int64())})
+
+    summary = ray.data.from_arrow(
+        pa.table({"bucket": pa.array(np.arange(nb, dtype=np.int64))})) \
+        .repartition(min(nb, 16)) \
+        .map_batches(merge_bucket, batch_format="pyarrow").to_pandas()
+    with open(os.path.join(out_path, INDEX_MANIFEST), "w") as fh:
+        json.dump({
+            "num_buckets": nb,
+            "n_terms": int(summary["n_terms"].sum()),
+            "n_docs": base.n_docs + delta.n_docs,
+            "total_len": base.total_len + delta.total_len,
+        }, fh)
+    return InvertedIndex(out_path)

@@ -144,3 +144,51 @@ def test_index_build_never_collects_postings(tmp_path, ray_session,
     assert collected, "spy never fired"
     # summaries only: <= num_buckets rows per collect, never corpus-size
     assert max(collected) <= 16, collected
+
+
+def test_incremental_merge_equals_full_build(tmp_path, ray_session):
+    import ray.data
+
+    from libfilter_ray.state.inverted_index import (InvertedIndex,
+                                                    merge_indexes)
+
+    df = _corpus(160, seed=31)
+    a, b = df.iloc[:100], df.iloc[100:]
+    full = InvertedIndex.build(ray.data.from_pandas(df).repartition(4),
+                               "text", "doc_id", str(tmp_path / "full"),
+                               num_buckets=8)
+    base = InvertedIndex.build(ray.data.from_pandas(a).repartition(3),
+                               "text", "doc_id", str(tmp_path / "a"),
+                               num_buckets=8)
+    delta = InvertedIndex.build(ray.data.from_pandas(b).repartition(2),
+                                "text", "doc_id", str(tmp_path / "b"),
+                                num_buckets=8)
+    merged = merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"),
+                           str(tmp_path / "m"))
+    assert merged.n_docs == full.n_docs
+    assert merged.total_len == full.total_len
+    assert merged.n_terms == full.n_terms
+    for term in _brute_postings(df):
+        np.testing.assert_array_equal(merged.postings(term),
+                                      full.postings(term))
+        np.testing.assert_array_equal(*[
+            ix.postings_tf(term)[1] for ix in (merged, full)])
+    # BM25 identical too (manifest totals + doclens merged)
+    ids_m, sc_m = merged.search_bm25(["data", "query"], k=10)
+    ids_f, sc_f = full.search_bm25(["data", "query"], k=10)
+    np.testing.assert_array_equal(ids_m, ids_f)
+    np.testing.assert_allclose(sc_m, sc_f, atol=1e-12)
+
+    # overlap rejected
+    import pytest
+
+    with pytest.raises(Exception, match="overlap"):
+        merge_indexes(str(tmp_path / "a"), str(tmp_path / "a"),
+                      str(tmp_path / "bad"))
+    # bucket-count mismatch rejected
+    other = InvertedIndex.build(ray.data.from_pandas(b), "text",
+                                "doc_id", str(tmp_path / "b4"),
+                                num_buckets=4)
+    with pytest.raises(ValueError, match="bucket counts"):
+        merge_indexes(str(tmp_path / "a"), str(tmp_path / "b4"),
+                      str(tmp_path / "bad2"))

@@ -1011,3 +1011,36 @@ def test_index_subcommand_build_and_search(tmp_path, ray_session):
     with pytest.raises(SystemExit, match="needs"):
         main(["index", "--index-dir", str(tmp_path / "nope"),
               "--search", "x"])
+
+
+def test_index_incremental_merge_cli(tmp_path, ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def write(dirname, ids):
+        d = tmp_path / dirname
+        d.mkdir()
+        pa.parquet.write_table(pa.Table.from_pandas(pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64),
+            "text": [f"alpha tok{i % 4} beta" for i in ids]}),
+            preserve_index=False), d / "docs.parquet")
+        return d
+
+    base_src = write("base", range(20))
+    new_src = write("new", range(100, 115))
+    assert main(["index", "--input", str(base_src), "--table", "docs",
+                 "--index-dir", str(tmp_path / "ixa"),
+                 "--buckets", "8"]) == 0
+    out = tmp_path / "hits.parquet"
+    assert main(["index", "--input", str(new_src), "--table", "docs",
+                 "--index-dir", str(tmp_path / "ixb"), "--buckets", "8",
+                 "--merge-base", str(tmp_path / "ixa"),
+                 "--merged-out", str(tmp_path / "ixm"),
+                 "--search", "alpha", "--mode", "and",
+                 "--output", str(out)]) == 0
+    hits = set(pq.read_table(out)["doc_id"].to_pylist())
+    assert hits == set(range(20)) | set(range(100, 115))
+    with pytest.raises(SystemExit, match="merged-out"):
+        main(["index", "--index-dir", str(tmp_path / "ixb"),
+              "--merge-base", str(tmp_path / "ixa")])
