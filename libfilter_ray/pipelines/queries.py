@@ -4423,6 +4423,105 @@ FROM per_img GROUP BY lang ORDER BY lang
 """
 
 
+def q_bm25_snippets(sf_dir: str) -> pd.DataFrame:
+    """End-to-end search result page: BM25 top-10 over the bucketed
+    index, then ONLY the 10 winning documents are fetched (doc-id
+    predicate pushed into the Arrow scan — the corpus never loads) and
+    a keyword-in-context snippet is cut around the first occurrence of
+    the first query term (vectorized find_substring + slice). Output:
+    (rank, doc_id, snippet)."""
+    import tempfile
+
+    from ..state.inverted_index import InvertedIndex
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = InvertedIndex.build(docs, "text", "doc_id",
+                              tempfile.mkdtemp(prefix="lfr-snip-",
+                                               dir="/tmp"))
+    ids, _scores = idx.search_bm25(INDEX_TERMS, k=10)
+    term = INDEX_TERMS[0]
+    WIN = 24  # snippet = 2*WIN+len(term) chars centred on the hit
+
+    hits = _read(sf_dir, "documents", columns=["doc_id", "text"],
+                 filter=pc.field("doc_id").isin(ids.tolist()))
+
+    def snippet(t: pa.Table) -> pa.Table:
+        # 10 rows total — code-POINT offsets computed in Python so the
+        # semantics match SQL strpos/substr on multibyte text exactly
+        out = []
+        texts = _str2(t["text"])
+        for i in range(t.num_rows):
+            s = texts[i].as_py()
+            p = s.find(term)
+            start = max(p - WIN, 0) if p >= 0 else 0
+            out.append(s[start:start + 2 * WIN + len(term)])
+        return pa.table({"doc_id": t["doc_id"],
+                         "snippet": pa.array(out, type=pa.string())})
+
+    snips = hits.map_batches(snippet, batch_format="pyarrow") \
+        .to_pandas().set_index("doc_id")
+    return pd.DataFrame({
+        "rank": np.arange(1, len(ids) + 1, dtype=np.int64),
+        "doc_id": ids,
+        "snippet": snips.loc[ids, "snippet"].to_numpy(),
+    })
+
+
+def _str2(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+
+
+SQL_BM25_SNIPPETS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+consts AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfs AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY 1),
+dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM toks GROUP BY 1),
+q(term) AS (VALUES {", ".join(f"('{w}')" for w in INDEX_TERMS)}),
+scores AS (
+  SELECT t.doc_id,
+         sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * (1.2 + 1.0)
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)))
+             AS score
+  FROM tf t
+  JOIN q ON t.word = q.term
+  JOIN dfs d ON d.word = t.word
+  JOIN dlen l ON l.doc_id = t.doc_id
+  CROSS JOIN consts c
+  GROUP BY t.doc_id
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+             AS rank
+  FROM scores
+)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+       CASE WHEN strpos(d.text, '{INDEX_TERMS[0]}') > 0
+            THEN substr(d.text,
+                        greatest(strpos(d.text, '{INDEX_TERMS[0]}')
+                                 - 24, 1),
+                        48 + length('{INDEX_TERMS[0]}'))
+            ELSE substr(d.text, 1, 48 + length('{INDEX_TERMS[0]}'))
+       END AS snippet
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rank <= 10 ORDER BY r.rank
+"""
+
+
 def q_wav_decode_stats(sf_dir: str) -> pd.DataFrame:
     """REAL audio container decode under the driver gate: valid
     RIFF/WAVE PCM16 payloads (integer waveform, pure function of
@@ -4809,6 +4908,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_collocations": q_top_collocations,
     "inverted_index_search": q_inverted_index_search,
     "bm25_search": q_bm25_search,
+    "bm25_snippets": q_bm25_snippets,
     "shipping_priority": q_shipping_priority,
     "ppm_decode_features": q_ppm_decode_features,
     "wav_decode_stats": q_wav_decode_stats,
@@ -4889,6 +4989,7 @@ ORACLES: dict[str, str] = {
     "top_collocations": SQL_TOP_COLLOCATIONS,
     "inverted_index_search": SQL_INVERTED_INDEX_SEARCH,
     "bm25_search": SQL_BM25_SEARCH,
+    "bm25_snippets": SQL_BM25_SNIPPETS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "ppm_decode_features": SQL_PPM_DECODE_FEATURES,
     "wav_decode_stats": SQL_WAV_DECODE_STATS,
