@@ -113,8 +113,10 @@ def _check_columns(paths: list[str], need: list[str]) -> None:
                          f"(schema: {sorted(have)})")
 
 
-def _write_result(result: Any, output: str | None) -> None:
-    """Dataset -> partitioned parquet dir (streaming, resumable layout);
+def _write_result(result: Any, output: str | None,
+                  partition_cols: list[str] | None = None) -> None:
+    """Dataset -> partitioned parquet dir (streaming, resumable layout;
+    `partition_cols` hive-partitions it, e.g. split=train/);
     DataFrame/Table -> single parquet file; no --output -> print."""
     import ray.data
 
@@ -132,7 +134,10 @@ def _write_result(result: Any, output: str | None) -> None:
                 f"--output {output} exists and is not empty — remove it "
                 "or point at a fresh dir (checkpoints make scans "
                 "resumable; the output write restarts clean)")
-        result.write_parquet(output)
+        if partition_cols:
+            result.write_parquet(output, partition_cols=partition_cols)
+        else:
+            result.write_parquet(output)
         return
     if isinstance(result, pd.DataFrame):
         result = pa.Table.from_pandas(result, preserve_index=False)
@@ -582,7 +587,7 @@ def _curate_manifest_guard(ck: str, args: argparse.Namespace) -> None:
         "benchmark", "benchmark_column", "shingle_k",
         "contamination_threshold", "min_commonness", "token_budget",
         "mix", "lm_threshold", "lm_min_count", "blocklist",
-        "blocklist_digest")}
+        "blocklist_digest", "split")}
     mpath = os.path.join(ck, "curate.json")
     if os.path.exists(mpath):
         with open(mpath) as fh:
@@ -592,6 +597,7 @@ def _curate_manifest_guard(ck: str, args: argparse.Namespace) -> None:
         prev.setdefault("lm_min_count", 2)
         prev.setdefault("blocklist", None)  # ... predating --blocklist
         prev.setdefault("blocklist_digest", None)
+        prev.setdefault("split", None)
         if prev != ident:
             diff = sorted(set(prev.items()) ^ set(ident.items()))
             raise SystemExit(
@@ -672,9 +678,18 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         (f"token-budget({args.token_budget}"
          + (f", mix {args.mix}" if args.mix else "") + ")",
          bool(args.token_budget)),
+        (f"split({args.split})", bool(args.split)),
     ) if on]
     if not stages:
         raise SystemExit("all curation stages disabled — nothing to do")
+    split_shares = None
+    if args.split:
+        raw = _parse_mix(args.split)  # same lang=weight syntax
+        split_shares = {k: int(v) for k, v in raw.items()}
+        if any(v != int(v) for v in raw.values()) \
+                or sum(split_shares.values()) != 100:
+            raise SystemExit("--split shares must be integer percents "
+                             f"summing to 100, got {args.split!r}")
     mix = _parse_mix(args.mix) if args.mix else None
     if mix is not None and not args.token_budget:
         raise SystemExit("--mix needs --token-budget (the TOTAL token "
@@ -1041,7 +1056,15 @@ def _cmd_curate(args: argparse.Namespace) -> int:
             how = "cached" if m["cached"] else f"built {m['sec']}s"
             parts.append(f"{m['stage']}: n={m['n']} ({how})")
         print("artifacts: " + "; ".join(parts), file=sys.stderr)
-    _write_result(ds, args.output)
+    if split_shares is not None:
+        from .stages.corpus import hash_split_stage
+
+        ds = ds.map_batches(
+            hash_split_stage(args.id_column, split_shares),
+            batch_format="pyarrow")
+        _write_result(ds, args.output, partition_cols=["split"])
+    else:
+        _write_result(ds, args.output)
     return 0
 
 
@@ -1386,6 +1409,12 @@ def make_parser() -> argparse.ArgumentParser:
     cu.add_argument("--token-budget", type=int, default=0,
                     help="per-language token budget (0 = off); with "
                          "--mix, the TOTAL budget the weights split")
+    cu.add_argument("--split", default=None,
+                    help="emit hash-split output partitions, e.g. "
+                         "'train=90,val=5,test=5' (integer percents "
+                         "summing to 100): deterministic Knuth-rank slot "
+                         "windows of the id column, written as "
+                         "split=NAME/ hive partitions")
     cu.add_argument("--mix", default=None,
                     help="weighted corpus mixture 'en=0.5,zh=0.2,...': "
                          "each language is budgeted "

@@ -1044,3 +1044,45 @@ def test_index_incremental_merge_cli(tmp_path, ray_session):
     with pytest.raises(SystemExit, match="merged-out"):
         main(["index", "--index-dir", str(tmp_path / "ixb"),
               "--merge-base", str(tmp_path / "ixa")])
+
+
+def test_curate_split_partitions(tmp_path, ray_session):
+    """--split writes deterministic hash-split hive partitions whose
+    membership matches hash_split_stage exactly; bad specs refused."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    df = pd.DataFrame({
+        "url": [f"https://d.org/p{i}" for i in range(200)],
+        "warc_ts": pd.Timestamp("2024-03-01"),
+        "text": ["alpha beta"] * 200, "lang": ["en"] * 200,
+        "row_id": np.arange(200, dtype=np.int64)})
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        src / "pages.parquet")
+    out = tmp_path / "out"
+    assert main(["curate", "--input", str(src), "--table", "pages",
+                 "--column", "text", "--id-column", "row_id",
+                 "--no-url-dedup", "--split", "train=90,val=5,test=5",
+                 "--output", str(out)]) == 0
+
+    import ray.data
+
+    from libfilter_ray.stages.corpus import hash_split_stage
+
+    want = ray.data.from_pandas(df).map_batches(
+        hash_split_stage("row_id", {"train": 90, "val": 5, "test": 5}),
+        batch_format="pyarrow").to_pandas()
+    got = pq.read_table(out).to_pandas()
+    assert len(got) == 200
+    m = got.merge(want[["row_id", "split"]], on="row_id",
+                  suffixes=("", "_want"))
+    assert (m["split"].astype(str) == m["split_want"]).all()
+    with pytest.raises(SystemExit, match="integer percents"):
+        main(["curate", "--input", str(src), "--table", "pages",
+              "--column", "text", "--id-column", "row_id",
+              "--no-url-dedup", "--split", "train=80,val=5",
+              "--output", str(tmp_path / "o2")])
