@@ -168,6 +168,10 @@ def run_bench() -> dict:
     timed("bm25_search", q.q_bm25_search)
     # TPC-H Q3 shape: semi-join prune -> fact x fact join -> top-10
     timed("shipping_priority", q.q_shipping_priority)
+    # tf/df keyword extraction (doc-freq broadcast + per-doc top-3)
+    timed("keyword_topk", q.q_keyword_topk)
+    # Gopher-style top-30% cut via exact distributed order statistics
+    timed("quality_percentile_cut", q.q_quality_percentile_cut)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)
