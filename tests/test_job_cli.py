@@ -1086,3 +1086,65 @@ def test_curate_split_partitions(tmp_path, ray_session):
               "--column", "text", "--id-column", "row_id",
               "--no-url-dedup", "--split", "train=80,val=5",
               "--output", str(tmp_path / "o2")])
+
+
+def test_curate_full_composition_resumes(tmp_path, ray_session):
+    """ALL nine curate stages composed in one checkpointed run —
+    blocklist -> url-dedup -> passage-dedup -> domain-cap ->
+    decontaminate -> freq-quality -> lm-quality -> token-budget(mix) ->
+    split — then a resubmit re-attaches every artifact and produces
+    identical output."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    common = ["data", "engine", "fast", "key", "the", "block"]
+    rows = []
+    for i in range(200):
+        text = " ".join(rng.choice(common, size=24))
+        if i % 11 == 0:
+            text = " ".join(rng.choice(
+                [f"r{j}" for j in range(5000)], size=24))
+        dom = "blocked.org" if i % 13 == 0 else \
+            ("hot.org" if i % 2 else f"d{i % 7}.org")
+        rows.append({
+            "url": f"https://{dom}/p{i}",
+            "warc_ts": pd.Timestamp("2024-03-01")
+            + pd.Timedelta(seconds=int(i % 50)),
+            "text": text, "lang": ("en", "de")[i % 2],
+            "row_id": np.int64(i)})
+    for i in range(6):  # recrawls
+        rows.append({**rows[i], "warc_ts": pd.Timestamp("2024-04-01"),
+                     "row_id": np.int64(2000 + i)})
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+        src / "pages.parquet")
+    bench = tmp_path / "bench.parquet"
+    pa.parquet.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"text": [rows[3]["text"]]}),
+        preserve_index=False), bench)
+    blk = tmp_path / "blk.txt"
+    blk.write_text("blocked.org\n")
+
+    argv = ["curate", "--input", str(src), "--table", "pages",
+            "--column", "text", "--id-column", "row_id",
+            "--blocklist", str(blk), "--passage-dedup", "40",
+            "--domain-cap", "40", "--benchmark", str(bench),
+            "--min-commonness", "5", "--lm-threshold", "2.5",
+            "--token-budget", "2500", "--mix", "en=0.6,de=0.4",
+            "--split", "train=90,val=5,test=5",
+            "--checkpoint-dir", str(tmp_path / "ck")]
+    outs = []
+    for tag in ("o1", "o2"):
+        assert main(argv + ["--output", str(tmp_path / tag)]) == 0
+        df = pq.read_table(tmp_path / tag).to_pandas() \
+            .sort_values("row_id").reset_index(drop=True)
+        outs.append(df.drop(columns=["split"], errors="ignore"))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) > 0
+    hosts = outs[0]["url"].str.split("/").str[2]
+    assert not (hosts == "blocked.org").any()
+    assert (hosts.value_counts() <= 40).all()
