@@ -4036,15 +4036,16 @@ def q_keyword_topk(sf_dir: str) -> pd.DataFrame:
     the log dropped, chosen because IEEE division is correctly rounded
     so numpy and SQL rank identically; ties break word ASC). Document
     frequencies are built in one distributed pass and broadcast
-    (stages/corpus.py:build_doc_freq_ref); extraction streams. Output
+    (stages/corpus.py:keyword_topk_auto); extraction streams. The df
+    table is materialized vocab-sized in the object store and only
+    broadcast while it fits KEYWORD_BROADCAST_VOCAB — beyond that the
+    pipeline switches to the word-hash-partitioned join path, so no
+    stage ever collects O(vocabulary) rows to the driver. Output
     is all-integer + the word, hash-exact across engines."""
-    from ..stages.corpus import build_doc_freq_ref, keyword_topk_stage
+    from ..stages.corpus import keyword_topk_auto
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    df_ref = build_doc_freq_ref(docs, "text")
-    out = docs.map_batches(keyword_topk_stage("text", "doc_id", df_ref,
-                                              k=3),
-                           batch_format="pyarrow").to_pandas() \
+    out = keyword_topk_auto(docs, "text", "doc_id", k=3).to_pandas() \
         .sort_values(["doc_id", "rank"]).reset_index(drop=True)
     return out
 

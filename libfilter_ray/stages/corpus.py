@@ -410,23 +410,32 @@ def _lm_keys(kind: str, *parts) -> np.ndarray:
 
 
 def build_bigram_lm_ref(ds, column: str, lang_col: str, *,
-                        min_count: int = LM_MIN_COUNT):
+                        min_count: int = LM_MIN_COUNT,
+                        prefix_min_count: int = 1):
     """Plasma ObjectRef of a per-language add-one-smoothed bigram LM
     trained on the corpus itself — the self-trained stand-in for CCNet's
     external KenLM quality model.
 
     Model = (sorted u64 bigram-key hashes + counts [pruned at
-    `min_count`], sorted u64 prefix-key hashes + counts [unpruned, the
-    count of w1 as a bigram PREFIX, so P(.|w1) sums to <= 1], {lang: V}
-    vocabulary sizes). Scoring uses
+    `min_count`], sorted u64 prefix-key hashes + counts [the count of w1
+    as a bigram PREFIX, so P(.|w1) sums to <= 1; pruned at
+    `prefix_min_count`, default 1 = unpruned], {lang: V} vocabulary
+    sizes). Scoring uses
     P(w2 | w1, lang) = (c(w1 w2) + 1) / (c(w1 .) + V_lang).
 
     ONE distributed pass: each batch emits distinct-key partial counts
     for three key kinds (bigram / prefix / token — the token rows only
     feed the distinct-vocabulary count), a (kind, lang, h) groupby sums
-    them, and only the aggregated model table reaches the driver. Driver
-    memory is O(distinct bigrams surviving `min_count`) — the zipfian
-    prune is the scale knob (see LM_MIN_COUNT)."""
+    them, and a distributed shrink stage bounds what the driver sees:
+    bigram rows below `min_count` and prefix rows below
+    `prefix_min_count` are filtered INSIDE the shuffled Dataset, and the
+    token rows collapse to one (lang, distinct-count) partial per block.
+    Driver memory is therefore O(pruned model + langs x blocks), never
+    O(all distinct bigrams) or O(vocabulary). The zipfian `min_count`
+    prune is the scale knob (see LM_MIN_COUNT); raise `prefix_min_count`
+    too when even the prefix table outgrows a worker heap — prefixes
+    pruned there score as unseen (c1 = 0), a documented model change, so
+    the default keeps them all."""
     import ray
 
     def partial(t: pa.Table) -> pa.Table:
@@ -475,6 +484,32 @@ def build_bigram_lm_ref(ds, column: str, lang_col: str, *,
 
     from ray.data.aggregate import Min, Sum
 
+    def shrink(t: pa.Table) -> pa.Table:
+        """Runs INSIDE the aggregated Dataset (distributed): prune
+        below-threshold bigram/prefix rows and fold the token rows to
+        one (lang, distinct-count) partial per block — the driver never
+        collects O(all bigrams) or O(vocabulary) rows."""
+        import pyarrow.compute as pc
+
+        kind = np.asarray(t["kind"], dtype=np.int64)
+        n = np.asarray(t["n"], dtype=np.int64)
+        keep = ((kind == 0) & (n >= min_count)) | \
+            ((kind == 1) & (n >= prefix_min_count))
+        kept = t.filter(pa.array(keep)).select(["kind", "lang", "h", "n"])
+        if (kind == 2).any():
+            vc = pc.value_counts(
+                t.filter(pa.array(kind == 2))["lang"].combine_chunks())
+            langs = vc.field("values")
+            counts = vc.field("counts")
+            vrows = pa.table({
+                "kind": pa.array(np.full(len(langs), 2, dtype=np.int64)),
+                "lang": langs,
+                "h": pa.array(np.zeros(len(langs), dtype=np.int64)),
+                "n": pc.cast(counts, pa.int64()),
+            })
+            kept = pa.concat_tables([kept, vrows])
+        return kept
+
     # single int64 group key (h embeds kind+lang); kind/lang ride as
     # Min carries — constant per group, and the shuffle sorts 8-byte
     # keys instead of (int, string, int) triples
@@ -482,14 +517,15 @@ def build_bigram_lm_ref(ds, column: str, lang_col: str, *,
         .groupby("h").aggregate(
             Sum("n", alias_name="n"),
             Min("kind", alias_name="kind"),
-            Min("lang", alias_name="lang")).to_pandas()
+            Min("lang", alias_name="lang")) \
+        .map_batches(shrink, batch_format="pyarrow").to_pandas()
     if not len(agg):
         return ray.put((np.empty(0, np.uint64), np.empty(0, np.int64),
                         np.empty(0, np.uint64), np.empty(0, np.int64),
                         {}))
-    big = agg[(agg["kind"] == 0) & (agg["n"] >= min_count)]
+    big = agg[agg["kind"] == 0]
     pre = agg[agg["kind"] == 1]
-    vocab = agg[agg["kind"] == 2].groupby("lang").size()
+    vocab = agg[agg["kind"] == 2].groupby("lang")["n"].sum()
     bh = big["h"].to_numpy().view(np.uint64)
     border = np.argsort(bh, kind="stable")
     ph = pre["h"].to_numpy().view(np.uint64)
@@ -557,7 +593,13 @@ def build_doc_freq_ref(ds, column: str):
     distributed pass — each batch emits per-word counts of the docs that
     contain it (distinct-within-row, exact because a document is one
     row), a groupby sums them, only the vocabulary-sized table reaches
-    the driver. The broadcast side of `keyword_topk_stage`."""
+    the driver. The broadcast side of `keyword_topk_stage`.
+
+    BOUNDED-CORPUS PATH: the collected table is O(distinct vocabulary),
+    which on web-scale text (typos, URLs, hex blobs) is billions of
+    tokens — use `keyword_topk_auto`, which measures the vocabulary
+    first and switches to the hash-partitioned join path
+    (`keyword_topk_join_from`) when it exceeds the broadcast bound."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -647,6 +689,126 @@ def keyword_topk_stage(column: str, id_col: str, df_ref, *, k: int = 3):
         })
 
     return fn
+
+
+#: above this many distinct tokens the keyword extractor stops
+#: broadcasting the doc-freq table and joins instead (2^22 hashes+counts
+#: = 64 MiB per worker — the same order as the dedup DropIdStore bound)
+KEYWORD_BROADCAST_VOCAB = 1 << 22
+
+
+def doc_word_tf(ds, column: str, id_col: str):
+    """Dataset of (id, word, tf) — one row per distinct (document,
+    token) with its in-document term frequency. Exact per batch because
+    a document is exactly one input row. The shared first stage of both
+    keyword-extraction paths."""
+    def pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, splits = _word_lists(t[column])
+        n = len(splits) - 1
+        ids = _str(t[id_col]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "word": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64())})
+        if len(flat) == 0:
+            return empty
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(splits))
+        ne = np.asarray(pc.not_equal(flat, ""), dtype=bool)
+        words = flat.filter(pa.array(ne))
+        rows = rows[ne]
+        if not len(rows):
+            return empty
+        wpd = pd.DataFrame({"row": rows,
+                            "word": np.asarray(words, dtype=object)})
+        tf = wpd.groupby(["row", "word"], sort=False).size() \
+            .rename("tf").reset_index()
+        return pa.table({
+            id_col: pa.array(ids[tf["row"].to_numpy()]),
+            "word": pa.array(tf["word"], type=pa.string()),
+            "tf": pa.array(tf["tf"].to_numpy().astype(np.int64)),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def keyword_topk_join_from(pairs, df_ds, id_col: str, *, k: int = 3,
+                           num_shards: int = 64):
+    """Fully-distributed exact keyword extraction — the scale path that
+    NEVER collects the vocabulary anywhere: (id, word, tf) pairs join
+    their document frequencies word-hash co-partitioned
+    (`joins.hash_equi_join`), then one doc-hash shuffle regroups each
+    document's candidates for a vectorized per-shard top-k. Output rows
+    (id, rank 1..k, word, tf, df) — identical to the broadcast path
+    (both are exact), same tf/df DESC, word ASC order."""
+    from ..sketch.hashing import shard_of_values
+    from .joins import hash_equi_join
+
+    joined = hash_equi_join(
+        pairs, df_ds, left_on="word", right_on="word",
+        left_cols=[id_col, "tf"], right_cols=["df"],
+        num_shards=num_shards)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        return t.append_column("shard", pa.array(
+            shard_of_values(t[id_col], num_shards, seed=0x4B57),
+            type=pa.int64()))
+
+    def topk_shard(t: pa.Table) -> pa.Table:
+        d = t.select([id_col, "word", "tf", "df"]).to_pandas()
+        d["score"] = d["tf"].to_numpy() / d["df"].to_numpy()
+        d = d.sort_values([id_col, "score", "word"],
+                          ascending=[True, False, True], kind="stable")
+        topk = d.groupby(id_col, sort=True).head(k)
+        rank = topk.groupby(id_col, sort=False).cumcount() + 1
+        return pa.table({
+            id_col: pa.array(topk[id_col].to_numpy().astype(np.int64)),
+            "rank": pa.array(rank.to_numpy().astype(np.int64)),
+            "word": pa.array(topk["word"], type=pa.string()),
+            "tf": pa.array(topk["tf"].to_numpy().astype(np.int64)),
+            "df": pa.array(topk["df"].to_numpy().astype(np.int64)),
+        })
+
+    return joined.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("shard").map_groups(topk_shard, batch_format="pyarrow")
+
+
+def keyword_topk_auto(ds, column: str, id_col: str, *, k: int = 3,
+                      max_broadcast_vocab: int = KEYWORD_BROADCAST_VOCAB,
+                      num_shards: int = 64):
+    """Per-document top-`k` keywords by tf/df with an automatic
+    broadcast-or-join switch (the dedup family's established pattern,
+    `dedup.py` candidate attach): the document-frequency table is built
+    once as a Dataset and MATERIALIZED in the object store (vocab-sized,
+    distributed, spillable — never on the driver), its exact row count
+    picks the path:
+
+    - vocab <= `max_broadcast_vocab`: collect the small df table, hash +
+      broadcast via ray.put, stream `keyword_topk_stage` — one pass over
+      the corpus, zero extra shuffles.
+    - vocab > bound: `keyword_topk_join_from` — word-hash co-partitioned
+      join + doc-hash top-k regroup; the driver sees only results.
+
+    Both paths are exact and return identical rows."""
+    import ray
+    from ray.data.aggregate import Count
+
+    pairs = doc_word_tf(ds, column, id_col)
+    df_ds = pairs.groupby("word") \
+        .aggregate(Count(alias_name="df")).materialize()
+    if df_ds.count() <= max_broadcast_vocab:
+        pdf = df_ds.to_pandas()
+        h = hash_arrow_array(pa.array(pdf["word"], type=pa.string()))
+        order = np.argsort(h, kind="stable")
+        ref = ray.put((h[order],
+                       pdf["df"].to_numpy().astype(np.int64)[order]))
+        return ds.map_batches(
+            keyword_topk_stage(column, id_col, ref, k=k),
+            batch_format="pyarrow")
+    return keyword_topk_join_from(pairs, df_ds, id_col, k=k,
+                                  num_shards=num_shards)
 
 
 # ---------------------------------------------------------------------------

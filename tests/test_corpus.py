@@ -527,3 +527,130 @@ def test_collocations_never_collect_bigram_table(ray_session,
     assert len(out) > 0 and collected
     # 5 langs x top-5 = 25 final rows; allow shard-remainder slack
     assert max(collected) <= 25 * 16, collected
+
+
+def test_keyword_topk_join_path_matches_broadcast(ray_session):
+    """The word-hash join path (scale) and the broadcast path are both
+    exact and must return identical rows."""
+    import ray.data
+
+    from libfilter_ray.stages.corpus import keyword_topk_auto
+
+    df = _docs(80, seed=9)
+    extra = pd.DataFrame({
+        "doc_id": np.array([900, 901, 902], dtype=np.int64),
+        "text": ["", "one one  two", "a b"],
+        "lang": ["en", "en", "en"]})
+    df = pd.concat([df, extra], ignore_index=True)
+    ds = ray.data.from_pandas(df).repartition(4)
+    broadcast = keyword_topk_auto(ds, "text", "doc_id", k=3) \
+        .to_pandas().sort_values(["doc_id", "rank"]) \
+        .reset_index(drop=True)
+    joined = keyword_topk_auto(ds, "text", "doc_id", k=3,
+                               max_broadcast_vocab=0, num_shards=8) \
+        .to_pandas().sort_values(["doc_id", "rank"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        broadcast.astype({"rank": "int64"}),
+        joined.astype({"rank": "int64"}))
+
+
+def test_keyword_join_never_collects_vocab(ray_session, monkeypatch):
+    """Scale guard: past the broadcast bound, keyword extraction must
+    not collect any O(vocabulary) frame to the driver — the only
+    driver-side to_pandas is the caller's own result collect."""
+    import ray.data
+
+    from libfilter_ray.stages.corpus import keyword_topk_auto
+
+    df = _docs(120, seed=21)
+    ds = ray.data.from_pandas(df).repartition(4)
+    collected: list[int] = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    result = keyword_topk_auto(ds, "text", "doc_id", k=3,
+                               max_broadcast_vocab=0, num_shards=8)
+    assert collected == []          # path choice collected nothing
+    out = result.to_pandas()
+    assert len(out) > 0
+    assert collected == [len(out)]  # only the final result crossed
+
+
+def test_lm_model_collect_is_pruned(ray_session, monkeypatch):
+    """Scale guard: build_bigram_lm_ref's driver collect is O(pruned
+    model), not O(all distinct bigrams) — the min_count filter runs
+    inside the Dataset, and token rows fold to per-lang partials."""
+    import ray
+    import ray.data
+
+    from libfilter_ray.stages.corpus import build_bigram_lm_ref
+
+    # 400 docs of 20 globally-unique rare tokens each -> 7600 distinct
+    # bigrams/prefixes seen exactly once; only the repeated common-doc
+    # bigrams survive the prunes
+    texts = [" ".join(f"zz{i * 20 + j}" for j in range(20))
+             for i in range(400)]
+    texts += ["the fast key engine"] * 10  # repeated bigrams survive
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts,
+        "lang": ["en"] * len(texts)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    collected: list[int] = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    ref = build_bigram_lm_ref(ds, "text", "lang", prefix_min_count=2)
+    bh, bc, ph, pcnt, vby = ray.get(ref)
+    n_distinct_bigrams_unpruned = 400 * 19 + 3  # >= (every rare bigram)
+    # collected = pruned bigrams + pruned prefixes + (langs x blocks)
+    # vocab partials; the unpruned distinct-bigram table alone would
+    # exceed this bound by orders of magnitude
+    assert collected, "no driver collect observed"
+    assert max(collected) <= len(bh) + len(ph) + 64, collected
+    assert max(collected) < n_distinct_bigrams_unpruned * 0.1, collected
+    assert len(bh) == 3        # the / fast, fast / key, key / engine
+    assert (bc == 10).all()
+    assert len(ph) == 3        # prefixes the / fast / key (count 10)
+    assert vby["en"] == 400 * 20 + 4  # vocabulary still counted exactly
+
+
+def test_lm_prefix_min_count_prunes_and_scores_unseen(ray_session):
+    """prefix_min_count prunes rare prefixes from the model; pruned
+    prefixes score as unseen (c1 = 0) — documented model change."""
+    import ray
+    import ray.data
+
+    from libfilter_ray.stages.corpus import (build_bigram_lm_ref,
+                                             lm_nll_stage)
+
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": ["a b a b a b", "c d", "a b c"],
+        "lang": ["en"] * 3})
+    ds = ray.data.from_pandas(df).repartition(2)
+    full = ray.get(build_bigram_lm_ref(ds, "text", "lang",
+                                       min_count=1))
+    pruned = ray.get(build_bigram_lm_ref(ds, "text", "lang",
+                                         min_count=1,
+                                         prefix_min_count=3))
+    assert len(pruned[2]) < len(full[2])     # some prefixes dropped
+    assert pruned[4] == full[4]              # vocab sizes unchanged
+    # scoring still runs; pruned prefixes hit the c1=0 branch
+    ref = ray.put(pruned)
+    got = ds.map_batches(lm_nll_stage("text", "doc_id", "lang", ref),
+                         batch_format="pyarrow").to_pandas()
+    assert (got["n_bigrams"].to_numpy() >= 0).all()
+    assert np.isfinite(got["nll_sum"].to_numpy()).all()
