@@ -657,8 +657,11 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     see q_order_priority_revenue for the fact-x-fact shape)."""
     import pyarrow.compute as pc
 
-    nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name",
+                            "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   columns=["r_regionkey", "r_name"]).to_pandas()
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_nationkey"]).to_pandas()
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey") \

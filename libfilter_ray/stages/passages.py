@@ -540,9 +540,12 @@ def remove_passages_fn(spans_source, column: str, id_column: str):
         sdoc = spans["doc"].to_numpy()
         lo = np.searchsorted(sdoc, ids, side="left")
         hi = np.searchsorted(sdoc, ids, side="right")
-        if (lo == hi).all():
+        affected = np.flatnonzero(lo != hi)
+        if not len(affected):
             return t
-        texts = col.to_pylist()
+        # span-free rows (the common case) stay in Arrow untouched;
+        # only span-bearing rows cross into Python for byte surgery
+        texts = col.take(pa.array(affected)).to_pylist()
         out = []
         ss = spans["start"].to_numpy()
         se = spans["end"].to_numpy()
@@ -558,8 +561,8 @@ def remove_passages_fn(spans_source, column: str, id_column: str):
                 e -= 1  # keep the char straddling the right edge whole
             return s, e
 
-        for i, txt in enumerate(texts):
-            if lo[i] == hi[i] or txt is None:
+        for i, txt in zip(affected, texts):
+            if txt is None:
                 out.append(txt)
                 continue
             b = txt.encode()
@@ -572,8 +575,16 @@ def remove_passages_fn(spans_source, column: str, id_column: str):
                 cur = max(cur, e2)
             parts.append(b[cur:])
             out.append(b"".join(parts).decode())
+        import pyarrow.compute as pc
+
+        mask = np.zeros(len(ids), dtype=bool)
+        mask[affected] = True
+        rebuilt = pc.replace_with_mask(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col,
+            pa.array(mask), pa.array(out, type=col.type))
         return t.set_column(t.schema.get_field_index(column), column,
-                            pa.array(out, type=col.type))
+                            rebuilt)
 
     return fn
 
