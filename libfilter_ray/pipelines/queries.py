@@ -3163,6 +3163,78 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_warc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Common Crawl's native format end-to-end: synthesize the web-page
+    table, each task writes its own gzip'd WARC shard (member-per-record,
+    sources/warc.py — the resumable partitioned-sink shape), then the
+    shards are READ BACK with the streaming WARC source (one file per
+    task, generator batches), text re-extracted from the html payloads
+    and (doc_id, lang) re-derived from the WARC-Target-URI alone.
+    Per-lang page counts, id sums and extracted-char sums must match the
+    documents table exactly — any record lost, duplicated or corrupted
+    through the gzip/WARC/HTTP framing breaks the hash. The capture
+    timestamp's WARC-Date round-trip (second precision) is asserted
+    in-stage. Reference analogue: the HIBP corpus reader shape
+    (cpp/extras/benchmarks/hibp.cpp:27-31,79-90)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..sources.warc import read_warc, write_warc_shards_stage
+    from ..sources.webpages import WARC_EPOCH_US, read_webpages
+    from ..stages.extract import extract_text
+
+    out_dir = tempfile.mkdtemp(prefix="lfr-warc-", dir="/tmp")
+    try:
+        pages = read_webpages(sf_dir).select_columns(
+            ["url", "warc_ts", "html"])
+        manifest = pages.map_batches(write_warc_shards_stage(out_dir),
+                                     batch_format="pyarrow").to_pandas()
+        paths = sorted(manifest["shard_path"])
+
+        def per_page(t: pa.Table) -> pa.Table:
+            text = extract_text(t["html"])
+            g = pc.extract_regex(
+                t["url"],
+                r"\.example\.org/(?P<lang>[^/]+)/page-(?P<id>\d+)\.html$")
+            lang = pc.struct_field(g, "lang")
+            doc_id = pc.cast(pc.struct_field(g, "id"), pa.int64())
+            ids = doc_id.to_numpy(zero_copy_only=False)
+            ts = pc.cast(t["warc_ts"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            want = WARC_EPOCH_US + ids * 1_337_000_000
+            if not (ts == want // 1_000_000 * 1_000_000).all():
+                raise AssertionError("WARC-Date round-trip broke the "
+                                     "capture timestamp")
+            return pa.table({
+                "lang": lang,
+                "n_pages": pa.array(np.ones(t.num_rows, np.int64)),
+                "sum_ids": doc_id,
+                "sum_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            })
+
+        out = read_warc(paths).map_batches(per_page,
+                                           batch_format="pyarrow") \
+            .groupby("lang").aggregate(
+                Sum("n_pages", alias_name="n_pages"),
+                Sum("sum_ids", alias_name="sum_ids"),
+                Sum("sum_chars", alias_name="sum_chars")).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    for c in ("n_pages", "sum_ids", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT lang, count(*)::BIGINT AS n_pages,
+       sum(doc_id)::BIGINT AS sum_ids,
+       sum(length(text))::BIGINT AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     """Fact-x-fact distributed hash equi-join: orders x lineitem on
     orderkey (15:1 row ratio, NEITHER side broadcast — the shape where the
@@ -4880,6 +4952,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_meta_counts": q_multimodal_meta_counts,
     "exact_value_quantiles": q_exact_value_quantiles,
     "part_lineitem_full_join": q_part_lineitem_full_join,
+    # -- new this round (oracled, never graded) --
+    "warc_roundtrip": q_warc_roundtrip,
     # -- rotation slots: previously driver-green oracled anchors --
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -5015,4 +5089,5 @@ ORACLES: dict[str, str] = {
     "multimodal_meta_counts": SQL_MULTIMODAL_META_COUNTS,
     "exact_value_quantiles": SQL_EXACT_VALUE_QUANTILES,
     "part_lineitem_full_join": SQL_PART_LINEITEM_FULL_JOIN,
+    "warc_roundtrip": SQL_WARC_ROUNDTRIP,
 }
