@@ -4499,6 +4499,80 @@ FROM per_img GROUP BY lang ORDER BY lang
 """
 
 
+def q_png_decode_features(sf_dir: str) -> pd.DataFrame:
+    """REAL compressed-image decode under the driver gate: deterministic
+    valid PNG payloads (rows cycling ALL FIVE scanline filters, zlib
+    stream split across IDAT chunks) are attached per doc, decoded by
+    the actor-pool PngFeatureStage — CRC-verified chunk walk + stdlib
+    inflate + exact numpy unfiltering, no codec library — and the
+    decoded widths/heights/channel means aggregate per lang. The oracle
+    recomputes every pixel arithmetically from the synthesis formula, so
+    a decoder that mis-unfilters a single byte hash-mismatches."""
+    from ..stages.multimodal import PngFeatureStage, attach_png_images
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    feats = docs.map_batches(attach_png_images, batch_format="pyarrow") \
+        .map_batches(PngFeatureStage, batch_size=256, concurrency=(2, 16),
+                     batch_format="pyarrow")
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_images": pa.array(np.ones(t.num_rows, np.int64)),
+            "sum_width": t["width"],
+            "sum_height": t["height"],
+            "sum_mean_r": t["mean_r"],
+            "sum_mean_g": t["mean_g"],
+            "sum_mean_b": t["mean_b"],
+        })
+
+    out = feats.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_width", alias_name="sum_width"),
+            Sum("sum_height", alias_name="sum_height"),
+            Sum("sum_mean_r", alias_name="sum_mean_r"),
+            Sum("sum_mean_g", alias_name="sum_mean_g"),
+            Sum("sum_mean_b", alias_name="sum_mean_b")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_images", "sum_width", "sum_height"):
+        out[c] = out[c].astype("int64")
+    for ch in ("r", "g", "b"):
+        out[f"avg_mean_{ch}"] = (out[f"sum_mean_{ch}"]
+                                 / out["n_images"]).round(4)
+        out = out.drop(columns=[f"sum_mean_{ch}"])
+    return out
+
+
+SQL_PNG_DECODE_FEATURES = """
+WITH dims AS (
+  SELECT doc_id, lang,
+         8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.lang, d.w, d.h, ty.y AS y, tx.x AS x
+  FROM dims d, UNNEST(range(0, d.h)) AS ty(y),
+       UNNEST(range(0, d.w)) AS tx(x)
+),
+per_img AS (
+  SELECT doc_id, lang, any_value(w) AS w, any_value(h) AS h,
+         avg(CAST((x * (y + 1) + doc_id + 0) % 256 AS DOUBLE)) AS mr,
+         avg(CAST((x * (y + 1) + doc_id + 1) % 256 AS DOUBLE)) AS mg,
+         avg(CAST((x * (y + 1) + doc_id + 2) % 256 AS DOUBLE)) AS mb
+  FROM px GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(w) AS BIGINT) AS sum_width,
+       CAST(sum(h) AS BIGINT) AS sum_height,
+       round(avg(mr), 4) AS avg_mean_r,
+       round(avg(mg), 4) AS avg_mean_g,
+       round(avg(mb), 4) AS avg_mean_b
+FROM per_img GROUP BY lang ORDER BY lang
+"""
+
+
 def q_bm25_snippets(sf_dir: str) -> pd.DataFrame:
     """End-to-end search result page: BM25 top-10 over the bucketed
     index, then ONLY the 10 winning documents are fetched (doc-id
@@ -4954,6 +5028,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_lineitem_full_join": q_part_lineitem_full_join,
     # -- new this round (oracled, never graded) --
     "warc_roundtrip": q_warc_roundtrip,
+    "png_decode_features": q_png_decode_features,
     # -- rotation slots: previously driver-green oracled anchors --
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -5090,4 +5165,5 @@ ORACLES: dict[str, str] = {
     "exact_value_quantiles": SQL_EXACT_VALUE_QUANTILES,
     "part_lineitem_full_join": SQL_PART_LINEITEM_FULL_JOIN,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+    "png_decode_features": SQL_PNG_DECODE_FEATURES,
 }

@@ -7,11 +7,16 @@ Decode status, honestly split by format family:
   numpy reshape, block-mean thumbnail resize) and RIFF/WAVE PCM16 audio
   (`decode_wav` / `WavFeatureStage`: chunk walk + int16 view). Both are
   driver-gated with SQL oracles that recompute every pixel/sample.
-- COMPRESSED formats (JPEG/PNG/MP3/...) stay stubbed — the container has
-  no codecs; `codec="real"` raises at actor construction (fail fast,
-  once per actor). Every Ray-side piece is still real and tested:
-  schema, small-batch sizing for wide binary rows, actor `__init__`
-  setup-once contract, zero-copy buffer access, output layout.
+- PNG decodes for REAL too (`decode_png` / `PngFeatureStage`): PNG is
+  zlib-compressed filtered scanlines, so stdlib zlib + exact numpy
+  unfiltering (all five filter types, CRC-verified chunk walk,
+  multi-IDAT) is a complete decoder — driver-gated like PPM.
+- OTHER compressed formats (JPEG/WebP/MP3/...) stay stubbed — the
+  container has no codecs; `codec="real"` raises at actor construction
+  (fail fast, once per actor). Every Ray-side piece is still real and
+  tested: schema, small-batch sizing for wide binary rows, actor
+  `__init__` setup-once contract, zero-copy buffer access, output
+  layout.
 
 At 100 TB: binary payloads dominate block size — callers must cap
 `batch_size` (here default 256) and drop the payload column immediately
@@ -440,6 +445,223 @@ def decode_wav(payload: bytes):
         raise ValueError(
             f"only PCM16 supported, got format {audio_fmt}/{bits}-bit")
     return np.frombuffer(data, dtype="<i2"), rate, n_ch
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG decode — PNG is zlib-compressed filtered scanlines (public
+# spec, RFC 2083 / ISO 15948), so stdlib zlib + numpy unfiltering decode
+# it EXACTLY with no codec library: chunk walk with CRC32 verification,
+# IDAT concatenation, inflate, per-scanline unfilter (all five filter
+# types). This converts the largest honest stub (compressed images)
+# into a third real format; JPEG et al. remain stubbed.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized over lanes (spec §6.6)."""
+    p = a + b - c
+    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                    np.where(pb_ <= pc_, b, c))
+
+
+def encode_png(img: np.ndarray, *, idat_chunk: int = 2048) -> bytes:
+    """Valid non-interlaced 8-bit PNG bytes from an (h, w) gray or
+    (h, w, 3) RGB uint8 array. Rows cycle through ALL FIVE filter types
+    (y % 5) so a decoder must implement every one; the zlib stream is
+    split across multiple IDAT chunks to exercise concatenation.
+    Filtering forward is fully vectorized (left/up neighbors of the RAW
+    image are known)."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch not in (1, 3):
+        raise ValueError(f"gray or RGB only, got {ch} channels")
+    color_type = 0 if ch == 1 else 2
+    raw = img.astype(np.int32)
+    left = np.zeros_like(raw)
+    left[:, 1:] = raw[:, :-1]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 1:] = raw[:-1, :-1]
+    ftype = (np.arange(h) % 5).astype(np.uint8)
+    pred = np.zeros_like(raw)
+    pred[ftype == 1] = left[ftype == 1]
+    pred[ftype == 2] = up[ftype == 2]
+    pred[ftype == 3] = (left[ftype == 3] + up[ftype == 3]) // 2
+    pred[ftype == 4] = _paeth(left[ftype == 4], up[ftype == 4],
+                              upleft[ftype == 4])
+    filtered = ((raw - pred) % 256).astype(np.uint8).reshape(h, w * ch)
+    scanlines = np.concatenate([ftype[:, None], filtered],
+                               axis=1).tobytes()
+    z = zlib.compress(scanlines, 6)
+    out = [PNG_SIG, _png_chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 0))]
+    for i in range(0, len(z), idat_chunk):
+        out.append(_png_chunk(b"IDAT", z[i:i + idat_chunk]))
+    out.append(_png_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(h, w, channels) uint8 array from one PNG payload — full chunk
+    walk with CRC32 verification, multi-IDAT concatenation, zlib
+    inflate, and exact unfiltering of all five scanline filters.
+    Supports non-interlaced 8-bit gray (color type 0) and RGB (type 2);
+    anything else raises ValueError (palette/alpha/16-bit/interlaced are
+    out of scope for the engine's feature stages). Sub is a per-lane
+    prefix sum; Up is one vector add; Average/Paeth carry a true
+    left-pixel dependency, so those rows walk pixel columns (numpy over
+    the channel lanes) — exact, and at web scale a native codec would
+    slot into the same actor `__init__`."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat, seen_end = 8, None, [], False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated {typ!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length])
+        if crc != zlib.crc32(typ + data):
+            raise ValueError(f"corrupt {typ!r} chunk (CRC mismatch)")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not seen_end:
+        raise ValueError("missing IHDR / IDAT / IEND chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or comp or filt \
+            or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color_type}, "
+            f"interlace={interlace}); 8-bit gray/RGB non-interlaced only")
+    ch = 1 if color_type == 0 else 3
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}")
+    stride = 1 + w * ch
+    if len(stream) != h * stride:
+        raise ValueError(f"bad scanline data: {len(stream)} != "
+                         f"{h}*{stride}")
+    lines = np.frombuffer(stream, dtype=np.uint8).reshape(h, stride)
+    ftype = lines[:, 0]
+    cur_all = lines[:, 1:].astype(np.int32).reshape(h, w, ch)
+    out = np.zeros((h, w, ch), dtype=np.int32)
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        f, cur = int(ftype[y]), cur_all[y]
+        if f == 0:
+            row = cur % 256
+        elif f == 1:  # Sub: prefix sum per lane mod 256
+            row = np.cumsum(cur, axis=0) % 256
+        elif f == 2:  # Up
+            row = (cur + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: true left dependency
+            row = np.zeros_like(cur)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                if f == 3:
+                    p = (left + prev[x]) // 2
+                else:
+                    p = _paeth(left, prev[x], upleft)
+                row[x] = (cur[x] + p) % 256
+                left = row[x]
+                upleft = prev[x]
+        else:
+            raise ValueError(f"invalid filter type {f} on row {y}")
+        out[y] = row
+        prev = row
+    return out.astype(np.uint8)
+
+
+def attach_png_images(t: pa.Table, *, id_column: str = "doc_id",
+                      max_side: int = 20) -> pa.Table:
+    """Deterministic VALID PNG payloads per row (pure function of the id
+    column — retry-safe): width = 8 + id % (max_side - 7), height =
+    8 + id % (max_side - 9), pixel (y, x, c) = (x * (y + 1) + id + c)
+    % 256 — the same arithmetic formula as the PPM fixture, so the SQL
+    oracle recomputes every pixel. Rows cycle all five PNG filters and
+    the zlib stream splits across IDAT chunks (encode_png)."""
+    ids = np.asarray(t[id_column].combine_chunks()
+                     if isinstance(t[id_column], pa.ChunkedArray)
+                     else t[id_column]).astype(np.int64)
+    payloads = []
+    for i in ids:
+        w = int(8 + i % (max_side - 7))
+        h = int(8 + i % (max_side - 9))
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        px = ((x * (y + 1) + int(i) + c) % 256).astype(np.uint8)
+        payloads.append(encode_png(px))
+    return t.append_column("image",
+                           pa.array(payloads, type=pa.large_binary()))
+
+
+class PngFeatureStage:
+    """Actor-pool stage with REAL compressed-image decode: PNG column ->
+    (width, height, mean R/G/B, thumbnail) — stdlib zlib inflate + exact
+    numpy unfiltering per payload (decode_png), same output layout as
+    PpmFeatureStage. Non-PNG codecs raise at construction."""
+
+    def __init__(self, codec: str = "png", thumb_side: int = 4):
+        if codec != "png":
+            raise NotImplementedError(
+                "PNG is the only compressed image format decodable with "
+                "the stdlib; install pillow/opencv for JPEG/WebP/...")
+        self.thumb_side = thumb_side
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        offsets, data = _flat_binary_view(t["image"])
+        n = len(offsets) - 1
+        side = self.thumb_side
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        means = np.zeros((n, 3), dtype=np.float64)
+        thumbs = np.zeros((n, side * side), dtype=np.float32)
+        for i in range(n):  # per-PAYLOAD decode; pixel math is numpy
+            img = decode_png(data[offsets[i]:offsets[i + 1]].tobytes())
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            height[i], width[i] = img.shape[0], img.shape[1]
+            means[i] = img.mean(axis=(0, 1))
+            thumbs[i] = block_mean_thumbnail(img, side).ravel()
+        out = t.drop_columns(["image"])  # wide payload dies here
+        flat = pa.array(thumbs.ravel(), type=pa.float32())
+        thumb_col = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * side * side, side * side,
+                               dtype=np.int64)), flat)
+        return out.append_column("width", pa.array(width)) \
+            .append_column("height", pa.array(height)) \
+            .append_column("mean_r", pa.array(means[:, 0])) \
+            .append_column("mean_g", pa.array(means[:, 1])) \
+            .append_column("mean_b", pa.array(means[:, 2])) \
+            .append_column("thumbnail", thumb_col)
 
 
 class WavFeatureStage:
