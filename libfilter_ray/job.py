@@ -1259,6 +1259,44 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_import_warc(args: argparse.Namespace) -> int:
+    """Ingest gzip'd WARC archives (Common Crawl's native format) into a
+    hive-partitioned parquet web-page table: one WARC file per read
+    task, streamed response records, optional html->text extraction,
+    url-hash bucket partitioning so a failed run resumes per bucket.
+    The on-ramp from a real crawl into every pipeline in this engine."""
+    import glob as _glob
+
+    from .sketch.hashing import shard_of_values
+    from .sources.warc import read_warc
+    from .stages.extract import extract_text
+    from .stages.sink import write_partitioned
+
+    paths = sorted(p for pat in args.warc for p in _glob.glob(pat))
+    if not paths:
+        raise SystemExit(f"no WARC files match {args.warc}")
+    ds = read_warc(paths, batch_rows=args.batch_rows)
+    extract = not args.no_extract
+    keep_html = args.keep_html
+    buckets = args.buckets
+
+    def prep(t: pa.Table) -> pa.Table:
+        if extract:
+            t = t.append_column("text", extract_text(t["html"]))
+            if not keep_html:
+                t = t.drop_columns(["html"])  # wide payload dies here
+        return t.append_column("bucket", pa.array(
+            shard_of_values(t["url"], buckets, seed=0x3A7C),
+            type=pa.int64()))
+
+    wrote = write_partitioned(
+        ds.map_batches(prep, batch_format="pyarrow"), args.out,
+        partition_cols=["bucket"])
+    print(json.dumps({"out": args.out, "warc_files": len(paths),
+                      "wrote": bool(wrote)}))
+    return 0
+
+
 def _cmd_list(_: argparse.Namespace) -> int:
     from .pipelines.queries import ORACLES, QUERIES
 
@@ -1486,6 +1524,22 @@ def make_parser() -> argparse.ArgumentParser:
                     help="refinement rounds for --exact-quantiles")
     pf.add_argument("--output", default=None)
     pf.set_defaults(fn=_cmd_profile)
+
+    iw = sub.add_parser("import-warc",
+                        help="WARC archives -> partitioned parquet table")
+    iw.add_argument("--warc", required=True, nargs="+",
+                    help="one or more .warc.gz paths/globs")
+    iw.add_argument("--out", required=True,
+                    help="output table directory (hive buckets)")
+    iw.add_argument("--buckets", type=int, default=64,
+                    help="url-hash partitions (resume granularity)")
+    iw.add_argument("--batch-rows", type=int, default=512,
+                    help="records per streamed batch")
+    iw.add_argument("--no-extract", action="store_true",
+                    help="skip html->text extraction")
+    iw.add_argument("--keep-html", action="store_true",
+                    help="keep the wide html column after extraction")
+    iw.set_defaults(fn=_cmd_import_warc)
 
     ls = sub.add_parser("list", help="enumerate pipelines")
     ls.set_defaults(fn=_cmd_list)

@@ -646,6 +646,71 @@ ORDER BY partition_id
 """
 
 
+def q_checkpointed_bloom_members(sf_dir: str) -> pd.DataFrame:
+    """Checkpoint/resume under the HASH gate (the membership face;
+    lineage is `checkpointed_lineage_counts`): a per-event_type
+    BlockBloom build is killed after 2 partitions, resumed in a fresh
+    job object, and the RESUMED filters are probed with every distinct
+    (event_type, user_id) pair. No-false-negative is a hard invariant
+    (cpp/extras/test/block.cpp:108-157), so members_found ==
+    COUNT(DISTINCT user_id) exactly — a resume that lost a partition
+    leaves members unfound and hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from ..sketch.block_bloom import BlockBloom
+    from ..sketch.hashing import DEFAULT_SEED, hash_arrow_array
+    from ..stages.dedup import _cached_filter
+    from ..state.checkpoint import CheckpointedBuild
+
+    run_dir = tempfile.mkdtemp(prefix="lfr-ckptbloom-", dir="/tmp")
+    try:
+        kw = dict(kind="block", params={"bytes_": 1 << 15},
+                  column="user_id", key="event_type", target_rows=2048)
+        paths = [f"{sf_dir}/events.parquet"]
+        job = CheckpointedBuild(f"{run_dir}/run", paths, **kw)
+        job.run(max_partitions=2)          # interrupted mid-build
+        out = CheckpointedBuild(f"{run_dir}/run", paths, **kw).run()
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+    fref = ray.put({k: sk.to_bytes() for k, sk in out.items()})
+
+    def probe(t: pa.Table) -> pa.Table:
+        filters = _cached_filter(fref, lambda d: {
+            k: BlockBloom.from_bytes(v) for k, v in d.items()})
+        h = hash_arrow_array(t["user_id"], seed=DEFAULT_SEED)
+        et = t["event_type"]
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        found = np.zeros(t.num_rows, dtype=np.int64)
+        for k, f in filters.items():
+            m = np.asarray(pc.equal(et, k), dtype=bool)
+            if m.any():
+                found[m] = f.find_hashes(h[m]).astype(np.int64)
+        return pa.table({
+            "event_type": et,
+            "n_distinct": pa.array(np.ones(t.num_rows, np.int64)),
+            "members_found": pa.array(found)})
+
+    res = _read(sf_dir, "events", columns=["event_type", "user_id"]) \
+        .groupby(["event_type", "user_id"]) \
+        .aggregate(Count(alias_name="_n")) \
+        .map_batches(probe, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("members_found", alias_name="members_found")).to_pandas()
+    for c in ("n_distinct", "members_found"):
+        res[c] = res[c].astype("int64")
+    return res.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_CKPT_BLOOM_MEMBERS = """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_distinct,
+       count(DISTINCT user_id)::BIGINT AS members_found
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """Broadcast dimension-join chain: region->nation->customer joined to
     streaming orders inside map_batches (no shuffle join). Honest scale
@@ -5029,6 +5094,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # -- new this round (oracled, never graded) --
     "warc_roundtrip": q_warc_roundtrip,
     "png_decode_features": q_png_decode_features,
+    "checkpointed_bloom_members": q_checkpointed_bloom_members,
     # -- rotation slots: previously driver-green oracled anchors --
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -5166,4 +5232,5 @@ ORACLES: dict[str, str] = {
     "part_lineitem_full_join": SQL_PART_LINEITEM_FULL_JOIN,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "png_decode_features": SQL_PNG_DECODE_FEATURES,
+    "checkpointed_bloom_members": SQL_CKPT_BLOOM_MEMBERS,
 }

@@ -1148,3 +1148,46 @@ def test_curate_full_composition_resumes(tmp_path, ray_session):
     hosts = outs[0]["url"].str.split("/").str[2]
     assert not (hosts == "blocked.org").any()
     assert (hosts.value_counts() <= 40).all()
+
+
+def test_import_warc_subcommand(tmp_path, ray_session):
+    """import-warc: .warc.gz archives -> bucket-partitioned parquet with
+    extracted text; resumable (second run reuses the completed output)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libfilter_ray.sources.warc import write_warc_gz
+    from libfilter_ray.sources.webpages import synthesize_webpages
+
+    docs = pa.table({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": [f"hello page {i}\n\nsecond paragraph & <tag>"
+                 for i in range(60)],
+        "lang": ["en", "de", "fr"] * 20,
+        "source": ["cc"] * 60,
+    })
+    pages = synthesize_webpages(docs)
+    ts = pages["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    w1 = str(tmp_path / "a.warc.gz")
+    w2 = str(tmp_path / "b.warc.gz")
+    write_warc_gz(w1, pages["url"].to_pylist()[:30], ts[:30],
+                  pages["html"].to_pylist()[:30])
+    write_warc_gz(w2, pages["url"].to_pylist()[30:], ts[30:],
+                  pages["html"].to_pylist()[30:])
+
+    out = tmp_path / "table"
+    assert main(["import-warc", "--warc", str(tmp_path / "*.warc.gz"),
+                 "--out", str(out), "--buckets", "4"]) == 0
+    back = ray.data.read_parquet(str(out)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(back) == 60
+    assert list(back["url"]) == list(want["url"])
+    assert list(back["text"]) == list(want["text"])   # extraction exact
+    assert "html" not in back.columns                 # wide payload dropped
+    assert back["bucket"].nunique() >= 2              # really partitioned
+
+    assert main(["import-warc", "--warc",
+                 str(tmp_path / "*.warc.gz"),
+                 "--out", str(out), "--buckets", "4"]) == 0
