@@ -172,6 +172,11 @@ def run_bench() -> dict:
     timed("keyword_topk", q.q_keyword_topk)
     # Gopher-style top-30% cut via exact distributed order statistics
     timed("quality_percentile_cut", q.q_quality_percentile_cut)
+    # gzip'd WARC round-trip: sharded write -> streamed member-per-record
+    # read -> extract -> per-lang aggregate
+    timed("warc_roundtrip", q.q_warc_roundtrip)
+    # real PNG decode (stdlib inflate + exact unfiltering) per doc
+    timed("png_decode_features", q.q_png_decode_features)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)

@@ -1259,6 +1259,48 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_ann(args: argparse.Namespace) -> int:
+    """Similarity search over an embedding table: exact brute-force
+    cosine top-k, or the IVF / PQ approximate scale paths (stages/ann.py).
+    Query vectors are rows of the same table picked by --query-ids
+    (predicate pushed into the Arrow scan — the corpus never loads for
+    the query fetch)."""
+    import numpy as np
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from .stages.ann import brute_topk, ivf_topk, pq_topk
+
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, [args.id_column, args.column])
+    qids = [int(x) for x in args.query_ids.split(",")]
+    qt = ray.data.read_parquet(
+        paths, columns=[args.id_column, args.column],
+        filter=_pc.field(args.id_column).isin(qids)).to_pandas()
+    if len(qt) != len(qids):
+        have = set(qt[args.id_column]) if len(qt) else set()
+        missing = sorted(set(qids) - have)
+        raise SystemExit(f"query ids not in table: {missing}")
+    qt = qt.set_index(args.id_column).loc[qids]
+    Q = np.stack(qt[args.column].to_numpy())
+    ds = ray.data.read_parquet(paths,
+                               columns=[args.id_column, args.column])
+    kw = dict(column=args.column, id_column=args.id_column, k=args.k)
+    if args.method == "brute":
+        out = brute_topk(ds, Q, **kw)
+    elif args.method == "ivf":
+        out = ivf_topk(ds, Q, num_centroids=args.num_centroids,
+                       nprobe=args.nprobe, train=args.train, **kw)
+    else:
+        out = pq_topk(ds, Q, m=args.pq_m, rerank=args.rerank, **kw)
+    # positional query index -> the caller's vec ids
+    out = out.copy()
+    out["query_id"] = np.asarray(qids, dtype=np.int64)[
+        out["query_id"].to_numpy()]
+    _write_result(out, args.output)
+    return 0
+
+
 def _cmd_import_warc(args: argparse.Namespace) -> int:
     """Ingest gzip'd WARC archives (Common Crawl's native format) into a
     hive-partitioned parquet web-page table: one WARC file per read
@@ -1524,6 +1566,27 @@ def make_parser() -> argparse.ArgumentParser:
                     help="refinement rounds for --exact-quantiles")
     pf.add_argument("--output", default=None)
     pf.set_defaults(fn=_cmd_profile)
+
+    an = sub.add_parser("ann", help="similarity search over embeddings")
+    an.add_argument("--input", required=True)
+    an.add_argument("--table", default="embeddings")
+    an.add_argument("--column", default="embedding")
+    an.add_argument("--id-column", default="vec_id")
+    an.add_argument("--query-ids", required=True,
+                    help="comma-separated vec ids used as query vectors")
+    an.add_argument("--method", choices=["brute", "ivf", "pq"],
+                    default="brute")
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--num-centroids", type=int, default=16)
+    an.add_argument("--nprobe", type=int, default=4)
+    an.add_argument("--train", choices=["sample", "distributed"],
+                    default="sample", help="IVF centroid training path")
+    an.add_argument("--pq-m", type=int, default=8,
+                    help="PQ subquantizer count")
+    an.add_argument("--rerank", type=int, default=4,
+                    help="PQ exact-rerank candidate multiplier")
+    an.add_argument("--output", default=None)
+    an.set_defaults(fn=_cmd_ann)
 
     iw = sub.add_parser("import-warc",
                         help="WARC archives -> partitioned parquet table")

@@ -1191,3 +1191,42 @@ def test_import_warc_subcommand(tmp_path, ray_session):
     assert main(["import-warc", "--warc",
                  str(tmp_path / "*.warc.gz"),
                  "--out", str(out), "--buckets", "4"]) == 0
+
+
+def test_ann_subcommand_matches_brute(tmp_path, ray_session):
+    """ann CLI: query rows fetched by predicate pushdown, brute top-k
+    matches a direct brute_topk call with the same queries; ivf in
+    exhaustive mode (nprobe >= centroids) matches brute exactly."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from libfilter_ray.stages.ann import brute_topk
+
+    out = tmp_path / "ann.parquet"
+    assert main(["ann", "--input", SF_DIR_01, "--query-ids", "3,11",
+                 "--k", "5", "--output", str(out)]) == 0
+    got = _pq.read_table(out).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    emb = _pq.read_table(f"{SF_DIR_01}/embeddings.parquet").to_pandas() \
+        .set_index("vec_id")
+    Q = np.stack(emb.loc[[3, 11], "embedding"].to_numpy())
+    ds = ray.data.read_parquet(f"{SF_DIR_01}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    want = brute_topk(ds, Q, k=5) \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got["neighbor_id"]) == list(want["neighbor_id"])
+    assert list(got["query_id"]) == [3] * 5 + [11] * 5
+
+    out2 = tmp_path / "ann_ivf.parquet"
+    assert main(["ann", "--input", SF_DIR_01, "--query-ids", "3,11",
+                 "--k", "5", "--method", "ivf", "--num-centroids", "4",
+                 "--nprobe", "4", "--output", str(out2)]) == 0
+    got2 = _pq.read_table(out2).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got2["neighbor_id"]) == list(got["neighbor_id"])
+
+
+def test_ann_subcommand_missing_query_id(ray_session):
+    with pytest.raises(SystemExit, match="not in table"):
+        main(["ann", "--input", SF_DIR_01, "--query-ids", "999999999"])
