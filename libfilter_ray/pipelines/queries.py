@@ -2345,6 +2345,60 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_bloom_intersect_members(sf_dir: str) -> pd.DataFrame:
+    """Filter INTERSECTION under the hash gate — the set op the
+    reference leaves TODO (c/lib/block.c:68): two equal-sized BlockBlooms
+    are built distributed over two document subsets (long docs;
+    English docs), AND-intersected, and the intersected filter is probed
+    with the EXACT intersection set (both predicates pushed into one
+    Arrow scan). Superset semantics make this oracled: a key in both
+    builds has all 8 bits set in both bucket rows, so members_found ==
+    COUNT(*) of the conjunction exactly."""
+    from ..sketch import sizing
+    from ..sketch.block_bloom import BlockBloom
+    from ..sketch.hashing import hash_arrow_array
+    from ..stages.dedup import _cached_filter
+    from ..stages.sketch_build import build_sketch
+
+    docs_a = _read(sf_dir, "documents", columns=["doc_id"],
+                   filter=pc.field("n_chars") >= 150)
+    docs_b = _read(sf_dir, "documents", columns=["doc_id"],
+                   filter=pc.field("lang") == "en")
+    n_a, n_b = docs_a.count(), docs_b.count()
+    bytes_ = sizing.block_bytes_needed(max(n_a, n_b, 1), 0.001)
+    fa = build_sketch(docs_a, "doc_id", "block", {"bytes_": bytes_})
+    fb = build_sketch(docs_b, "doc_id", "block", {"bytes_": bytes_})
+    fref = ray.put(fa.intersect(fb).to_bytes())
+
+    def probe(t: pa.Table) -> pa.Table:
+        f = _cached_filter(fref, BlockBloom.from_bytes)
+        found = f.find_hashes(hash_arrow_array(t["doc_id"]))
+        return pa.table({
+            "n_both": pa.array(np.ones(t.num_rows, np.int64)),
+            "members_found": pa.array(found.astype(np.int64))})
+
+    both = _read(sf_dir, "documents", columns=["doc_id"],
+                 filter=(pc.field("n_chars") >= 150)
+                 & (pc.field("lang") == "en"))
+    agg = both.map_batches(probe, batch_format="pyarrow") \
+        .sum(["n_both", "members_found"])
+    return pd.DataFrame([{
+        "n_a": np.int64(n_a), "n_b": np.int64(n_b),
+        "n_both": np.int64(agg["sum(n_both)"]),
+        "members_found": np.int64(agg["sum(members_found)"])}])
+
+
+SQL_BLOOM_INTERSECT = """
+SELECT
+  (SELECT count(*) FROM documents WHERE n_chars >= 150)::BIGINT AS n_a,
+  (SELECT count(*) FROM documents WHERE lang = 'en')::BIGINT AS n_b,
+  (SELECT count(*) FROM documents
+   WHERE n_chars >= 150 AND lang = 'en')::BIGINT AS n_both,
+  (SELECT count(*) FROM documents
+   WHERE n_chars >= 150 AND lang = 'en')::BIGINT AS members_found
+"""
+
+
 def q_growable_membership(sf_dir: str) -> pd.DataFrame:
     """Oracled deterministic columns of the growable-filter pipeline
     (taffy-block + taffy-cuckoo + frozen TCF membership completeness)."""
@@ -5095,6 +5149,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "warc_roundtrip": q_warc_roundtrip,
     "png_decode_features": q_png_decode_features,
     "checkpointed_bloom_members": q_checkpointed_bloom_members,
+    "bloom_intersect_members": q_bloom_intersect_members,
     # -- rotation slots: previously driver-green oracled anchors --
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -5233,4 +5288,5 @@ ORACLES: dict[str, str] = {
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "png_decode_features": SQL_PNG_DECODE_FEATURES,
     "checkpointed_bloom_members": SQL_CKPT_BLOOM_MEMBERS,
+    "bloom_intersect_members": SQL_BLOOM_INTERSECT,
 }

@@ -106,6 +106,25 @@ class BlockBloom:
         np.bitwise_or(self.buckets, other.buckets, out=self.buckets)
         return self
 
+    def intersect(self, other: "BlockBloom") -> "BlockBloom":
+        """Bitwise-AND intersection — SUPERSET semantics: every key that
+        was added to BOTH filters is still found (each of its 8 bits is
+        set in both bucket rows, so it survives the AND), while keys in
+        only one side usually drop. The result can over-approximate
+        A ∩ B (a bit set by different keys on each side survives), so
+        fpp is bounded by min(fpp_A, fpp_B) only from above — this is
+        the standard Bloom-intersection contract. The reference leaves
+        intersection as an explicit TODO (c/lib/block.c:68,
+        cpp/include/filter/taffy-cuckoo.hpp:11); AND over the identical
+        byte layout is the canonical completion for the OR-mergeable
+        block filter. In-place, like merge()."""
+        if other.num_buckets != self.num_buckets:
+            raise ValueError(
+                f"cannot AND-intersect block filters of unequal size "
+                f"({self.num_buckets} vs {other.num_buckets} buckets)")
+        np.bitwise_and(self.buckets, other.buckets, out=self.buckets)
+        return self
+
     def finalize(self) -> "BlockBloom":
         return self
 
