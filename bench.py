@@ -239,6 +239,22 @@ def kernel_throughput(n: int = 10_000_000) -> dict:
     t0 = time.perf_counter()
     tcf.find_hashes(probes)
     out["tcf_find"] = round(len(probes) / (time.perf_counter() - t0) / 1e6, 1)
+    # cuckoo baseline rows — the comparison the reference's own bench
+    # shims exist for (bench.cpp:79-118; doc/doc.tex:60-76 SBBF vs
+    # cuckoo). Insert is the honest per-key kick loop, so fewer keys.
+    from libfilter_ray.sketch.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(ndv=250_000)
+    ins = keys[:200_000]
+    t0 = time.perf_counter()
+    cf.add_hashes(ins)
+    out["cuckoo_insert"] = round(len(ins) / (time.perf_counter() - t0)
+                                 / 1e6, 2)
+    cf.find_hashes(probes)  # warm
+    t0 = time.perf_counter()
+    cf.find_hashes(probes)
+    out["cuckoo_find"] = round(len(probes) / (time.perf_counter() - t0)
+                               / 1e6, 1)
     return out
 
 

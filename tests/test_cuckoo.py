@@ -1,0 +1,90 @@
+"""Standard cuckoo filter (sketch/cuckoo.py) — the bench-baseline sketch.
+Invariants mirror the reference's conformance suite
+(cpp/extras/test/block.cpp): InsertPersists / StartEmpty / fpp bound /
+SerDe, plus the cuckoo-specific delete."""
+
+import numpy as np
+import pytest
+
+from libfilter_ray.sketch.cuckoo import CuckooFilter
+
+
+def _keys(n, seed=5):
+    return np.random.default_rng(seed).integers(0, 2**64, n,
+                                                dtype=np.uint64)
+
+
+def test_start_empty():
+    f = CuckooFilter(ndv=1000)
+    assert not f.find_hashes(_keys(1 << 16)).any()
+    assert f.occupied == 0
+
+
+def test_insert_persists_across_kicks():
+    """Every inserted key is always found, including after long kick
+    chains near the 95% load bound (block.cpp:108-157 analogue)."""
+    keys = _keys(3800, seed=7)
+    f = CuckooFilter(ndv=4000)
+    for i in range(0, len(keys), 100):
+        f.add_hashes(keys[i:i + 100])
+        assert f.find_hashes(keys[:i + 100]).all()
+
+
+def test_fpp_within_fingerprint_bound():
+    """Measured fpp <= the paper's 2 * slots / 2^fp_bits bound (x2 test
+    slack, the reference's own FilterTest.java:69-78 style)."""
+    keys = _keys(3000, seed=11)
+    f = CuckooFilter(ndv=4000, fp_bits=12).add_hashes(keys)
+    probes = _keys(1 << 18, seed=12)
+    probes = probes[np.isin(probes, keys, invert=True)]
+    fpp = f.find_hashes(probes).mean()
+    assert fpp <= 2 * (2 * 4 / (1 << 12))
+
+
+def test_delete_removes_and_preserves_others():
+    keys = _keys(2000, seed=13)
+    f = CuckooFilter(ndv=4000).add_hashes(keys)
+    gone, kept = keys[:500], keys[500:]
+    assert f.delete_hashes(gone).all()
+    assert f.find_hashes(kept).all()       # no collateral false negatives
+    # deleted keys drop to fpp-level presence
+    assert f.find_hashes(gone).mean() < 0.05
+    assert f.occupied == 1500
+
+
+def test_insert_is_idempotent():
+    keys = _keys(100, seed=17)
+    f = CuckooFilter(ndv=1000).add_hashes(keys).add_hashes(keys)
+    assert f.occupied == 100               # duplicates deduped, not stored
+
+
+def test_serde_roundtrip():
+    keys = _keys(1500, seed=19)
+    f = CuckooFilter(ndv=2000, fp_bits=10).add_hashes(keys)
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    assert g.num_buckets == f.num_buckets and g.fp_bits == f.fp_bits
+    assert np.array_equal(g.table, f.table)
+    assert g.find_hashes(keys).all()
+    assert g.occupied == f.occupied
+
+
+def test_merge_refuses():
+    with pytest.raises(NotImplementedError, match="taffy_cuckoo"):
+        CuckooFilter(ndv=100).merge(CuckooFilter(ndv=100))
+
+
+def test_overfull_raises():
+    keys = _keys(3000, seed=23)
+    f = CuckooFilter(bytes_=1024)          # 128 buckets * 4 slots = 512
+    with pytest.raises(RuntimeError, match="kicks"):
+        f.add_hashes(keys)
+
+
+def test_registry_kind():
+    from libfilter_ray.sketch import registry
+
+    f = registry.make("cuckoo", ndv=500)
+    keys = _keys(400, seed=29)
+    f.update(keys)
+    assert f.find_hashes(keys).all()
+    assert "cuckoo" in registry.kinds()
