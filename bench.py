@@ -177,6 +177,8 @@ def run_bench() -> dict:
     timed("warc_roundtrip", q.q_warc_roundtrip)
     # real PNG decode (stdlib inflate + exact unfiltering) per doc
     timed("png_decode_features", q.q_png_decode_features)
+    # real video decode: y4m container walk + every-3rd frame sampling
+    timed("y4m_frame_sample", q.q_y4m_frame_sample)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)

@@ -2119,8 +2119,11 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
 def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing demo: attach deterministic binary image payloads,
     extract features in an actor-pool stage (decode stubbed — no codecs in
-    this environment), aggregate per lang. Rows-only check (payloads are
-    engine-synthesized)."""
+    this environment), aggregate per lang. SQL-oracled since round 4: the
+    payload sizes are splitmix64(doc_id, 0x1A6E) % 3840 + 256, and
+    splitmix64 is exactly expressible in DuckDB (HUGEINT modular
+    arithmetic with 32-bit-split multiplies — SQL_MULTIMODAL_FEATURES),
+    so avg_bytes hash-gates the attach stage's actual payload lengths."""
     from ray.data.aggregate import Count, Mean
 
     from ..stages.multimodal import ImageFeatureStage, attach_fake_images
@@ -2137,6 +2140,44 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     out["n_images"] = out["n_images"].astype("int64")
     out["avg_bytes"] = out["avg_bytes"].round(2)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+# splitmix64 in ANSI SQL (DuckDB): z = x + (seed*GAMMA + 1) mod 2^64;
+# two xorshift-multiply rounds; final xorshift. Multiplies split the
+# variable operand into 32-bit halves so HUGEINT (int128) never
+# overflows: (z*C) mod 2^64 = (lo32(z)*C + ((hi32(z)*C) mod 2^32)<<32)
+# mod 2^64. Validated bit-exact against sketch/hashing.py:splitmix64.
+_SM_ADD_IMG = (0x1A6E * 0x9E3779B97F4A7C15 + 1) % (1 << 64)
+_M64 = 1 << 64
+
+
+def _sql_mulmod64(z: str, c: int) -> str:
+    return (f"CAST(((({z}) % 4294967296) * {c} + "
+            f"(((({z}) // 4294967296) * {c}) % 4294967296) * 4294967296)"
+            f" % {_M64} AS UBIGINT)")
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH s0 AS (
+  SELECT lang,
+         CAST((CAST(doc_id AS HUGEINT) + {_SM_ADD_IMG}) % {_M64}
+              AS UBIGINT) AS z
+  FROM documents
+),
+s1 AS (SELECT lang,
+              {_sql_mulmod64("CAST(xor(z, z >> 30) AS HUGEINT)",
+                             0xBF58476D1CE4E5B9)} AS z FROM s0),
+s2 AS (SELECT lang,
+              {_sql_mulmod64("CAST(xor(z, z >> 27) AS HUGEINT)",
+                             0x94D049BB133111EB)} AS z FROM s1),
+sizes AS (
+  SELECT lang, CAST(xor(z, z >> 31) % 3840 + 256 AS BIGINT) AS nbytes
+  FROM s2
+)
+SELECT lang, count(*)::BIGINT AS n_images,
+       round(avg(nbytes), 2) AS avg_bytes
+FROM sizes GROUP BY lang ORDER BY lang
+"""
 
 
 def q_multimodal_meta_counts(sf_dir: str) -> pd.DataFrame:
@@ -4692,6 +4733,86 @@ FROM per_img GROUP BY lang ORDER BY lang
 """
 
 
+def q_y4m_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """REAL video decode under the driver gate: deterministic valid
+    YUV4MPEG2 payloads (2-12 C420 frames each) are attached per doc,
+    decoded by the actor-pool Y4mFrameSampleStage — ASCII stream-header
+    parse + FRAME walk + plane slicing, no codec — which samples every
+    3rd frame and reports per-row luma/chroma means. The oracle
+    recomputes every sampled pixel arithmetically, so a decoder that
+    mis-slices a plane or samples the wrong frames hash-mismatches."""
+    from ..stages.multimodal import Y4mFrameSampleStage, attach_y4m_videos
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    feats = docs.map_batches(attach_y4m_videos, batch_format="pyarrow") \
+        .map_batches(Y4mFrameSampleStage, batch_size=256,
+                     concurrency=(2, 16), batch_format="pyarrow")
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_videos": pa.array(np.ones(t.num_rows, np.int64)),
+            "sum_frames": t["n_frames"],
+            "sum_sampled": t["n_sampled"],
+            "sum_y": t["mean_y"],
+            "sum_u": t["mean_u"],
+            "sum_v": t["mean_v"],
+        })
+
+    out = feats.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_videos", alias_name="n_videos"),
+            Sum("sum_frames", alias_name="sum_frames"),
+            Sum("sum_sampled", alias_name="sum_sampled"),
+            Sum("sum_y", alias_name="sum_y"),
+            Sum("sum_u", alias_name="sum_u"),
+            Sum("sum_v", alias_name="sum_v")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_videos", "sum_frames", "sum_sampled"):
+        out[c] = out[c].astype("int64")
+    for ch in ("y", "u", "v"):
+        out[f"avg_{ch}"] = (out[f"sum_{ch}"] / out["n_videos"]).round(4)
+        out = out.drop(columns=[f"sum_{ch}"])
+    return out
+
+
+SQL_Y4M_FRAME_SAMPLE = """
+WITH vids AS (
+  SELECT doc_id, lang, 2 + doc_id % 11 AS nf FROM documents
+),
+sampled AS (
+  SELECT v.doc_id, v.lang, v.nf, tf.f AS f
+  FROM vids v, UNNEST(range(0, v.nf)) AS tf(f)
+  WHERE tf.f % 3 = 0
+),
+px AS (
+  SELECT s.doc_id, s.lang, s.nf, s.f, xx.x AS x, yy.y AS y
+  FROM sampled s, UNNEST(range(0, 16)) AS xx(x),
+       UNNEST(range(0, 12)) AS yy(y)
+),
+per_frame AS (
+  SELECT doc_id, lang, nf, f,
+         avg(CAST((x * (y + 1) + 7 * f + doc_id) % 256 AS DOUBLE)) AS my,
+         CAST((doc_id + 5 * f) % 256 AS DOUBLE) AS mu,
+         CAST((doc_id + 11 * f) % 256 AS DOUBLE) AS mv
+  FROM px GROUP BY doc_id, lang, nf, f
+),
+per_vid AS (
+  SELECT doc_id, lang, any_value(nf) AS nf, count(*) AS ns,
+         avg(my) AS my, avg(mu) AS mu, avg(mv) AS mv
+  FROM per_frame GROUP BY doc_id, lang
+)
+SELECT lang,
+       count(*)::BIGINT AS n_videos,
+       sum(nf)::BIGINT AS sum_frames,
+       sum(ns)::BIGINT AS sum_sampled,
+       round(avg(my), 4) AS avg_y,
+       round(avg(mu), 4) AS avg_u,
+       round(avg(mv), 4) AS avg_v
+FROM per_vid GROUP BY lang ORDER BY lang
+"""
+
+
 def q_bm25_snippets(sf_dir: str) -> pd.DataFrame:
     """End-to-end search result page: BM25 top-10 over the bucketed
     index, then ONLY the 10 winning documents are fetched (doc-id
@@ -5150,6 +5271,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "png_decode_features": q_png_decode_features,
     "checkpointed_bloom_members": q_checkpointed_bloom_members,
     "bloom_intersect_members": q_bloom_intersect_members,
+    "y4m_frame_sample": q_y4m_frame_sample,
+    "multimodal_features": q_multimodal_features,
     # -- rotation slots: previously driver-green oracled anchors --
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
@@ -5197,7 +5320,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
-    "multimodal_features": q_multimodal_features,
     "hibp_filter_report": q_hibp_filter_report,
     "sketch_build_throughput": q_sketch_build_throughput,
     "minimal_taffy_per_lang": q_minimal_taffy_per_lang,
@@ -5289,4 +5411,6 @@ ORACLES: dict[str, str] = {
     "png_decode_features": SQL_PNG_DECODE_FEATURES,
     "checkpointed_bloom_members": SQL_CKPT_BLOOM_MEMBERS,
     "bloom_intersect_members": SQL_BLOOM_INTERSECT,
+    "y4m_frame_sample": SQL_Y4M_FRAME_SAMPLE,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

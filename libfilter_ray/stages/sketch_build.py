@@ -550,7 +550,15 @@ def build_sketch_actor_pool(ds, column: str, kind: str,
 
     params = params or {}
 
-    @ray.remote
+    # num_cpus=0.5: the consumers BLOCK on streaming_split iterators that
+    # only advance while the producing Dataset's read/map tasks can get
+    # CPUs — full-CPU consumers can deadlock the whole job when
+    # concurrency (+ any actor pool still tearing down from a previous
+    # stage) reaches the session's CPU count (classic Ray
+    # consumer-starves-producer deadlock; observed under num_cpus=4 with
+    # concurrency=3 and one straggler actor). Half a CPU keeps the
+    # accumulate work scheduled while guaranteeing producer headroom.
+    @ray.remote(num_cpus=0.5)
     def consume(it, kind: str, params: dict, column: str, seed: int,
                 pre_hashed: bool) -> bytes:
         sk = registry.make(kind, **params)

@@ -88,3 +88,24 @@ def test_registry_kind():
     f.update(keys)
     assert f.find_hashes(keys).all()
     assert "cuckoo" in registry.kinds()
+
+
+def test_distributed_build_fails_loud_single_actor_works(ray_session):
+    """The cuckoo kind is honest about not merging: the partial-merge
+    build path raises with a pointer to taffy_cuckoo, while the
+    single-consumer actor-pool path (no merge) builds fine."""
+    import ray.data
+
+    from libfilter_ray.stages.sketch_build import (build_sketch,
+                                                   build_sketch_actor_pool)
+
+    ds = ray.data.range(2000).map_batches(
+        lambda b: {"key": b["id"] * 2654435761 % (1 << 63)},
+        batch_format="numpy").repartition(4)
+    with pytest.raises(NotImplementedError, match="taffy_cuckoo"):
+        build_sketch(ds, "key", "cuckoo", {"ndv": 4000}, pre_hashed=True)
+    f = build_sketch_actor_pool(ds, "key", "cuckoo", {"ndv": 4000},
+                                concurrency=1, pre_hashed=True)
+    keys = (np.arange(2000, dtype=np.uint64)
+            * np.uint64(2654435761) % np.uint64(1 << 63))
+    assert f.find_hashes(keys).all()
