@@ -1321,10 +1321,19 @@ def _cmd_import_warc(args: argparse.Namespace) -> int:
     extract = not args.no_extract
     keep_html = args.keep_html
     buckets = args.buckets
+    want_lang = args.lang_id
+    if want_lang and not extract:
+        raise SystemExit("--lang-id needs the extracted text "
+                         "(remove --no-extract)")
 
     def prep(t: pa.Table) -> pa.Table:
         if extract:
-            t = t.append_column("text", extract_text(t["html"]))
+            text = extract_text(t["html"])
+            t = t.append_column("text", text)
+            if want_lang:  # WARC carries no language — annotate here
+                from .functions.textstats import lang_id
+
+                t = t.append_column("lang_pred", lang_id(text))
             if not keep_html:
                 t = t.drop_columns(["html"])  # wide payload dies here
         return t.append_column("bucket", pa.array(
@@ -1600,6 +1609,9 @@ def make_parser() -> argparse.ArgumentParser:
                     help="records per streamed batch")
     iw.add_argument("--no-extract", action="store_true",
                     help="skip html->text extraction")
+    iw.add_argument("--lang-id", action="store_true",
+                    help="annotate a lang_pred column (n-gram marker "
+                         "heuristic) — WARC carries no language")
     iw.add_argument("--keep-html", action="store_true",
                     help="keep the wide html column after extraction")
     iw.set_defaults(fn=_cmd_import_warc)

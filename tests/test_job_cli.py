@@ -1230,3 +1230,39 @@ def test_ann_subcommand_matches_brute(tmp_path, ray_session):
 def test_ann_subcommand_missing_query_id(ray_session):
     with pytest.raises(SystemExit, match="not in table"):
         main(["ann", "--input", SF_DIR_01, "--query-ids", "999999999"])
+
+
+def test_import_warc_lang_id(tmp_path, ray_session):
+    """--lang-id annotates lang_pred from the extracted text."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libfilter_ray.sources.warc import write_warc_gz
+    from libfilter_ray.sources.webpages import synthesize_webpages
+
+    texts = {"en": "the quick brown fox and the lazy dog with a plan",
+             "de": "der schnelle braune fuchs und die katze mit einem",
+             "fr": "le renard brun rapide et le chien avec une idee"}
+    docs = pa.table({
+        "doc_id": np.arange(30, dtype=np.int64),
+        "text": [texts[("en", "de", "fr")[i % 3]] for i in range(30)],
+        "lang": [("en", "de", "fr")[i % 3] for i in range(30)],
+        "source": ["cc"] * 30,
+    })
+    pages = synthesize_webpages(docs)
+    ts = pages["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    w = str(tmp_path / "c.warc.gz")
+    write_warc_gz(w, pages["url"].to_pylist(), ts,
+                  pages["html"].to_pylist())
+    out = tmp_path / "table"
+    assert main(["import-warc", "--warc", w, "--out", str(out),
+                 "--buckets", "2", "--lang-id"]) == 0
+    back = ray.data.read_parquet(str(out)).to_pandas()
+    # url embeds the true lang: .../<lang>/page-...
+    true_lang = back["url"].str.extract(r"org/(\w+)/")[0]
+    assert (back["lang_pred"] == true_lang).mean() >= 0.9
+
+    with pytest.raises(SystemExit, match="lang-id"):
+        main(["import-warc", "--warc", w, "--out", str(out),
+              "--no-extract", "--lang-id"])
