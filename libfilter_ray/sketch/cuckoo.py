@@ -102,11 +102,14 @@ class CuckooFilter:
         for k in range(len(hashes)):
             fp = fps[k]
             placed = False
+            # MULTISET semantics (paper §3.2): duplicate fingerprints are
+            # STORED, never deduped — deletion support requires it. If two
+            # distinct keys share (bucket pair, fingerprint) and the second
+            # were elided, deleting one would silently unfind the other.
+            # Cost: inserting the same key > 2*SLOTS times overflows its
+            # two buckets (the paper's documented duplicate bound).
             for idx in (int(i1s[k]), int(i2s[k])):
                 row = tbl[idx]
-                if fp in row:   # already present: idempotent dedupe
-                    placed = True
-                    break
                 empty = np.flatnonzero(row == 0)
                 if len(empty):
                     row[empty[0]] = fp

@@ -52,10 +52,17 @@ def test_delete_removes_and_preserves_others():
     assert f.occupied == 1500
 
 
-def test_insert_is_idempotent():
+def test_duplicates_are_stored_multiset():
+    """Paper §3.2 multiset semantics: duplicates occupy slots (delete
+    support requires it — eliding a shared fingerprint would let one
+    key's delete unfind another). Two copies, two deletes."""
     keys = _keys(100, seed=17)
     f = CuckooFilter(ndv=1000).add_hashes(keys).add_hashes(keys)
-    assert f.occupied == 100               # duplicates deduped, not stored
+    assert f.occupied == 200               # duplicates stored, not deduped
+    assert f.delete_hashes(keys).all()
+    assert f.find_hashes(keys).all()       # second copies still there
+    assert f.delete_hashes(keys).all()
+    assert f.occupied == 0
 
 
 def test_serde_roundtrip():
@@ -109,3 +116,25 @@ def test_distributed_build_fails_loud_single_actor_works(ray_session):
     keys = (np.arange(2000, dtype=np.uint64)
             * np.uint64(2654435761) % np.uint64(1 << 63))
     assert f.find_hashes(keys).all()
+
+
+def test_insert_delete_find_interplay_property():
+    """Hypothesis-style randomized interplay (fixed seeds): after any
+    interleaving of inserts and deletes of disjoint key sets, every
+    still-inserted key is found and occupancy bookkeeping is exact."""
+    rng = np.random.default_rng(41)
+    f = CuckooFilter(ndv=3000)
+    live: list[np.ndarray] = []
+    occupied = 0
+    for step in range(12):
+        ks = rng.integers(0, 2**64, 150, dtype=np.uint64)
+        f.add_hashes(ks)
+        live.append(ks)
+        occupied += len(ks)
+        if step % 3 == 2:        # delete the oldest tranche
+            gone = live.pop(0)
+            assert f.delete_hashes(gone).all()
+            occupied -= len(gone)
+        for tranche in live:
+            assert f.find_hashes(tranche).all()
+        assert f.occupied == occupied
