@@ -1305,7 +1305,12 @@ def _cmd_import_warc(args: argparse.Namespace) -> int:
     """Ingest gzip'd WARC archives (Common Crawl's native format) into a
     hive-partitioned parquet web-page table: one WARC file per read
     task, streamed response records, optional html->text extraction,
-    url-hash bucket partitioning so a failed run resumes per bucket.
+    url-hash bucket partitioning for downstream partition pruning.
+    Resume is whole-output atomic (stages/sink.py:write_partitioned):
+    a COMPLETED output (_SUCCESS) is reused on re-run; an incomplete one
+    is rewritten from scratch — for crash-resumable ingest of a large
+    crawl, split the archive list across several import-warc invocations
+    with distinct --out dirs (each completes or rewrites independently).
     The on-ramp from a real crawl into every pipeline in this engine."""
     import glob as _glob
 
@@ -1604,7 +1609,8 @@ def make_parser() -> argparse.ArgumentParser:
     iw.add_argument("--out", required=True,
                     help="output table directory (hive buckets)")
     iw.add_argument("--buckets", type=int, default=64,
-                    help="url-hash partitions (resume granularity)")
+                    help="url-hash output partitions (pruning "
+                         "granularity for downstream reads)")
     iw.add_argument("--batch-rows", type=int, default=512,
                     help="records per streamed batch")
     iw.add_argument("--no-extract", action="store_true",

@@ -2123,8 +2123,11 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     payload sizes are splitmix64(doc_id, 0x1A6E) % 3840 + 256, and
     splitmix64 is exactly expressible in DuckDB (HUGEINT modular
     arithmetic with 32-bit-split multiplies — SQL_MULTIMODAL_FEATURES),
-    so avg_bytes hash-gates the attach stage's actual payload lengths."""
-    from ray.data.aggregate import Count, Mean
+    so sum_bytes hash-gates the attach stage's actual payload lengths.
+    The aggregate is an exact int64 SUM, not a rounded average — pandas
+    rounds half-even, DuckDB half-away, and a per-lang mean can land on
+    a representable .xx5 tie on regenerated data."""
+    from ray.data.aggregate import Count, Sum
 
     from ..stages.multimodal import ImageFeatureStage, attach_fake_images
 
@@ -2135,10 +2138,10 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
                      batch_size=256, concurrency=(2, 16))
     out = feats.groupby("lang").aggregate(
         Count(alias_name="n_images"),
-        Mean("image_bytes", alias_name="avg_bytes"),
+        Sum("image_bytes", alias_name="sum_bytes"),
     ).to_pandas()
     out["n_images"] = out["n_images"].astype("int64")
-    out["avg_bytes"] = out["avg_bytes"].round(2)
+    out["sum_bytes"] = out["sum_bytes"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
 
 
@@ -2175,7 +2178,7 @@ sizes AS (
   FROM s2
 )
 SELECT lang, count(*)::BIGINT AS n_images,
-       round(avg(nbytes), 2) AS avg_bytes
+       sum(nbytes)::BIGINT AS sum_bytes
 FROM sizes GROUP BY lang ORDER BY lang
 """
 

@@ -15,6 +15,10 @@ Role and honest scope:
 - baseline for bench comparisons (``bench.py`` kernel table mirrors the
   reference's SBBF-vs-cuckoo rows) and a registry kind for completeness;
 - supports DELETE (the cuckoo filter's distinguishing feature over Bloom);
+  ``add_hashes`` therefore stores duplicates (multiset, paper §3.2) and a
+  failed kick chain unwinds atomically, while ``update()`` — the
+  Sketch-protocol build path — applies find-first SET semantics so
+  duplicate-heavy columns never overflow a bucket with one key's copies;
 - NOT mergeable: like the reference's shimmed baseline, union is not part
   of the cuckoo-filter contract (`merge` raises) — the mergeable growable
   story belongs to TaffyBlock/TaffyCuckoo.
@@ -101,14 +105,17 @@ class CuckooFilter:
         tbl = self.table
         for k in range(len(hashes)):
             fp = fps[k]
+            i1, i2 = int(i1s[k]), int(i2s[k])
             placed = False
             # MULTISET semantics (paper §3.2): duplicate fingerprints are
             # STORED, never deduped — deletion support requires it. If two
             # distinct keys share (bucket pair, fingerprint) and the second
             # were elided, deleting one would silently unfind the other.
-            # Cost: inserting the same key > 2*SLOTS times overflows its
-            # two buckets (the paper's documented duplicate bound).
-            for idx in (int(i1s[k]), int(i2s[k])):
+            # Cost: > 2*SLOTS copies of one key overflow its two buckets
+            # (the paper's documented duplicate bound) — detected below
+            # with a precise error; set-membership builds go through
+            # update(), which applies find-first set semantics instead.
+            for idx in (i1, i2):
                 row = tbl[idx]
                 empty = np.flatnonzero(row == 0)
                 if len(empty):
@@ -118,13 +125,31 @@ class CuckooFilter:
                     break
             if placed:
                 continue
-            # kick chain (paper alg. 1): evict a pseudorandom victim
-            idx, cur = int(i1s[k]), fp
+            if (tbl[i1] == fp).all() and (tbl[i2] == fp).all():
+                # kicking could never help: every slot this key may
+                # occupy already holds its own fingerprint
+                raise RuntimeError(
+                    "duplicate overflow: this key's candidate buckets "
+                    "hold nothing but its own fingerprint copies — cuckoo "
+                    "filters bound duplicates at ~2b per key (Fan et al. "
+                    "§3.2); dedupe the input (update() does), or use the "
+                    "block/taffy filters for duplicate-heavy columns")
+            # kick chain (paper alg. 1): evict a pseudorandom victim.
+            # Every swap is RECORDED so a failed chain unwinds completely
+            # — raising with a half-relocated victim would leave a false
+            # negative for a previously inserted key.
+            idx, cur = i1, fp
+            chain: list[tuple[int, int, int]] = []
             for _ in range(MAX_KICKS):
                 self._kick_ctr += 1
+                # int() BEFORE the modulo: np.uint64 % python-int promotes
+                # to float64 (the classic numpy mixed-sign trap), rounding
+                # away the low bits — the victim came out 0 almost always
+                # and capped the achievable load at ~78% instead of ~95%
                 victim = int(splitmix64(
                     np.asarray(self._kick_ctr, dtype=U64),
-                    seed=self.seed ^ 0x94d0)[()] % SLOTS_PER_BUCKET)
+                    seed=self.seed ^ 0x94d0)[()]) % SLOTS_PER_BUCKET
+                chain.append((idx, victim, int(tbl[idx, victim])))
                 cur, tbl[idx, victim] = tbl[idx, victim], cur
                 idx = int(self._alt(idx, cur))
                 row = tbl[idx]
@@ -132,12 +157,16 @@ class CuckooFilter:
                 if len(empty):
                     row[empty[0]] = cur
                     self.occupied += 1
+                    placed = True
                     break
-            else:
+            if not placed:
+                for uidx, uslot, old in reversed(chain):
+                    tbl[uidx, uslot] = old
                 raise RuntimeError(
                     f"cuckoo filter full after {MAX_KICKS} kicks at "
                     f"{self.occupied}/{self.num_buckets * SLOTS_PER_BUCKET}"
-                    " slots — size it larger (the paper's 95% load bound)")
+                    " slots (table restored, no keys lost) — size it "
+                    "larger (the paper's 95% load bound)")
         return self
 
     # -- vectorized probe / delete ------------------------------------------
@@ -175,7 +204,17 @@ class CuckooFilter:
 
     # -- Sketch protocol -----------------------------------------------------
     def update(self, hashes: np.ndarray) -> "CuckooFilter":
-        return self.add_hashes(hashes)
+        """SET-semantics accumulate for membership builds: dedupe the
+        batch and skip keys the filter already reports present
+        (find-first) — a duplicate-heavy column (e.g. a low-cardinality
+        key built over many batches) never overflows a bucket with its
+        own copies. A fingerprint-collision skip is harmless here (the
+        key already answers present); workflows needing DELETE must use
+        add_hashes directly, whose multiset semantics store every copy."""
+        hashes = np.unique(np.ascontiguousarray(hashes, dtype=U64))
+        if not len(hashes):
+            return self
+        return self.add_hashes(hashes[~self.find_hashes(hashes)])
 
     def add_hash(self, h: int) -> None:
         self.add_hashes(np.array([h], dtype=U64))

@@ -44,9 +44,17 @@ def _warc_date(ts_us: int) -> str:
 
 
 def _parse_warc_date(s: str) -> int:
-    """WARC-Date -> epoch µs (inverse of _warc_date; second precision)."""
+    """WARC-Date -> epoch µs. WARC 1.0 mandates second precision (what
+    our writer emits); WARC 1.1 allows fractional seconds and real
+    crawlers (warcio et al.) emit them — accept up to µs so the
+    Common-Crawl on-ramp doesn't die on a legal date."""
+    frac_us = 0
+    if "." in s:
+        base, _, frac = s.rstrip("Z").partition(".")
+        frac_us = int((frac + "000000")[:6])
+        s = base + "Z"
     return timegm(datetime.strptime(
-        s, "%Y-%m-%dT%H:%M:%SZ").timetuple()) * 1_000_000
+        s, "%Y-%m-%dT%H:%M:%SZ").timetuple()) * 1_000_000 + frac_us
 
 
 def _record_bytes(warc_type: str, headers: list[tuple[str, str]],

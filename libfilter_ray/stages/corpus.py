@@ -587,22 +587,12 @@ def lm_nll_stage(column: str, id_col: str, lang_col: str, model_ref):
 # idf-weighted keyword extraction (tf/df ranking)
 # ---------------------------------------------------------------------------
 
-def build_doc_freq_ref(ds, column: str):
-    """Plasma ObjectRef of (sorted u64 word hashes, int64 document
-    frequencies): how many documents contain each distinct token. ONE
-    distributed pass — each batch emits per-word counts of the docs that
-    contain it (distinct-within-row, exact because a document is one
-    row), a groupby sums them, only the vocabulary-sized table reaches
-    the driver. The broadcast side of `keyword_topk_stage`.
-
-    BOUNDED-CORPUS PATH: the collected table is O(distinct vocabulary),
-    which on web-scale text (typos, URLs, hex blobs) is billions of
-    tokens — use `keyword_topk_auto`, which measures the vocabulary
-    first and switches to the hash-partitioned join path
-    (`keyword_topk_join_from`) when it exceeds the broadcast bound."""
-    import ray
-    from ray.data.aggregate import Sum
-
+def _df_partial(column: str):
+    """Per-batch COMBINED document-frequency partial: distinct
+    (row, word-hash) pairs -> per-hash containing-doc counts. Exact
+    because a document is exactly one input row; keeps the df shuffle
+    at combined (8-byte hash, count) rows, never one row per raw
+    (doc, word) pair."""
     def partial(t: pa.Table) -> pa.Table:
         flat, splits = _word_lists(t[column])
         n = len(splits) - 1
@@ -621,13 +611,41 @@ def build_doc_freq_ref(ds, column: str):
         return pa.table({"h": pa.array(uh.view(np.int64)),
                          "n": pa.array(cnt.astype(np.int64))})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("h").aggregate(Sum("n", alias_name="n")).to_pandas()
+    return partial
+
+
+def doc_freq_dataset(ds, column: str):
+    """Distributed (h, df) document-frequency Dataset — the per-batch
+    combined partial above + one hash-keyed groupby-Sum. Both keyword
+    paths derive from this: the broadcast path collects it (small
+    vocabularies), the join path co-partitions against it."""
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(_df_partial(column), batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="df"))
+
+
+def build_doc_freq_ref(ds, column: str):
+    """Plasma ObjectRef of (sorted u64 word hashes, int64 document
+    frequencies): how many documents contain each distinct token. ONE
+    distributed pass (`doc_freq_dataset`); only the vocabulary-sized
+    table reaches the driver. The broadcast side of
+    `keyword_topk_stage`.
+
+    BOUNDED-CORPUS PATH: the collected table is O(distinct vocabulary),
+    which on web-scale text (typos, URLs, hex blobs) is billions of
+    tokens — use `keyword_topk_auto`, which measures the vocabulary
+    first and switches to the hash-partitioned join path
+    (`keyword_topk_join_from`) when it exceeds the broadcast bound."""
+    import ray
+
+    agg = doc_freq_dataset(ds, column).to_pandas()
     if not len(agg):
         return ray.put((np.empty(0, np.uint64), np.empty(0, np.int64)))
     h = agg["h"].to_numpy().view(np.uint64)
     order = np.argsort(h, kind="stable")
-    return ray.put((h[order], agg["n"].to_numpy().astype(np.int64)[order]))
+    return ray.put((h[order],
+                    agg["df"].to_numpy().astype(np.int64)[order]))
 
 
 def keyword_topk_stage(column: str, id_col: str, df_ref, *, k: int = 3):
@@ -698,10 +716,12 @@ KEYWORD_BROADCAST_VOCAB = 1 << 22
 
 
 def doc_word_tf(ds, column: str, id_col: str):
-    """Dataset of (id, word, tf) — one row per distinct (document,
-    token) with its in-document term frequency. Exact per batch because
-    a document is exactly one input row. The shared first stage of both
-    keyword-extraction paths."""
+    """Dataset of (id, word, h, tf) — one row per distinct (document,
+    token) with its in-document term frequency and the token's u64 hash
+    (as int64, the join key against `doc_freq_dataset`). Exact per batch
+    because a document is exactly one input row. Only the JOIN path of
+    keyword extraction materializes this; the broadcast path never
+    builds per-pair rows."""
     def pairs(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -712,6 +732,7 @@ def doc_word_tf(ds, column: str, id_col: str):
         empty = pa.table({
             id_col: pa.array([], type=pa.int64()),
             "word": pa.array([], type=pa.string()),
+            "h": pa.array([], type=pa.int64()),
             "tf": pa.array([], type=pa.int64())})
         if len(flat) == 0:
             return empty
@@ -725,9 +746,11 @@ def doc_word_tf(ds, column: str, id_col: str):
                             "word": np.asarray(words, dtype=object)})
         tf = wpd.groupby(["row", "word"], sort=False).size() \
             .rename("tf").reset_index()
+        warr = pa.array(tf["word"], type=pa.string())
         return pa.table({
             id_col: pa.array(ids[tf["row"].to_numpy()]),
-            "word": pa.array(tf["word"], type=pa.string()),
+            "word": warr,
+            "h": pa.array(hash_arrow_array(warr).view(np.int64)),
             "tf": pa.array(tf["tf"].to_numpy().astype(np.int64)),
         })
 
@@ -737,18 +760,20 @@ def doc_word_tf(ds, column: str, id_col: str):
 def keyword_topk_join_from(pairs, df_ds, id_col: str, *, k: int = 3,
                            num_shards: int = 64):
     """Fully-distributed exact keyword extraction — the scale path that
-    NEVER collects the vocabulary anywhere: (id, word, tf) pairs join
-    their document frequencies word-hash co-partitioned
-    (`joins.hash_equi_join`), then one doc-hash shuffle regroups each
-    document's candidates for a vectorized per-shard top-k. Output rows
-    (id, rank 1..k, word, tf, df) — identical to the broadcast path
-    (both are exact), same tf/df DESC, word ASC order."""
+    NEVER collects the vocabulary anywhere: (id, word, h, tf) pairs join
+    their document frequencies co-partitioned ON THE 8-BYTE TOKEN HASH
+    (`joins.hash_equi_join` against `doc_freq_dataset`; same
+    hash-identity assumption the broadcast path already makes), then one
+    doc-hash shuffle regroups each document's candidates for a
+    vectorized per-shard top-k. Output rows (id, rank 1..k, word, tf,
+    df) — identical to the broadcast path (both are exact), same tf/df
+    DESC, word ASC order."""
     from ..sketch.hashing import shard_of_values
     from .joins import hash_equi_join
 
     joined = hash_equi_join(
-        pairs, df_ds, left_on="word", right_on="word",
-        left_cols=[id_col, "tf"], right_cols=["df"],
+        pairs, df_ds, left_on="h", right_on="h",
+        left_cols=[id_col, "word", "tf"], right_cols=["df"],
         num_shards=num_shards)
 
     def add_shard(t: pa.Table) -> pa.Table:
@@ -781,32 +806,34 @@ def keyword_topk_auto(ds, column: str, id_col: str, *, k: int = 3,
     """Per-document top-`k` keywords by tf/df with an automatic
     broadcast-or-join switch (the dedup family's established pattern,
     `dedup.py` candidate attach): the document-frequency table is built
-    once as a Dataset and MATERIALIZED in the object store (vocab-sized,
-    distributed, spillable — never on the driver), its exact row count
-    picks the path:
+    once as the hash-keyed `doc_freq_dataset` — per-batch COMBINED
+    partials, so the shuffle carries (8-byte hash, count) rows, never
+    one row per raw (doc, word) pair — and MATERIALIZED in the object
+    store (vocab-sized, distributed, spillable — never on the driver).
+    Its exact row count picks the path:
 
-    - vocab <= `max_broadcast_vocab`: collect the small df table, hash +
-      broadcast via ray.put, stream `keyword_topk_stage` — one pass over
-      the corpus, zero extra shuffles.
-    - vocab > bound: `keyword_topk_join_from` — word-hash co-partitioned
-      join + doc-hash top-k regroup; the driver sees only results.
+    - vocab <= `max_broadcast_vocab`: collect the small (h, df) table,
+      sort + broadcast via ray.put, stream `keyword_topk_stage` — one
+      pass over the corpus, zero extra shuffles, and the per-pair word
+      table is never built at all.
+    - vocab > bound: `keyword_topk_join_from` — token-hash
+      co-partitioned join + doc-hash top-k regroup; the driver sees only
+      results.
 
     Both paths are exact and return identical rows."""
     import ray
-    from ray.data.aggregate import Count
 
-    pairs = doc_word_tf(ds, column, id_col)
-    df_ds = pairs.groupby("word") \
-        .aggregate(Count(alias_name="df")).materialize()
+    df_ds = doc_freq_dataset(ds, column).materialize()
     if df_ds.count() <= max_broadcast_vocab:
         pdf = df_ds.to_pandas()
-        h = hash_arrow_array(pa.array(pdf["word"], type=pa.string()))
+        h = pdf["h"].to_numpy().view(np.uint64)
         order = np.argsort(h, kind="stable")
         ref = ray.put((h[order],
                        pdf["df"].to_numpy().astype(np.int64)[order]))
         return ds.map_batches(
             keyword_topk_stage(column, id_col, ref, k=k),
             batch_format="pyarrow")
+    pairs = doc_word_tf(ds, column, id_col)
     return keyword_topk_join_from(pairs, df_ds, id_col, k=k,
                                   num_shards=num_shards)
 

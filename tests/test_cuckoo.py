@@ -22,12 +22,52 @@ def test_start_empty():
 
 def test_insert_persists_across_kicks():
     """Every inserted key is always found, including after long kick
-    chains near the 95% load bound (block.cpp:108-157 analogue)."""
+    chains near the 95% load bound (block.cpp:108-157 analogue).
+    bytes_=8192 -> exactly 1024 buckets x 4 slots, so 3800 keys reach
+    92.8% occupancy and relocation genuinely runs."""
     keys = _keys(3800, seed=7)
-    f = CuckooFilter(ndv=4000)
+    f = CuckooFilter(bytes_=8192)
+    assert f.num_buckets * 4 == 4096
     for i in range(0, len(keys), 100):
         f.add_hashes(keys[i:i + 100])
         assert f.find_hashes(keys[:i + 100]).all()
+    assert f.occupied == 3800  # > 90% load reached
+
+
+def test_duplicate_overflow_raises_clearly():
+    """> 2b copies of one key via add_hashes fails with the duplicate
+    diagnosis, not a misleading 'size it larger'."""
+    f = CuckooFilter(ndv=100_000)
+    one = np.full(8, 12345, dtype=np.uint64)
+    f.add_hashes(one)                      # 2 buckets x 4 slots fill
+    with pytest.raises(RuntimeError, match="duplicate"):
+        f.add_hashes(one[:1])
+
+
+def test_update_set_semantics_survive_duplicate_heavy_stream():
+    """update() (the build path) never overflows on a low-cardinality
+    column: 50 batches of the same 5 values across many calls."""
+    vals = np.array([1, 2, 3, 4, 5], dtype=np.uint64) * np.uint64(2**40)
+    f = CuckooFilter(ndv=1000)
+    for _ in range(50):
+        f.update(np.repeat(vals, 20))
+    assert f.find_hashes(vals).all()
+    assert f.occupied <= 5
+
+
+def test_failed_kick_chain_unwinds_atomically():
+    """On kick-chain overflow the table is restored: every previously
+    inserted key is still found (no half-relocated victims)."""
+    keys = _keys(900, seed=23)
+    f = CuckooFilter(bytes_=1024)          # 128 buckets x 4 = 512 slots
+    inserted = 0
+    with pytest.raises(RuntimeError, match="restored"):
+        for i in range(0, len(keys), 10):
+            f.add_hashes(keys[i:i + 10])
+            inserted = i + 10
+    # the batch that raised may have placed a prefix of its keys; every
+    # key from COMPLETED batches must still be present
+    assert f.find_hashes(keys[:inserted]).all()
 
 
 def test_fpp_within_fingerprint_bound():
@@ -80,7 +120,7 @@ def test_merge_refuses():
         CuckooFilter(ndv=100).merge(CuckooFilter(ndv=100))
 
 
-def test_overfull_raises():
+def test_overfull_raises():  # legacy name; message now notes the restore
     keys = _keys(3000, seed=23)
     f = CuckooFilter(bytes_=1024)          # 128 buckets * 4 slots = 512
     with pytest.raises(RuntimeError, match="kicks"):

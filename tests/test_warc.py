@@ -129,3 +129,28 @@ def test_shard_write_is_idempotent(tmp_path, ray_session):
     total = sum(len(list(iter_warc_records(open(p, "rb").read())))
                 for p in set(m1["shard_path"]))
     assert total == 50
+
+
+def test_warc11_fractional_second_dates():
+    """WARC 1.1 fractional-second WARC-Date values (warcio-style) parse
+    to µs instead of crashing the import."""
+    from libfilter_ray.sources.warc import _parse_warc_date
+
+    assert _parse_warc_date("2023-06-01T12:00:00Z") \
+        == _parse_warc_date("2023-06-01T12:00:00.000Z")
+    assert _parse_warc_date("2023-06-01T12:00:00.123456Z") \
+        == _parse_warc_date("2023-06-01T12:00:00Z") + 123456
+    assert _parse_warc_date("2023-06-01T12:00:00.5Z") \
+        == _parse_warc_date("2023-06-01T12:00:00Z") + 500000
+    # end-to-end: a record with a fractional date round-trips
+    import gzip
+
+    from libfilter_ray.sources.warc import (iter_warc_records,
+                                            response_member)
+    rec = gzip.decompress(response_member(
+        "https://x.example.org/en/page-9.html", 1_700_000_000_000_000,
+        b"<p>x</p>"))
+    rec = rec.replace(b"WARC-Date: 2023-11-14T22:13:20Z",
+                      b"WARC-Date: 2023-11-14T22:13:20.250000Z")
+    (url, ts, html), = iter_warc_records(rec)
+    assert ts == 1_700_000_000_250_000
