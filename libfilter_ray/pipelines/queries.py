@@ -4595,8 +4595,10 @@ def q_ppm_decode_features(sf_dir: str) -> pd.DataFrame:
     widths/heights/channel means aggregate per lang. The oracle
     recomputes every pixel arithmetically from the synthesis formula,
     so a decoder that misreads dimensions, strides or channel order
-    hash-mismatches. (Compressed formats remain honestly stubbed —
-    no codecs in this environment.)"""
+    hash-mismatches. Channel means aggregate as EXACT integer pixel
+    sums with one final IEEE division — no float summation order, no
+    round() ties anywhere on either side. (Compressed formats remain
+    honestly stubbed — no codecs in this environment.)"""
     from ..stages.multimodal import PpmFeatureStage, attach_ppm_images
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
@@ -4610,9 +4612,10 @@ def q_ppm_decode_features(sf_dir: str) -> pd.DataFrame:
             "n_images": pa.array(np.ones(t.num_rows, np.int64)),
             "sum_width": t["width"],
             "sum_height": t["height"],
-            "sum_mean_r": t["mean_r"],
-            "sum_mean_g": t["mean_g"],
-            "sum_mean_b": t["mean_b"],
+            "n_px": t["n_px"],
+            "px_sum_r": t["px_sum_r"],
+            "px_sum_g": t["px_sum_g"],
+            "px_sum_b": t["px_sum_b"],
         })
 
     out = feats.map_batches(stats, batch_format="pyarrow") \
@@ -4620,17 +4623,20 @@ def q_ppm_decode_features(sf_dir: str) -> pd.DataFrame:
             Sum("n_images", alias_name="n_images"),
             Sum("sum_width", alias_name="sum_width"),
             Sum("sum_height", alias_name="sum_height"),
-            Sum("sum_mean_r", alias_name="sum_mean_r"),
-            Sum("sum_mean_g", alias_name="sum_mean_g"),
-            Sum("sum_mean_b", alias_name="sum_mean_b")) \
+            Sum("n_px", alias_name="n_px"),
+            Sum("px_sum_r", alias_name="px_sum_r"),
+            Sum("px_sum_g", alias_name="px_sum_g"),
+            Sum("px_sum_b", alias_name="px_sum_b")) \
         .to_pandas().sort_values("lang").reset_index(drop=True)
-    for c in ("n_images", "sum_width", "sum_height"):
+    for c in ("n_images", "sum_width", "sum_height", "n_px",
+              "px_sum_r", "px_sum_g", "px_sum_b"):
         out[c] = out[c].astype("int64")
     for ch in ("r", "g", "b"):
-        out[f"avg_mean_{ch}"] = (out[f"sum_mean_{ch}"]
-                                 / out["n_images"]).round(4)
-        out = out.drop(columns=[f"sum_mean_{ch}"])
-    return out
+        # exact-int / exact-int: one correctly-rounded IEEE division,
+        # bit-identical to the oracle's CAST(sum AS DOUBLE) / CAST(n ...)
+        out[f"px_mean_{ch}"] = out[f"px_sum_{ch}"] / out["n_px"]
+        out = out.drop(columns=[f"px_sum_{ch}"])
+    return out.drop(columns=["n_px"])
 
 
 SQL_PPM_DECODE_FEATURES = """
@@ -4640,25 +4646,29 @@ WITH dims AS (
   FROM documents
 ),
 px AS (
-  SELECT d.doc_id, d.lang, d.w, d.h, ty.y AS y, tx.x AS x
+  SELECT d.doc_id, d.lang, ty.y AS y, tx.x AS x
   FROM dims d, UNNEST(range(0, d.h)) AS ty(y),
        UNNEST(range(0, d.w)) AS tx(x)
 ),
-per_img AS (
-  SELECT doc_id, lang, any_value(w) AS w, any_value(h) AS h,
-         avg(CAST((x * (y + 1) + doc_id + 0) % 256 AS DOUBLE)) AS mr,
-         avg(CAST((x * (y + 1) + doc_id + 1) % 256 AS DOUBLE)) AS mg,
-         avg(CAST((x * (y + 1) + doc_id + 2) % 256 AS DOUBLE)) AS mb
-  FROM px GROUP BY doc_id, lang
+imgs AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_images,
+         CAST(sum(w) AS BIGINT) AS sum_width,
+         CAST(sum(h) AS BIGINT) AS sum_height
+  FROM dims GROUP BY lang
+),
+pix AS (
+  SELECT lang, count(*) AS n_px,
+         sum((x * (y + 1) + doc_id + 0) % 256) AS sr,
+         sum((x * (y + 1) + doc_id + 1) % 256) AS sg,
+         sum((x * (y + 1) + doc_id + 2) % 256) AS sb
+  FROM px GROUP BY lang
 )
-SELECT lang,
-       CAST(count(*) AS BIGINT) AS n_images,
-       CAST(sum(w) AS BIGINT) AS sum_width,
-       CAST(sum(h) AS BIGINT) AS sum_height,
-       round(avg(mr), 4) AS avg_mean_r,
-       round(avg(mg), 4) AS avg_mean_g,
-       round(avg(mb), 4) AS avg_mean_b
-FROM per_img GROUP BY lang ORDER BY lang
+SELECT i.lang, i.n_images, i.sum_width, i.sum_height,
+       CAST(p.sr AS DOUBLE) / CAST(p.n_px AS DOUBLE) AS px_mean_r,
+       CAST(p.sg AS DOUBLE) / CAST(p.n_px AS DOUBLE) AS px_mean_g,
+       CAST(p.sb AS DOUBLE) / CAST(p.n_px AS DOUBLE) AS px_mean_b
+FROM imgs i JOIN pix p USING (lang) ORDER BY lang
 """
 
 
@@ -4670,7 +4680,9 @@ def q_png_decode_features(sf_dir: str) -> pd.DataFrame:
     inflate + exact numpy unfiltering, no codec library — and the
     decoded widths/heights/channel means aggregate per lang. The oracle
     recomputes every pixel arithmetically from the synthesis formula, so
-    a decoder that mis-unfilters a single byte hash-mismatches."""
+    a decoder that mis-unfilters a single byte hash-mismatches. Channel
+    means aggregate as EXACT integer pixel sums with one final IEEE
+    division — no float summation order, no round() ties."""
     from ..stages.multimodal import PngFeatureStage, attach_png_images
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
@@ -4684,9 +4696,10 @@ def q_png_decode_features(sf_dir: str) -> pd.DataFrame:
             "n_images": pa.array(np.ones(t.num_rows, np.int64)),
             "sum_width": t["width"],
             "sum_height": t["height"],
-            "sum_mean_r": t["mean_r"],
-            "sum_mean_g": t["mean_g"],
-            "sum_mean_b": t["mean_b"],
+            "n_px": t["n_px"],
+            "px_sum_r": t["px_sum_r"],
+            "px_sum_g": t["px_sum_g"],
+            "px_sum_b": t["px_sum_b"],
         })
 
     out = feats.map_batches(stats, batch_format="pyarrow") \
@@ -4694,17 +4707,18 @@ def q_png_decode_features(sf_dir: str) -> pd.DataFrame:
             Sum("n_images", alias_name="n_images"),
             Sum("sum_width", alias_name="sum_width"),
             Sum("sum_height", alias_name="sum_height"),
-            Sum("sum_mean_r", alias_name="sum_mean_r"),
-            Sum("sum_mean_g", alias_name="sum_mean_g"),
-            Sum("sum_mean_b", alias_name="sum_mean_b")) \
+            Sum("n_px", alias_name="n_px"),
+            Sum("px_sum_r", alias_name="px_sum_r"),
+            Sum("px_sum_g", alias_name="px_sum_g"),
+            Sum("px_sum_b", alias_name="px_sum_b")) \
         .to_pandas().sort_values("lang").reset_index(drop=True)
-    for c in ("n_images", "sum_width", "sum_height"):
+    for c in ("n_images", "sum_width", "sum_height", "n_px",
+              "px_sum_r", "px_sum_g", "px_sum_b"):
         out[c] = out[c].astype("int64")
     for ch in ("r", "g", "b"):
-        out[f"avg_mean_{ch}"] = (out[f"sum_mean_{ch}"]
-                                 / out["n_images"]).round(4)
-        out = out.drop(columns=[f"sum_mean_{ch}"])
-    return out
+        out[f"px_mean_{ch}"] = out[f"px_sum_{ch}"] / out["n_px"]
+        out = out.drop(columns=[f"px_sum_{ch}"])
+    return out.drop(columns=["n_px"])
 
 
 SQL_PNG_DECODE_FEATURES = """
@@ -4714,25 +4728,29 @@ WITH dims AS (
   FROM documents
 ),
 px AS (
-  SELECT d.doc_id, d.lang, d.w, d.h, ty.y AS y, tx.x AS x
+  SELECT d.doc_id, d.lang, ty.y AS y, tx.x AS x
   FROM dims d, UNNEST(range(0, d.h)) AS ty(y),
        UNNEST(range(0, d.w)) AS tx(x)
 ),
-per_img AS (
-  SELECT doc_id, lang, any_value(w) AS w, any_value(h) AS h,
-         avg(CAST((x * (y + 1) + doc_id + 0) % 256 AS DOUBLE)) AS mr,
-         avg(CAST((x * (y + 1) + doc_id + 1) % 256 AS DOUBLE)) AS mg,
-         avg(CAST((x * (y + 1) + doc_id + 2) % 256 AS DOUBLE)) AS mb
-  FROM px GROUP BY doc_id, lang
+imgs AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_images,
+         CAST(sum(w) AS BIGINT) AS sum_width,
+         CAST(sum(h) AS BIGINT) AS sum_height
+  FROM dims GROUP BY lang
+),
+pix AS (
+  SELECT lang, count(*) AS n_px,
+         sum((x * (y + 1) + doc_id + 0) % 256) AS sr,
+         sum((x * (y + 1) + doc_id + 1) % 256) AS sg,
+         sum((x * (y + 1) + doc_id + 2) % 256) AS sb
+  FROM px GROUP BY lang
 )
-SELECT lang,
-       CAST(count(*) AS BIGINT) AS n_images,
-       CAST(sum(w) AS BIGINT) AS sum_width,
-       CAST(sum(h) AS BIGINT) AS sum_height,
-       round(avg(mr), 4) AS avg_mean_r,
-       round(avg(mg), 4) AS avg_mean_g,
-       round(avg(mb), 4) AS avg_mean_b
-FROM per_img GROUP BY lang ORDER BY lang
+SELECT i.lang, i.n_images, i.sum_width, i.sum_height,
+       CAST(p.sr AS DOUBLE) / CAST(p.n_px AS DOUBLE) AS px_mean_r,
+       CAST(p.sg AS DOUBLE) / CAST(p.n_px AS DOUBLE) AS px_mean_g,
+       CAST(p.sb AS DOUBLE) / CAST(p.n_px AS DOUBLE) AS px_mean_b
+FROM imgs i JOIN pix p USING (lang) ORDER BY lang
 """
 
 
@@ -4743,7 +4761,9 @@ def q_y4m_frame_sample(sf_dir: str) -> pd.DataFrame:
     parse + FRAME walk + plane slicing, no codec — which samples every
     3rd frame and reports per-row luma/chroma means. The oracle
     recomputes every sampled pixel arithmetically, so a decoder that
-    mis-slices a plane or samples the wrong frames hash-mismatches."""
+    mis-slices a plane or samples the wrong frames hash-mismatches.
+    Plane means aggregate as EXACT integer pixel sums with one final
+    IEEE division — no float summation order, no round() ties."""
     from ..stages.multimodal import Y4mFrameSampleStage, attach_y4m_videos
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
@@ -4757,9 +4777,11 @@ def q_y4m_frame_sample(sf_dir: str) -> pd.DataFrame:
             "n_videos": pa.array(np.ones(t.num_rows, np.int64)),
             "sum_frames": t["n_frames"],
             "sum_sampled": t["n_sampled"],
-            "sum_y": t["mean_y"],
-            "sum_u": t["mean_u"],
-            "sum_v": t["mean_v"],
+            "sum_y": t["sum_y"],
+            "sum_u": t["sum_u"],
+            "sum_v": t["sum_v"],
+            "n_y_px": t["n_y_px"],
+            "n_c_px": t["n_c_px"],
         })
 
     out = feats.map_batches(stats, batch_format="pyarrow") \
@@ -4769,14 +4791,18 @@ def q_y4m_frame_sample(sf_dir: str) -> pd.DataFrame:
             Sum("sum_sampled", alias_name="sum_sampled"),
             Sum("sum_y", alias_name="sum_y"),
             Sum("sum_u", alias_name="sum_u"),
-            Sum("sum_v", alias_name="sum_v")) \
+            Sum("sum_v", alias_name="sum_v"),
+            Sum("n_y_px", alias_name="n_y_px"),
+            Sum("n_c_px", alias_name="n_c_px")) \
         .to_pandas().sort_values("lang").reset_index(drop=True)
-    for c in ("n_videos", "sum_frames", "sum_sampled"):
+    for c in ("n_videos", "sum_frames", "sum_sampled",
+              "sum_y", "sum_u", "sum_v", "n_y_px", "n_c_px"):
         out[c] = out[c].astype("int64")
-    for ch in ("y", "u", "v"):
-        out[f"avg_{ch}"] = (out[f"sum_{ch}"] / out["n_videos"]).round(4)
-        out = out.drop(columns=[f"sum_{ch}"])
-    return out
+    out["y_mean"] = out["sum_y"] / out["n_y_px"]
+    out["u_mean"] = out["sum_u"] / out["n_c_px"]
+    out["v_mean"] = out["sum_v"] / out["n_c_px"]
+    return out.drop(columns=["sum_y", "sum_u", "sum_v",
+                             "n_y_px", "n_c_px"])
 
 
 SQL_Y4M_FRAME_SAMPLE = """
@@ -4789,30 +4815,37 @@ sampled AS (
   WHERE tf.f % 3 = 0
 ),
 px AS (
-  SELECT s.doc_id, s.lang, s.nf, s.f, xx.x AS x, yy.y AS y
+  SELECT s.doc_id, s.lang, s.f, xx.x AS x, yy.y AS y
   FROM sampled s, UNNEST(range(0, 16)) AS xx(x),
        UNNEST(range(0, 12)) AS yy(y)
 ),
-per_frame AS (
-  SELECT doc_id, lang, nf, f,
-         avg(CAST((x * (y + 1) + 7 * f + doc_id) % 256 AS DOUBLE)) AS my,
-         CAST((doc_id + 5 * f) % 256 AS DOUBLE) AS mu,
-         CAST((doc_id + 11 * f) % 256 AS DOUBLE) AS mv
-  FROM px GROUP BY doc_id, lang, nf, f
+lum AS (
+  SELECT lang, count(*) AS n_y_px,
+         sum((x * (y + 1) + 7 * f + doc_id) % 256) AS sy
+  FROM px GROUP BY lang
 ),
-per_vid AS (
-  SELECT doc_id, lang, any_value(nf) AS nf, count(*) AS ns,
-         avg(my) AS my, avg(mu) AS mu, avg(mv) AS mv
-  FROM per_frame GROUP BY doc_id, lang
+chrom AS (
+  -- C420 chroma planes are 8x6=48 px, constant per frame by synthesis
+  SELECT lang, count(*) * 48 AS n_c_px,
+         sum(((doc_id + 5 * f) % 256) * 48) AS su,
+         sum(((doc_id + 11 * f) % 256) * 48) AS sv
+  FROM sampled GROUP BY lang
+),
+vstats AS (
+  SELECT lang, count(*)::BIGINT AS n_videos,
+         sum(nf)::BIGINT AS sum_frames
+  FROM vids GROUP BY lang
+),
+sstats AS (
+  SELECT lang, count(*)::BIGINT AS sum_sampled FROM sampled GROUP BY lang
 )
-SELECT lang,
-       count(*)::BIGINT AS n_videos,
-       sum(nf)::BIGINT AS sum_frames,
-       sum(ns)::BIGINT AS sum_sampled,
-       round(avg(my), 4) AS avg_y,
-       round(avg(mu), 4) AS avg_u,
-       round(avg(mv), 4) AS avg_v
-FROM per_vid GROUP BY lang ORDER BY lang
+SELECT v.lang, v.n_videos, v.sum_frames, s.sum_sampled,
+       CAST(l.sy AS DOUBLE) / CAST(l.n_y_px AS DOUBLE) AS y_mean,
+       CAST(c.su AS DOUBLE) / CAST(c.n_c_px AS DOUBLE) AS u_mean,
+       CAST(c.sv AS DOUBLE) / CAST(c.n_c_px AS DOUBLE) AS v_mean
+FROM vstats v JOIN sstats s USING (lang) JOIN lum l USING (lang)
+     JOIN chrom c USING (lang)
+ORDER BY lang
 """
 
 
@@ -4921,8 +4954,10 @@ def q_wav_decode_stats(sf_dir: str) -> pd.DataFrame:
     doc_id) are parsed by the actor-pool WavFeatureStage — an actual
     chunk walk, not a stub — and the decoded sample counts, durations,
     RMS and peaks aggregate per lang. The oracle recomputes every
-    sample arithmetically; v^2 sums stay under 2^53 so the RMS matches
-    BIT-exactly across engines (the reason the waveform is integer, not
+    sample arithmetically; the per-lang RMS reduces to one division of
+    EXACT int64 v^2 / sample sums plus one IEEE sqrt (both correctly
+    rounded), so it matches BIT-exactly across engines with no float
+    summation order anywhere (the reason the waveform is integer, not
     a sine)."""
     from ..stages.multimodal import WavFeatureStage, attach_wav_audio
 
@@ -4937,7 +4972,7 @@ def q_wav_decode_stats(sf_dir: str) -> pd.DataFrame:
             "n_clips": pa.array(np.ones(t.num_rows, np.int64)),
             "sum_samples": t["n_samples"],
             "sum_duration_ms": t["duration_ms"],
-            "sum_rms": t["rms"],
+            "sum_sq": t["sum_sq"],
             "max_peak": t["peak"],
         })
 
@@ -4946,13 +4981,14 @@ def q_wav_decode_stats(sf_dir: str) -> pd.DataFrame:
             Sum("n_clips", alias_name="n_clips"),
             Sum("sum_samples", alias_name="sum_samples"),
             Sum("sum_duration_ms", alias_name="sum_duration_ms"),
-            Sum("sum_rms", alias_name="sum_rms"),
+            Sum("sum_sq", alias_name="sum_sq"),
             Max("max_peak", alias_name="max_peak")) \
         .to_pandas().sort_values("lang").reset_index(drop=True)
-    for c in ("n_clips", "sum_samples", "sum_duration_ms", "max_peak"):
+    for c in ("n_clips", "sum_samples", "sum_duration_ms", "sum_sq",
+              "max_peak"):
         out[c] = out[c].astype("int64")
-    out["avg_rms"] = (out["sum_rms"] / out["n_clips"]).round(4)
-    return out.drop(columns=["sum_rms"])
+    out["rms_all"] = np.sqrt(out["sum_sq"] / out["sum_samples"])
+    return out.drop(columns=["sum_sq"])
 
 
 SQL_WAV_DECODE_STATS = """
@@ -4965,19 +5001,23 @@ samples AS (
          ((k.k * (c.doc_id + 3)) % 65536) - 32768 AS v
   FROM clips c, UNNEST(range(0, c.n)) AS k(k)
 ),
-per_clip AS (
-  SELECT doc_id, lang, any_value(n) AS n,
-         sqrt(avg(CAST(v AS DOUBLE) * v)) AS rms,
+per_lang AS (
+  SELECT lang, count(*) AS n_samples, sum(v * v) AS sum_sq,
          max(abs(v)) AS peak
-  FROM samples GROUP BY doc_id, lang
+  FROM samples GROUP BY lang
+),
+per_clip AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_clips,
+         CAST(sum(n) AS BIGINT) AS sum_samples,
+         CAST(sum((n * 1000) // 16000) AS BIGINT) AS sum_duration_ms
+  FROM clips GROUP BY lang
 )
-SELECT lang,
-       CAST(count(*) AS BIGINT) AS n_clips,
-       CAST(sum(n) AS BIGINT) AS sum_samples,
-       CAST(sum((n * 1000) // 16000) AS BIGINT) AS sum_duration_ms,
-       CAST(max(peak) AS BIGINT) AS max_peak,
-       round(avg(rms), 4) AS avg_rms
-FROM per_clip GROUP BY lang ORDER BY lang
+SELECT c.lang, c.n_clips, c.sum_samples, c.sum_duration_ms,
+       CAST(p.peak AS BIGINT) AS max_peak,
+       sqrt(CAST(p.sum_sq AS DOUBLE) / CAST(p.n_samples AS DOUBLE))
+           AS rms_all
+FROM per_clip c JOIN per_lang p USING (lang) ORDER BY lang
 """
 
 

@@ -233,16 +233,19 @@ class CuckooFilter:
         return self
 
     def to_bytes(self) -> bytes:
-        head = struct.pack("<IIQ", self.fp_bits, self.seed,
-                           self.num_buckets)
+        # seed packs as u64: __init__ accepts any int seed (64-bit seeds
+        # are a common habit) and a '<I' pack would crash only at
+        # serialize time, after all the insert work
+        head = struct.pack("<IQQ", self.fp_bits,
+                           self.seed % (1 << 64), self.num_buckets)
         return head + self.table.astype("<u2", copy=False).tobytes()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CuckooFilter":
-        fp_bits, seed, nb = struct.unpack("<IIQ", data[:16])
+        fp_bits, seed, nb = struct.unpack("<IQQ", data[:20])
         f = cls(bytes_=int(nb) * SLOTS_PER_BUCKET * 2, fp_bits=fp_bits,
                 seed=seed)
-        arr = np.frombuffer(data[16:], dtype="<u2").astype(np.uint16)
+        arr = np.frombuffer(data[20:], dtype="<u2").astype(np.uint16)
         f.table = arr.reshape(int(nb), SLOTS_PER_BUCKET).copy()
         f.occupied = int((f.table != 0).sum())
         return f

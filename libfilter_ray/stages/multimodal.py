@@ -366,11 +366,15 @@ class PpmFeatureStage:
         width = np.zeros(n, dtype=np.int64)
         height = np.zeros(n, dtype=np.int64)
         means = np.zeros((n, 3), dtype=np.float64)
+        sums = np.zeros((n, 3), dtype=np.int64)
         thumbs = np.zeros((n, side * side), dtype=np.float32)
         for i in range(n):  # per-PAYLOAD decode; pixel math is numpy
             img = decode_ppm(data[offsets[i]:offsets[i + 1]].tobytes())
             height[i], width[i] = img.shape[0], img.shape[1]
             means[i] = img.mean(axis=(0, 1))
+            # exact integer channel sums: downstream aggregates stay
+            # associative-exact (a float mean-of-means is order-sensitive)
+            sums[i] = img.astype(np.int64).sum(axis=(0, 1))
             thumbs[i] = block_mean_thumbnail(img, side).ravel()
         out = t.drop_columns(["image"])  # wide payload dies here
         flat = pa.array(thumbs.ravel(), type=pa.float32())
@@ -382,6 +386,10 @@ class PpmFeatureStage:
             .append_column("mean_r", pa.array(means[:, 0])) \
             .append_column("mean_g", pa.array(means[:, 1])) \
             .append_column("mean_b", pa.array(means[:, 2])) \
+            .append_column("n_px", pa.array(width * height)) \
+            .append_column("px_sum_r", pa.array(sums[:, 0])) \
+            .append_column("px_sum_g", pa.array(sums[:, 1])) \
+            .append_column("px_sum_b", pa.array(sums[:, 2])) \
             .append_column("thumbnail", thumb_col)
 
 
@@ -503,8 +511,11 @@ def decode_y4m(payload: bytes):
             chroma = val.decode()
     if w is None or h is None:
         raise ValueError("y4m header missing W/H")
-    if not chroma.startswith("420"):
-        raise ValueError(f"only C420* supported, got C{chroma}")
+    if chroma not in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        # NOT a prefix test: C420p10 / C420p12 are 2-byte-per-sample
+        # variants that do not share the 8-bit plane layout below
+        raise ValueError(f"only 8-bit C420 family supported, got "
+                         f"C{chroma}")
     if w % 2 or h % 2:
         raise ValueError(f"C420 needs even dimensions, got {w}x{h}")
     ysz, csz = w * h, (w // 2) * (h // 2)
@@ -584,6 +595,9 @@ class Y4mFrameSampleStage:
         n_frames = np.zeros(n, dtype=np.int64)
         n_sampled = np.zeros(n, dtype=np.int64)
         means = np.zeros((n, 3), dtype=np.float64)
+        sums = np.zeros((n, 3), dtype=np.int64)
+        n_y_px = np.zeros(n, dtype=np.int64)
+        n_c_px = np.zeros(n, dtype=np.int64)
         for i in range(n):  # per-PAYLOAD decode; plane math is numpy
             y, u, v = decode_y4m(data[offsets[i]:offsets[i + 1]]
                                  .tobytes())
@@ -595,12 +609,24 @@ class Y4mFrameSampleStage:
             means[i] = (y[keep].mean(axis=(1, 2)).mean(),
                         u[keep].mean(axis=(1, 2)).mean(),
                         v[keep].mean(axis=(1, 2)).mean())
+            # exact integer plane sums over the sampled frames: lets
+            # downstream aggregates stay associative-exact across engines
+            sums[i] = (y[keep].astype(np.int64).sum(),
+                       u[keep].astype(np.int64).sum(),
+                       v[keep].astype(np.int64).sum())
+            n_y_px[i] = y[keep].size
+            n_c_px[i] = u[keep].size
         out = t.drop_columns(["video"])  # wide payload dies here
         return out.append_column("n_frames", pa.array(n_frames)) \
             .append_column("n_sampled", pa.array(n_sampled)) \
             .append_column("mean_y", pa.array(means[:, 0])) \
             .append_column("mean_u", pa.array(means[:, 1])) \
-            .append_column("mean_v", pa.array(means[:, 2]))
+            .append_column("mean_v", pa.array(means[:, 2])) \
+            .append_column("sum_y", pa.array(sums[:, 0])) \
+            .append_column("sum_u", pa.array(sums[:, 1])) \
+            .append_column("sum_v", pa.array(sums[:, 2])) \
+            .append_column("n_y_px", pa.array(n_y_px)) \
+            .append_column("n_c_px", pa.array(n_c_px))
 
 
 # ---------------------------------------------------------------------------
@@ -800,12 +826,15 @@ class PngFeatureStage:
         height = np.zeros(n, dtype=np.int64)
         means = np.zeros((n, 3), dtype=np.float64)
         thumbs = np.zeros((n, side * side), dtype=np.float32)
+        sums = np.zeros((n, 3), dtype=np.int64)
         for i in range(n):  # per-PAYLOAD decode; pixel math is numpy
             img = decode_png(data[offsets[i]:offsets[i + 1]].tobytes())
             if img.shape[2] == 1:
                 img = np.repeat(img, 3, axis=2)
             height[i], width[i] = img.shape[0], img.shape[1]
             means[i] = img.mean(axis=(0, 1))
+            # exact integer channel sums (same contract as PpmFeatureStage)
+            sums[i] = img.astype(np.int64).sum(axis=(0, 1))
             thumbs[i] = block_mean_thumbnail(img, side).ravel()
         out = t.drop_columns(["image"])  # wide payload dies here
         flat = pa.array(thumbs.ravel(), type=pa.float32())
@@ -817,6 +846,10 @@ class PngFeatureStage:
             .append_column("mean_r", pa.array(means[:, 0])) \
             .append_column("mean_g", pa.array(means[:, 1])) \
             .append_column("mean_b", pa.array(means[:, 2])) \
+            .append_column("n_px", pa.array(width * height)) \
+            .append_column("px_sum_r", pa.array(sums[:, 0])) \
+            .append_column("px_sum_g", pa.array(sums[:, 1])) \
+            .append_column("px_sum_b", pa.array(sums[:, 2])) \
             .append_column("thumbnail", thumb_col)
 
 
@@ -839,18 +872,24 @@ class WavFeatureStage:
         rate = np.zeros(n, dtype=np.int64)
         rms = np.zeros(n, dtype=np.float64)
         peak = np.zeros(n, dtype=np.int64)
+        sum_sq = np.zeros(n, dtype=np.int64)
         for i in range(n):  # per-PAYLOAD decode; sample math is numpy
             s, r, ch = decode_wav(data[offsets[i]:offsets[i + 1]]
                                   .tobytes())
             ns[i], rate[i] = len(s) // max(ch, 1), r
             x = s.astype(np.float64)
             rms[i] = float(np.sqrt(np.mean(x * x))) if len(s) else 0.0
+            # exact integer energy: v^2 <= 2^30, so int64 sums stay exact
+            # and downstream RMS reduces to one division + one sqrt
+            w = s.astype(np.int64)
+            sum_sq[i] = int((w * w).sum())
             # widen BEFORE abs: np.abs(int16 -32768) wraps to -32768
-            peak[i] = int(np.abs(s.astype(np.int64)).max(initial=0))
+            peak[i] = int(np.abs(w).max(initial=0))
         out = t.drop_columns(["audio"])  # wide payload dies here
         return out.append_column("n_samples", pa.array(ns)) \
             .append_column("sample_rate", pa.array(rate)) \
             .append_column("duration_ms", pa.array(
                 (ns * 1000) // np.maximum(rate, 1))) \
             .append_column("rms", pa.array(rms)) \
+            .append_column("sum_sq", pa.array(sum_sq)) \
             .append_column("peak", pa.array(peak))
