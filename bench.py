@@ -179,6 +179,10 @@ def run_bench() -> dict:
     timed("png_decode_features", q.q_png_decode_features)
     # real video decode: y4m container walk + every-3rd frame sampling
     timed("y4m_frame_sample", q.q_y4m_frame_sample)
+    # iterative link analysis: 3 integer-exact PageRank rounds, one
+    # scatter + groupby-sum shuffle per round (the all-to-all-per-
+    # iteration workload none of the other entries exercise)
+    timed("link_pagerank_topk", q.q_link_pagerank_topk)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)

@@ -5260,6 +5260,118 @@ def q_duplicate_passage_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_link_components_stats(sf_dir: str) -> pd.DataFrame:
+    """Link-graph connected components, fully distributed and EXACTLY
+    oracled: edges synthesize deterministically from doc_id (anchor
+    ``u -> u - u%7`` plus long-range ``u -> (31u+13)%N`` for u%13==0,
+    stages/graph.py), labels come from the sharded-CC + min-label
+    contraction machinery in stages/cluster.py (the same engine that
+    clusters near-dup pairs, where it can never be SQL-oracled because
+    LSH is probabilistic), and the per-size component histogram is
+    compared against a DuckDB recursive-CTE transitive closure. A CC
+    that merges one component wrong or drops one singleton mismatches."""
+    from ..stages.graph import component_size_histogram
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()
+    return component_size_histogram(docs, n_docs)
+
+
+SQL_LINK_COMPONENTS_STATS = """
+WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, doc_id - (doc_id % 7) AS dst
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 31 + 13) % (SELECT n FROM n) AS dst
+  FROM documents
+  WHERE doc_id % 13 = 0
+    AND (doc_id * 31 + 13) % (SELECT n FROM n) <> doc_id
+),
+ue AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+reach(v, lbl) AS (
+  SELECT a, a FROM (SELECT a FROM ue UNION SELECT b FROM ue)
+  UNION
+  SELECT ue.a, r.lbl FROM ue JOIN reach r ON r.v = ue.b
+),
+comp AS (SELECT v, min(lbl) AS root FROM reach GROUP BY v),
+lab AS (
+  SELECT d.doc_id AS v, COALESCE(c.root, d.doc_id) AS root
+  FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+),
+sizes AS (SELECT root, count(*) AS size FROM lab GROUP BY root)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY size ORDER BY size
+"""
+
+
+def q_link_pagerank_topk(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact PageRank over the synthesized link graph: 3 rounds
+    of scatter (per-node contribution ``r//outdeg`` onto formula-derived
+    out-neighbors) + groupby-sum shuffle, all int64 micro-ranks so the
+    unrolled-CTE oracle matches bit-for-bit — no float summation order,
+    no damping rounding ambiguity. Top-10 by rank with doc_id
+    tie-break; the driver hash covers exact integer ranks."""
+    from ..stages.graph import pagerank_topk
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()
+    return pagerank_topk(docs, n_docs, k=10, iters=3)
+
+
+SQL_LINK_PAGERANK_TOPK = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, doc_id - (doc_id % 7) AS dst
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 31 + 13) % (SELECT n FROM n) AS dst
+  FROM documents
+  WHERE doc_id % 13 = 0
+    AND (doc_id * 31 + 13) % (SELECT n FROM n) <> doc_id
+),
+outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS r FROM documents),
+c1 AS (
+  SELECT e.dst AS v, sum(r0.r // o.d) AS s
+  FROM edges e JOIN outd o ON o.src = e.src JOIN r0 ON r0.v = e.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT d.doc_id AS v,
+         150000 + (85 * COALESCE(c1.s, 0)) // 100 AS r
+  FROM documents d LEFT JOIN c1 ON c1.v = d.doc_id
+),
+c2 AS (
+  SELECT e.dst AS v, sum(r1.r // o.d) AS s
+  FROM edges e JOIN outd o ON o.src = e.src JOIN r1 ON r1.v = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT d.doc_id AS v,
+         150000 + (85 * COALESCE(c2.s, 0)) // 100 AS r
+  FROM documents d LEFT JOIN c2 ON c2.v = d.doc_id
+),
+c3 AS (
+  SELECT e.dst AS v, sum(r2.r // o.d) AS s
+  FROM edges e JOIN outd o ON o.src = e.src JOIN r2 ON r2.v = e.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT d.doc_id AS v,
+         150000 + (85 * COALESCE(c3.s, 0)) // 100 AS r
+  FROM documents d LEFT JOIN c3 ON c3.v = d.doc_id
+)
+SELECT CAST(v AS BIGINT) AS doc_id, CAST(r AS BIGINT) AS pr_micro
+FROM r3 ORDER BY r DESC, v LIMIT 10
+"""
+
+
 # Ordering policy: the correctness driver grades the FIRST 50 entries of this
 # dict, so SQL-oracled queries come first (rotating so every oracled query
 # eventually lands in the graded window) and the no-oracle entries (sketch
@@ -5316,7 +5428,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bloom_intersect_members": q_bloom_intersect_members,
     "y4m_frame_sample": q_y4m_frame_sample,
     "multimodal_features": q_multimodal_features,
+    "link_components_stats": q_link_components_stats,
+    "link_pagerank_topk": q_link_pagerank_topk,
     # -- rotation slots: previously driver-green oracled anchors --
+    # (adding the two link-graph queries pushed pricing_summary and
+    #  bloom_semijoin — both driver-green in r2/r3 — below slot 50)
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
     "bloom_semijoin": q_bloom_semijoin,
@@ -5456,4 +5572,6 @@ ORACLES: dict[str, str] = {
     "bloom_intersect_members": SQL_BLOOM_INTERSECT,
     "y4m_frame_sample": SQL_Y4M_FRAME_SAMPLE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "link_components_stats": SQL_LINK_COMPONENTS_STATS,
+    "link_pagerank_topk": SQL_LINK_PAGERANK_TOPK,
 }

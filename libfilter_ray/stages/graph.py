@@ -1,0 +1,188 @@
+"""Link-graph analysis over the document table — the web-scale classics.
+
+Web curation pipelines use link structure two ways: connected components
+(mirror/site clusters, spam farms) and PageRank-style centrality (quality
+priors for crawl scheduling and corpus weighting). Both are iterative
+all-to-all computations, the exact shape the reference engine never has
+to face — here they run as Ray Data shuffle rounds.
+
+The graph itself is synthesized deterministically from ``doc_id`` so the
+driver's DuckDB oracle can rebuild the identical edge set in SQL (the
+same trick as the multimodal fixtures): with N documents and contiguous
+ids 0..N-1,
+
+- anchor edge   ``u -> u - (u % 7)``          for every ``u % 7 != 0``
+  (each 7-block stars onto its smallest member), and
+- long-range    ``u -> (31*u + 13) % N``      for every ``u % 13 == 0``
+  with self-loops dropped (none exist for the test Ns, but guarded),
+
+which yields many small components occasionally chained together by the
+long-range links — enough structure to exercise multi-round label
+propagation without blowing up the oracle's transitive closure.
+
+PageRank is computed in EXACT integer arithmetic (micro-ranks, base
+1_000_000) so the oracle matches bit-for-bit: every step is int64 floor
+division / multiplication, no float summation order anywhere. The
+damping step is ``r' = 150_000 + (85 * s) // 100`` with
+``s = sum(r_u // outdeg(u))`` over in-neighbors — dangling mass is
+dropped rather than redistributed (a documented simplification; both
+engines compute the same recurrence). At web scale the int64 headroom
+is the constraint: 85 * total_mass must stay under 2^63, i.e. rescale
+the base below 1e6 beyond ~10^11 nodes.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+ANCHOR_MOD = 7
+LONG_MOD = 13
+LONG_MUL = 31
+LONG_ADD = 13
+PR_BASE = 1_000_000
+PR_TELEPORT = 150_000  # 0.15 * base
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def _edges_of(u: np.ndarray, n_docs: int):
+    """(src, dst) int64 arrays of the synthesized out-edges of nodes u."""
+    u = u.astype(np.int64)
+    a_mask = (u % ANCHOR_MOD) != 0
+    a_src = u[a_mask]
+    a_dst = a_src - (a_src % ANCHOR_MOD)
+    l_src = u[(u % LONG_MOD) == 0]
+    l_dst = (l_src * LONG_MUL + LONG_ADD) % np.int64(n_docs)
+    keep = l_dst != l_src  # no self-loops
+    l_src, l_dst = l_src[keep], l_dst[keep]
+    return (np.concatenate([a_src, l_src]),
+            np.concatenate([a_dst, l_dst]))
+
+
+def _outdeg_of(u: np.ndarray, n_docs: int) -> np.ndarray:
+    u = u.astype(np.int64)
+    d = ((u % ANCHOR_MOD) != 0).astype(np.int64)
+    long_dst = (u * LONG_MUL + LONG_ADD) % np.int64(n_docs)
+    d += (((u % LONG_MOD) == 0) & (long_dst != u)).astype(np.int64)
+    return d
+
+
+def synth_link_edges(docs_ds, n_docs: int, *, id_col: str = "doc_id"):
+    """Directed (src, dst) edge Dataset from the formula above — the
+    stand-in for reading a real anchor-href edge table. Streaming
+    map_batches; no shuffle."""
+    def gen(t: pa.Table) -> pa.Table:
+        src, dst = _edges_of(np.asarray(t[id_col], dtype=np.int64),
+                             n_docs)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return docs_ds.map_batches(gen, batch_format="pyarrow")
+
+
+def component_size_histogram(docs_ds, n_docs: int, *,
+                             id_col: str = "doc_id"):
+    """(size, n_components) pandas frame over the undirected synthesized
+    graph — distributed connected components (stages/cluster.py: sharded
+    local CC + min-label contraction, O(log d) rounds), then two grouped
+    counts. Docs touching no edge count as singleton components via a
+    left join (never a driver-side node scan)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from .cluster import connected_components
+    from .joins import hash_equi_join
+
+    edges = synth_link_edges(docs_ds, n_docs, id_col=id_col)
+    labels = connected_components(edges, id_a="src", id_b="dst")
+
+    joined = hash_equi_join(
+        docs_ds, labels, left_on=id_col, right_on="node",
+        left_cols=[], right_cols=["label"], how="left outer")
+
+    def lab(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        label = pc.coalesce(pc.cast(t["label"], pa.int64()),
+                            pc.cast(t[id_col], pa.int64()))
+        return pa.table({"label": label})
+
+    sizes = joined.map_batches(lab, batch_format="pyarrow") \
+        .groupby("label").aggregate(Count(alias_name="size"))
+    hist = sizes.groupby("size") \
+        .aggregate(Count(alias_name="n_components")).to_pandas()
+    hist = hist.sort_values("size").reset_index(drop=True)
+    for c in ("size", "n_components"):
+        hist[c] = hist[c].astype("int64")
+    return hist
+
+
+def integer_pagerank(docs_ds, n_docs: int, *, iters: int = 3,
+                     id_col: str = "doc_id"):
+    """Dataset (v, pr_micro) after ``iters`` exact-integer PageRank
+    rounds. Each round is one scatter (map_batches emits
+    ``r_u // outdeg(u)`` onto each out-neighbor, generated from the node
+    id — for a real edge table this becomes a hash join against the
+    co-partitioned adjacency shard) and one groupby-sum shuffle; ranks
+    never pass through the driver. A zero contribution is emitted for
+    every node itself so in-degree-0 nodes survive the groupby."""
+    from ray.data.aggregate import Sum
+
+    def init(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[id_col], dtype=np.int64)
+        return pa.table({"v": pa.array(v), "pr_micro": pa.array(
+            np.full(len(v), PR_BASE, dtype=np.int64))})
+
+    ranks = docs_ds.map_batches(init, batch_format="pyarrow")
+
+    def scatter(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["v"], dtype=np.int64)
+        r = np.asarray(t["pr_micro"], dtype=np.int64)
+        share = r // np.maximum(_outdeg_of(u, n_docs), 1)
+        a_mask = (u % ANCHOR_MOD) != 0
+        l_dst = (u * LONG_MUL + LONG_ADD) % np.int64(n_docs)
+        l_mask = ((u % LONG_MOD) == 0) & (l_dst != u)
+        return pa.table({
+            "v": pa.array(np.concatenate(
+                [u[a_mask] - (u[a_mask] % ANCHOR_MOD),
+                 l_dst[l_mask], u])),
+            "contrib": pa.array(np.concatenate(
+                [share[a_mask], share[l_mask],
+                 np.zeros(len(u), dtype=np.int64)])),
+        })
+
+    def damp(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["s"], dtype=np.int64)
+        r = PR_TELEPORT + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+        return pa.table({"v": t["v"], "pr_micro": pa.array(r)})
+
+    for _ in range(iters):
+        ranks = ranks.map_batches(scatter, batch_format="pyarrow") \
+            .groupby("v").aggregate(Sum("contrib", alias_name="s")) \
+            .map_batches(damp, batch_format="pyarrow")
+    return ranks
+
+
+def pagerank_topk(docs_ds, n_docs: int, *, k: int = 10, iters: int = 3,
+                  id_col: str = "doc_id"):
+    """Top-k (doc_id, pr_micro) pandas frame, ties broken by doc_id —
+    distributed per-block partial top-k (sort is on a k-row result,
+    never the full rank table)."""
+    import pandas as pd
+
+    ranks = integer_pagerank(docs_ds, n_docs, iters=iters,
+                             id_col=id_col)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"], dtype=np.int64)
+        r = np.asarray(t["pr_micro"], dtype=np.int64)
+        order = np.lexsort((v, -r))[:k]
+        return pa.table({"v": pa.array(v[order]),
+                         "pr_micro": pa.array(r[order])})
+
+    parts = ranks.map_batches(partial_topk,
+                              batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["pr_micro", "v"],
+                            ascending=[False, True]).head(k)
+    out = out.rename(columns={"v": "doc_id"}).reset_index(drop=True)
+    for c in ("doc_id", "pr_micro"):
+        out[c] = out[c].astype("int64")
+    return out

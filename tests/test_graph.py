@@ -1,0 +1,118 @@
+"""Link-graph stage (stages/graph.py): edge synthesis invariants,
+distributed connected components vs a local union-find, and
+integer-exact PageRank vs a local numpy reference."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from conftest import SF_DIR
+
+from libfilter_ray.stages.graph import (
+    PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_TELEPORT,
+    _edges_of, _outdeg_of, component_size_histogram, pagerank_topk,
+    synth_link_edges,
+)
+
+N = 500  # documents at sf0.001 (contiguous doc_id 0..N-1)
+
+
+def _local_edges(n):
+    return _edges_of(np.arange(n, dtype=np.int64), n)
+
+
+def _local_components(n):
+    """Union-find ground truth over the undirected synthesized graph."""
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    src, dst = _local_edges(n)
+    for a, b in zip(src, dst):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return np.array([find(i) for i in range(n)], dtype=np.int64)
+
+
+def _local_pagerank(n, iters):
+    src, dst = _local_edges(n)
+    outdeg = _outdeg_of(np.arange(n, dtype=np.int64), n)
+    r = np.full(n, PR_BASE, dtype=np.int64)
+    for _ in range(iters):
+        share = r // np.maximum(outdeg, 1)
+        s = np.bincount(dst, weights=share[src].astype(np.float64),
+                        minlength=n).astype(np.int64)
+        # bincount goes through float64; the sums here are < 2^53 so the
+        # round-trip is exact for the test sizes
+        r = PR_TELEPORT + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+    return r
+
+
+def test_edge_synthesis_invariants():
+    src, dst = _local_edges(N)
+    assert (src != dst).all(), "self-loops must be dropped"
+    assert (dst >= 0).all() and (dst < N).all()
+    # outdeg formula must agree with the materialized edge multiset
+    counted = np.bincount(src, minlength=N)
+    assert (counted == _outdeg_of(np.arange(N), N)).all()
+    # anchors: every u%7!=0 points at its block anchor
+    a = src[: (np.arange(N) % 7 != 0).sum()]
+    assert ((a - a % 7) == dst[: len(a)]).all()
+
+
+def test_component_histogram_matches_union_find(ray_session):
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                 columns=["doc_id"])
+    hist = component_size_histogram(docs, N)
+    roots = _local_components(N)
+    _, counts = np.unique(roots, return_counts=True)
+    sizes, n_comp = np.unique(counts, return_counts=True)
+    assert hist["size"].tolist() == sizes.tolist()
+    assert hist["n_components"].tolist() == n_comp.tolist()
+    assert int((hist["size"] * hist["n_components"]).sum()) == N
+
+
+def test_pagerank_matches_local_reference(ray_session):
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                 columns=["doc_id"])
+    top = pagerank_topk(docs, N, k=10, iters=3)
+    ref = _local_pagerank(N, iters=3)
+    order = np.lexsort((np.arange(N), -ref))[:10]
+    assert top["doc_id"].tolist() == order.tolist()
+    assert top["pr_micro"].tolist() == ref[order].tolist()
+
+
+def test_pagerank_partitioning_invariance(ray_session):
+    """Same exact integers regardless of how the node table is split —
+    the shuffle-correctness property a 256-node run depends on."""
+    import ray.data
+
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(np.arange(N, dtype=np.int64))}))
+    a = pagerank_topk(docs, N, k=10, iters=2)
+    b = pagerank_topk(docs.repartition(7), N, k=10, iters=2)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["pr_micro"].tolist() == b["pr_micro"].tolist()
+
+
+def test_synth_edges_streaming_shape(ray_session):
+    import ray.data
+
+    docs = ray.data.range(64).map_batches(
+        lambda b: pa.table({"doc_id": pa.array(
+            np.asarray(b["id"], dtype=np.int64))}),
+        batch_format="pyarrow")
+    edges = synth_link_edges(docs, 64).to_pandas()
+    src, dst = _edges_of(np.arange(64, dtype=np.int64), 64)
+    got = sorted(zip(edges["src"], edges["dst"]))
+    assert got == sorted(zip(src, dst))
