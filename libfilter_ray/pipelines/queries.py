@@ -5260,6 +5260,67 @@ def q_duplicate_passage_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """The LLM-corpus interchange format end-to-end: each task writes
+    its own gzip'd JSONL shard of the documents table (the resumable
+    partitioned-sink shape, sources/jsonl.py), the shards are read back
+    with the streaming JSONL source (one file per task, Arrow C++ NDJSON
+    parse — never a per-line json.loads loop), and per-lang counts, id
+    sums and code-point sums must match the original table exactly —
+    any record lost, duplicated, mis-escaped or re-typed through the
+    JSON framing breaks the hash (utf8_length counts code points,
+    matching SQL length())."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..sources.jsonl import read_jsonl, write_jsonl_shards_stage
+
+    out_dir = tempfile.mkdtemp(prefix="lfr-jsonl-", dir="/tmp")
+    try:
+        docs = _read(sf_dir, "documents",
+                     columns=["doc_id", "lang", "text"])
+        manifest = docs.map_batches(write_jsonl_shards_stage(
+            out_dir, "doc_id"), batch_format="pyarrow").to_pandas()
+        paths = sorted(manifest["shard_path"])
+
+        schema = pa.schema([("doc_id", pa.int64()),
+                            ("lang", pa.string()),
+                            ("text", pa.string())])
+
+        def stats(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": t["lang"],
+                "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                "sum_doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "sum_chars": pc.cast(pc.utf8_length(t["text"]),
+                                     pa.int64()),
+            })
+
+        out = read_jsonl(paths, schema=schema) \
+            .map_batches(stats, batch_format="pyarrow") \
+            .groupby("lang").aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("sum_doc_id", alias_name="sum_doc_id"),
+                Sum("sum_chars", alias_name="sum_chars")) \
+            .to_pandas().sort_values("lang").reset_index(drop=True)
+        for c in ("n_docs", "sum_doc_id", "sum_chars"):
+            out[c] = out[c].astype("int64")
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_link_components_stats(sf_dir: str) -> pd.DataFrame:
     """Link-graph connected components, fully distributed and EXACTLY
     oracled: edges synthesize deterministically from doc_id (anchor
@@ -5430,9 +5491,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_features": q_multimodal_features,
     "link_components_stats": q_link_components_stats,
     "link_pagerank_topk": q_link_pagerank_topk,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     # -- rotation slots: previously driver-green oracled anchors --
-    # (adding the two link-graph queries pushed pricing_summary and
-    #  bloom_semijoin — both driver-green in r2/r3 — below slot 50)
+    # (the link-graph + jsonl additions pushed doc_stats_by_lang,
+    #  pricing_summary and bloom_semijoin — all driver-green in
+    #  earlier rounds — below slot 50)
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "pricing_summary": q_pricing_summary,
     "bloom_semijoin": q_bloom_semijoin,
@@ -5574,4 +5637,5 @@ ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "link_components_stats": SQL_LINK_COMPONENTS_STATS,
     "link_pagerank_topk": SQL_LINK_PAGERANK_TOPK,
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
 }
