@@ -1301,6 +1301,67 @@ def _cmd_ann(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_graph(args: argparse.Namespace) -> int:
+    """Link-graph analysis over a real (src, dst) edge parquet table:
+    `--mode pagerank` runs the exact-integer PageRank (stages/graph.py,
+    join-per-round adjacency) and emits the top-k (node, pr_micro);
+    `--mode components` runs distributed connected components
+    (stages/cluster.py) and emits the component-size histogram. Nodes
+    come from `--nodes`/`--node-col` when given, else from the distinct
+    edge endpoints (one extra shuffle)."""
+    import numpy as np
+    import pyarrow as _pa
+    import ray.data
+
+    from .stages.graph import integer_pagerank_edges
+
+    edges = ray.data.read_parquet(args.edges,
+                                  columns=[args.src_col, args.dst_col])
+    if args.nodes:
+        nodes = ray.data.read_parquet(args.nodes,
+                                      columns=[args.node_col])
+        node_col = args.node_col
+    else:
+        def endpoints(t: _pa.Table) -> _pa.Table:
+            both = np.concatenate([
+                np.asarray(t[args.src_col], dtype=np.int64),
+                np.asarray(t[args.dst_col], dtype=np.int64)])
+            return _pa.table({"node": _pa.array(np.unique(both))})
+
+        nodes = edges.map_batches(endpoints, batch_format="pyarrow") \
+            .groupby("node").count().select_columns(["node"])
+        node_col = "node"
+
+    if args.mode == "pagerank":
+        ranks = integer_pagerank_edges(
+            edges, nodes, iters=args.iters, node_col=node_col,
+            src_col=args.src_col, dst_col=args.dst_col,
+            num_shards=args.shards)
+
+        k = args.top
+
+        def partial_topk(t: _pa.Table) -> _pa.Table:
+            v = np.asarray(t["v"], dtype=np.int64)
+            r = np.asarray(t["pr_micro"], dtype=np.int64)
+            order = np.lexsort((v, -r))[:k]
+            return _pa.table({"node": _pa.array(v[order]),
+                              "pr_micro": _pa.array(r[order])})
+
+        parts = ranks.map_batches(partial_topk,
+                                  batch_format="pyarrow").to_pandas()
+        out = parts.sort_values(["pr_micro", "node"],
+                                ascending=[False, True]).head(k) \
+            .reset_index(drop=True)
+    else:
+        from .stages.graph import component_size_histogram_edges
+
+        out = component_size_histogram_edges(
+            edges, nodes, node_col=node_col,
+            src_col=args.src_col, dst_col=args.dst_col)
+    _write_result(out, args.output)
+    return 0
+
+
 def _cmd_import_warc(args: argparse.Namespace) -> int:
     """Ingest gzip'd WARC archives (Common Crawl's native format) into a
     hive-partitioned parquet web-page table: one WARC file per read
@@ -1621,6 +1682,27 @@ def make_parser() -> argparse.ArgumentParser:
     iw.add_argument("--keep-html", action="store_true",
                     help="keep the wide html column after extraction")
     iw.set_defaults(fn=_cmd_import_warc)
+
+    gr = sub.add_parser("graph",
+                        help="link analysis over a (src, dst) edge table")
+    gr.add_argument("--edges", required=True,
+                    help="edge parquet path/glob")
+    gr.add_argument("--mode", choices=["pagerank", "components"],
+                    default="pagerank")
+    gr.add_argument("--src-col", default="src")
+    gr.add_argument("--dst-col", default="dst")
+    gr.add_argument("--nodes", default=None,
+                    help="node parquet (default: distinct edge endpoints)")
+    gr.add_argument("--node-col", default="node")
+    gr.add_argument("--iters", type=int, default=3,
+                    help="PageRank rounds (exact integer micro-ranks)")
+    gr.add_argument("--top", type=int, default=10,
+                    help="PageRank top-k result size")
+    gr.add_argument("--shards", type=int, default=16,
+                    help="join/shuffle shards per round (scale with "
+                         "cluster size and edge count)")
+    gr.add_argument("--output", default=None)
+    gr.set_defaults(fn=_cmd_graph)
 
     ls = sub.add_parser("list", help="enumerate pipelines")
     ls.set_defaults(fn=_cmd_list)

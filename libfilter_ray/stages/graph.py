@@ -78,31 +78,31 @@ def synth_link_edges(docs_ds, n_docs: int, *, id_col: str = "doc_id"):
     return docs_ds.map_batches(gen, batch_format="pyarrow")
 
 
-def component_size_histogram(docs_ds, n_docs: int, *,
-                             id_col: str = "doc_id"):
-    """(size, n_components) pandas frame over the undirected synthesized
-    graph — distributed connected components (stages/cluster.py: sharded
-    local CC + min-label contraction, O(log d) rounds), then two grouped
-    counts. Docs touching no edge count as singleton components via a
-    left join (never a driver-side node scan)."""
-    import pandas as pd
+def component_size_histogram_edges(edges_ds, nodes_ds, *,
+                                   node_col: str = "node",
+                                   src_col: str = "src",
+                                   dst_col: str = "dst"):
+    """(size, n_components) pandas frame for an arbitrary undirected
+    (src, dst) edge Dataset — distributed connected components
+    (stages/cluster.py: sharded local CC + min-label contraction,
+    O(log d) rounds), then two grouped counts. Nodes touching no edge
+    count as singleton components via a left join (never a driver-side
+    node scan)."""
     from ray.data.aggregate import Count
 
     from .cluster import connected_components
     from .joins import hash_equi_join
 
-    edges = synth_link_edges(docs_ds, n_docs, id_col=id_col)
-    labels = connected_components(edges, id_a="src", id_b="dst")
-
+    labels = connected_components(edges_ds, id_a=src_col, id_b=dst_col)
     joined = hash_equi_join(
-        docs_ds, labels, left_on=id_col, right_on="node",
+        nodes_ds, labels, left_on=node_col, right_on="node",
         left_cols=[], right_cols=["label"], how="left outer")
 
     def lab(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         label = pc.coalesce(pc.cast(t["label"], pa.int64()),
-                            pc.cast(t[id_col], pa.int64()))
+                            pc.cast(t[node_col], pa.int64()))
         return pa.table({"label": label})
 
     sizes = joined.map_batches(lab, batch_format="pyarrow") \
@@ -113,6 +113,14 @@ def component_size_histogram(docs_ds, n_docs: int, *,
     for c in ("size", "n_components"):
         hist[c] = hist[c].astype("int64")
     return hist
+
+
+def component_size_histogram(docs_ds, n_docs: int, *,
+                             id_col: str = "doc_id"):
+    """`component_size_histogram_edges` over the synthesized graph."""
+    edges = synth_link_edges(docs_ds, n_docs, id_col=id_col)
+    return component_size_histogram_edges(edges, docs_ds,
+                                          node_col=id_col)
 
 
 def integer_pagerank(docs_ds, n_docs: int, *, iters: int = 3,
@@ -156,6 +164,78 @@ def integer_pagerank(docs_ds, n_docs: int, *, iters: int = 3,
 
     for _ in range(iters):
         ranks = ranks.map_batches(scatter, batch_format="pyarrow") \
+            .groupby("v").aggregate(Sum("contrib", alias_name="s")) \
+            .map_batches(damp, batch_format="pyarrow")
+    return ranks
+
+
+def integer_pagerank_edges(edges_ds, nodes_ds, *, iters: int = 3,
+                           node_col: str = "node",
+                           src_col: str = "src", dst_col: str = "dst",
+                           num_shards: int = 64):
+    """The real-edge-table face of `integer_pagerank`: same exact-int
+    recurrence, but the adjacency comes from a (src, dst) Dataset
+    instead of the id formula. Out-degrees attach to the edge table
+    once (one groupby + one hash join, reused every round); each round
+    is then hash_equi_join(edges, ranks, on=src) -> contribution
+    map_batches -> union with per-node zero rows -> groupby-sum ->
+    damp. Two shuffles per iteration — the unavoidable all-to-all of
+    link analysis; co-partition the edge table by src on disk to make
+    the first one a local exchange."""
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import hash_equi_join
+
+    deg = edges_ds.groupby(src_col).aggregate(Count(alias_name="d"))
+    edges_d = hash_equi_join(
+        edges_ds, deg, left_on=src_col, right_on=src_col,
+        left_cols=[dst_col], right_cols=["d"],
+        num_shards=num_shards).materialize()
+
+    def init(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[node_col], dtype=np.int64)
+        return pa.table({"v": pa.array(v), "pr_micro": pa.array(
+            np.full(len(v), PR_BASE, dtype=np.int64))})
+
+    ranks = nodes_ds.map_batches(init, batch_format="pyarrow")
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["pr_micro"], dtype=np.int64)
+        d = np.asarray(t["d"], dtype=np.int64)
+        return pa.table({
+            "v": pa.array(np.asarray(t[dst_col], dtype=np.int64)),
+            "contrib": pa.array(r // np.maximum(d, 1)),
+        })
+
+    def zero(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"], dtype=np.int64)
+        return pa.table({"v": pa.array(v), "contrib": pa.array(
+            np.zeros(len(v), dtype=np.int64))})
+
+    def damp(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["s"], dtype=np.int64)
+        r = PR_TELEPORT + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+        return pa.table({"v": t["v"], "pr_micro": pa.array(r)})
+
+    for _ in range(iters):
+        # Two iterative-dataflow guards, both load-bearing:
+        # 1. materialize — each round consumes `ranks` TWICE (join
+        #    branch + zero-row branch); without a checkpoint the lazy
+        #    lineage doubles per round and replays all prior rounds
+        #    2^iters times. O(nodes) rows in the object store,
+        #    spillable — the standard trade.
+        # 2. repartition — every shuffle round emits ~as many blocks as
+        #    it consumes, so block count would MULTIPLY per iteration
+        #    (measured 64 -> 160 -> 352 on a 500-row graph, with
+        #    per-round wall time growing to match); pinning ranks back
+        #    to `num_shards` blocks keeps every round the same cost.
+        ranks = ranks.repartition(num_shards).materialize()
+        joined = hash_equi_join(
+            edges_d, ranks, left_on=src_col, right_on="v",
+            left_cols=[dst_col, "d"], right_cols=["pr_micro"],
+            num_shards=num_shards)
+        ranks = joined.map_batches(contrib, batch_format="pyarrow") \
+            .union(ranks.map_batches(zero, batch_format="pyarrow")) \
             .groupby("v").aggregate(Sum("contrib", alias_name="s")) \
             .map_batches(damp, batch_format="pyarrow")
     return ranks

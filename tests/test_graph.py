@@ -105,6 +105,26 @@ def test_pagerank_partitioning_invariance(ray_session):
     assert a["pr_micro"].tolist() == b["pr_micro"].tolist()
 
 
+def test_edge_table_pagerank_matches_formula_path(ray_session):
+    """The real-edge-table face (join-based) must produce the exact same
+    integers as the formula-scatter face on the same graph."""
+    import ray.data
+
+    from libfilter_ray.stages.graph import (
+        integer_pagerank, integer_pagerank_edges)
+
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(np.arange(N, dtype=np.int64))}))
+    a = integer_pagerank(docs, N, iters=2).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    edges = synth_link_edges(docs, N)
+    b = integer_pagerank_edges(
+        edges, docs, iters=2, node_col="doc_id",
+        num_shards=8).to_pandas().sort_values("v").reset_index(drop=True)
+    assert a["v"].tolist() == b["v"].tolist()
+    assert a["pr_micro"].tolist() == b["pr_micro"].tolist()
+
+
 def test_synth_edges_streaming_shape(ray_session):
     import ray.data
 
