@@ -1301,6 +1301,36 @@ def _cmd_ann(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_export(args: argparse.Namespace) -> int:
+    """Ship a parquet table as wire-format shards — the off-ramp
+    mirroring import-warc's on-ramp: `--format jsonl` writes gzip'd
+    JSONL (the LLM-corpus interchange layout; columns must be
+    JSON-native — project timestamps/binary first or pass --columns),
+    `--format warc` writes member-per-record gzip'd WARC (requires
+    url/warc_ts/html columns). Each task writes its own shard named by
+    its batch's min key hash (idempotent re-runs); stdout is the
+    manifest (shard_path, n_records)."""
+    import ray.data
+
+    paths = _table_paths(args.input, args.table)
+    cols = args.columns.split(",") if args.columns else None
+    ds = ray.data.read_parquet(paths, columns=cols)
+    os.makedirs(args.out, exist_ok=True)
+    if args.format == "jsonl":
+        from .sources.jsonl import write_jsonl_shards_stage
+
+        key = args.key_column or (cols[0] if cols else
+                                  ds.schema().names[0])
+        stage = write_jsonl_shards_stage(args.out, key)
+    else:
+        from .sources.warc import write_warc_shards_stage
+
+        stage = write_warc_shards_stage(args.out)
+    manifest = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    _write_result(manifest, args.output)
+    return 0
+
+
 def _cmd_graph(args: argparse.Namespace) -> int:
     """Link-graph analysis over a real (src, dst) edge parquet table:
     `--mode pagerank` runs the exact-integer PageRank (stages/graph.py,
@@ -1703,6 +1733,23 @@ def make_parser() -> argparse.ArgumentParser:
                          "cluster size and edge count)")
     gr.add_argument("--output", default=None)
     gr.set_defaults(fn=_cmd_graph)
+
+    ex = sub.add_parser("export",
+                        help="parquet table -> wire-format shards")
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--table", default="documents")
+    ex.add_argument("--format", choices=["jsonl", "warc"],
+                    default="jsonl")
+    ex.add_argument("--out", required=True,
+                    help="shard output directory")
+    ex.add_argument("--columns", default=None,
+                    help="comma-separated projection (jsonl columns "
+                         "must be JSON-native)")
+    ex.add_argument("--key-column", default=None,
+                    help="shard-naming key (default: first column)")
+    ex.add_argument("--output", default=None,
+                    help="write the manifest here instead of stdout")
+    ex.set_defaults(fn=_cmd_export)
 
     ls = sub.add_parser("list", help="enumerate pipelines")
     ls.set_defaults(fn=_cmd_list)

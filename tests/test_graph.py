@@ -125,6 +125,81 @@ def test_edge_table_pagerank_matches_formula_path(ray_session):
     assert a["pr_micro"].tolist() == b["pr_micro"].tolist()
 
 
+def _uf_components(n_nodes, src, dst):
+    parent = np.arange(n_nodes, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return np.array([find(i) for i in range(n_nodes)], dtype=np.int64)
+
+
+def test_random_graph_components_property(ray_session):
+    """General-edge CC vs union-find on random graphs — hardens the
+    path beyond the formula fixture (self-loops, parallel edges,
+    isolated nodes, a dense clump)."""
+    import ray.data
+
+    from libfilter_ray.stages.graph import component_size_histogram_edges
+
+    rng = np.random.default_rng(0xBADD)
+    for trial in range(4):
+        n = int(rng.integers(20, 120))
+        m = int(rng.integers(0, 3 * n))
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        keep = src != dst  # CC contract: pair tables carry no self-pairs
+        src, dst = src[keep], dst[keep]
+        nodes = ray.data.from_arrow(pa.table(
+            {"node": pa.array(np.arange(n, dtype=np.int64))}))
+        edges = ray.data.from_arrow(pa.table(
+            {"src": pa.array(src), "dst": pa.array(dst)}))
+        hist = component_size_histogram_edges(edges, nodes)
+        roots = _uf_components(n, src, dst)
+        _, counts = np.unique(roots, return_counts=True)
+        sizes, n_comp = np.unique(counts, return_counts=True)
+        assert hist["size"].tolist() == sizes.tolist(), f"trial {trial}"
+        assert hist["n_components"].tolist() == n_comp.tolist()
+
+
+def test_random_graph_pagerank_property(ray_session):
+    """Edge-table PageRank vs the local integer recurrence on random
+    multigraphs (parallel edges count once per occurrence in both)."""
+    import ray.data
+
+    from libfilter_ray.stages.graph import integer_pagerank_edges
+
+    rng = np.random.default_rng(0xF00D)
+    for trial in range(3):
+        n = int(rng.integers(15, 80))
+        m = int(rng.integers(1, 4 * n))
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        nodes = ray.data.from_arrow(pa.table(
+            {"node": pa.array(np.arange(n, dtype=np.int64))}))
+        edges = ray.data.from_arrow(pa.table(
+            {"src": pa.array(src), "dst": pa.array(dst)}))
+        got = integer_pagerank_edges(edges, nodes, iters=2,
+                                     num_shards=4).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        outdeg = np.bincount(src, minlength=n).astype(np.int64)
+        r = np.full(n, PR_BASE, dtype=np.int64)
+        for _ in range(2):
+            share = r // np.maximum(outdeg, 1)
+            s = np.bincount(dst, weights=share[src].astype(np.float64),
+                            minlength=n).astype(np.int64)
+            r = PR_TELEPORT + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+        assert got["v"].tolist() == list(range(n)), f"trial {trial}"
+        assert got["pr_micro"].tolist() == r.tolist(), f"trial {trial}"
+
+
 def test_synth_edges_streaming_shape(ray_session):
     import ray.data
 

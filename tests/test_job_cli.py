@@ -1311,3 +1311,38 @@ def test_graph_subcommand_pagerank_and_components(tmp_path, ray_session):
     hist = _pq.read_table(outc).to_pandas()
     # every node is covered exactly once across components
     assert int((hist["size"] * hist["n_components"]).sum()) == n
+
+
+def test_export_subcommand_jsonl_roundtrip(tmp_path, ray_session):
+    """export --format jsonl ships a parquet table as gzip'd JSONL
+    shards; reading them back reproduces the projected table."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from conftest import SF_DIR
+    from libfilter_ray.sources.jsonl import read_jsonl
+
+    out = tmp_path / "shards"
+    man = tmp_path / "manifest.parquet"
+    assert main(["export", "--input", SF_DIR, "--table", "documents",
+                 "--format", "jsonl", "--columns", "doc_id,lang,text",
+                 "--out", str(out), "--output", str(man)]) == 0
+    manifest = _pq.read_table(man).to_pandas()
+    orig = _pq.read_table(f"{SF_DIR}/documents.parquet",
+                          columns=["doc_id", "lang", "text"]).to_pandas()
+    assert int(manifest["n_records"].sum()) == len(orig)
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                        ("text", pa.string())])
+    back = read_jsonl(sorted(manifest["shard_path"]),
+                      schema=schema).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert back.equals(orig.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_export_subcommand_rejects_non_json_native(tmp_path, ray_session):
+    """orders carries a timestamp column — the jsonl sink must fail
+    fast, not silently stringify."""
+    with pytest.raises(Exception, match="non-JSON-native"):
+        main(["export", "--input", SF_DIR_01, "--table", "orders",
+              "--format", "jsonl", "--out", str(tmp_path / "x")])
