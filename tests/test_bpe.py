@@ -1,0 +1,79 @@
+"""Distributed BPE merge learning (stages/bpe.py): kernel semantics,
+distributed-vs-reference parity, partitioning invariance."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from libfilter_ray.stages.bpe import (
+    _apply_merge_flat, _greedy_take, bpe_reference, learn_bpe_merges,
+)
+
+
+def test_greedy_take_run_parity():
+    # isolated matches all taken
+    assert _greedy_take(np.array([2, 5, 9])).tolist() == [2, 5, 9]
+    # runs keep even offsets (greedy left-to-right)
+    assert _greedy_take(np.array([3, 4, 5, 6])).tolist() == [3, 5]
+    assert _greedy_take(np.array([0, 1, 2, 7, 8, 11])).tolist() \
+        == [0, 2, 7, 11]
+    assert _greedy_take(np.array([], dtype=np.int64)).tolist() == []
+
+
+@pytest.mark.parametrize("word,pair,expect", [
+    ("aaaa", ("a", "a"), ["aa", "aa"]),
+    ("aaaaa", ("a", "a"), ["aa", "aa", "a"]),
+    ("abab", ("a", "b"), ["ab", "ab"]),
+    ("xaab", ("a", "b"), ["x", "a", "ab"]),
+    ("xy", ("a", "b"), ["x", "y"]),
+])
+def test_apply_merge_single_word(word, pair, expect):
+    syms = np.array(list(word), dtype=object)
+    word_of = np.zeros(len(syms), dtype=np.int64)
+    out, _ = _apply_merge_flat(syms, word_of, *pair)
+    assert out.tolist() == expect
+
+
+def test_apply_merge_never_crosses_words():
+    # ...a][b... at a word boundary must NOT merge
+    syms = np.array(["x", "a", "b", "y"], dtype=object)
+    word_of = np.array([0, 0, 1, 1], dtype=np.int64)
+    out, wo = _apply_merge_flat(syms, word_of, "a", "b")
+    assert out.tolist() == ["x", "a", "b", "y"]
+
+
+CORPUS = ["the cat sat on the mat", "the dog and the cat",
+          "aaaa aa baab aaa", "la lala lalala", "中文 中文字 字字字",
+          "x  y", "", "ababab abc", "zzzz zz z"]
+
+
+def test_distributed_matches_reference(ray_session):
+    import ray.data
+
+    docs = ray.data.from_arrow(pa.table(
+        {"text": pa.array(CORPUS)})).repartition(4)
+    got = learn_bpe_merges(docs, k=6, num_shards=4)
+    ref = bpe_reference(CORPUS, k=6)
+    assert got.to_dict("records") == ref
+
+
+def test_partitioning_invariance(ray_session):
+    import ray.data
+
+    docs1 = ray.data.from_arrow(pa.table({"text": pa.array(CORPUS)}))
+    docs7 = docs1.repartition(7)
+    a = learn_bpe_merges(docs1, k=3, num_shards=2)
+    b = learn_bpe_merges(docs7, k=3, num_shards=5)
+    assert a.to_dict("records") == b.to_dict("records")
+
+
+def test_min_count_prunes_tail(ray_session):
+    import ray.data
+
+    texts = ["rare", "common common common common"]
+    docs = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    got = learn_bpe_merges(docs, k=1, min_count=2, num_shards=2)
+    # with 'rare' pruned, the winning pair comes from 'common' alone
+    ref = bpe_reference(["common common common common"], k=1)
+    assert got.to_dict("records") == ref
