@@ -1301,6 +1301,26 @@ def _cmd_ann(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_bpe(args: argparse.Namespace) -> int:
+    """Learn BPE tokenizer merges over a text column (stages/bpe.py):
+    the word table stays distributed; stdout (or --output) is the
+    learned merge table (merge_rank, left, right, pair_n) — feed it to
+    any BPE segmenter. `--min-count` prunes the typo tail first, the
+    standard corpus-scale practice."""
+    import ray.data
+
+    from .stages.bpe import learn_bpe_merges
+
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, [args.column])
+    ds = ray.data.read_parquet(paths, columns=[args.column])
+    out = learn_bpe_merges(ds, k=args.merges, text_col=args.column,
+                           min_count=args.min_count,
+                           num_shards=args.shards)
+    _write_result(out, args.output)
+    return 0
+
+
 def _cmd_export(args: argparse.Namespace) -> int:
     """Ship a parquet table as wire-format shards — the off-ramp
     mirroring import-warc's on-ramp: `--format jsonl` writes gzip'd
@@ -1750,6 +1770,19 @@ def make_parser() -> argparse.ArgumentParser:
     ex.add_argument("--output", default=None,
                     help="write the manifest here instead of stdout")
     ex.set_defaults(fn=_cmd_export)
+
+    bp = sub.add_parser("bpe",
+                        help="learn BPE tokenizer merges over a corpus")
+    bp.add_argument("--input", required=True)
+    bp.add_argument("--table", default="documents")
+    bp.add_argument("--column", default="text")
+    bp.add_argument("--merges", type=int, default=100,
+                    help="number of merge rounds to learn")
+    bp.add_argument("--min-count", type=int, default=1,
+                    help="prune words rarer than this before training")
+    bp.add_argument("--shards", type=int, default=16)
+    bp.add_argument("--output", default=None)
+    bp.set_defaults(fn=_cmd_bpe)
 
     ls = sub.add_parser("list", help="enumerate pipelines")
     ls.set_defaults(fn=_cmd_list)

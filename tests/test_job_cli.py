@@ -1346,3 +1346,19 @@ def test_export_subcommand_rejects_non_json_native(tmp_path, ray_session):
     with pytest.raises(Exception, match="non-JSON-native"):
         main(["export", "--input", SF_DIR_01, "--table", "orders",
               "--format", "jsonl", "--out", str(tmp_path / "x")])
+
+
+def test_bpe_subcommand_matches_reference(tmp_path, ray_session):
+    import pyarrow.parquet as _pq
+
+    from conftest import SF_DIR
+    from libfilter_ray.stages.bpe import bpe_reference
+
+    out = tmp_path / "merges.parquet"
+    assert main(["bpe", "--input", SF_DIR, "--merges", "3",
+                 "--shards", "4", "--output", str(out)]) == 0
+    got = _pq.read_table(out).to_pandas()
+    texts = _pq.read_table(f"{SF_DIR}/documents.parquet",
+                           columns=["text"])["text"].to_pylist()
+    ref = bpe_reference(texts, k=3)
+    assert got.to_dict("records") == ref
