@@ -5451,6 +5451,23 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"left": "lsym", "right": "rsym"})
 
 
+def q_bpe_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer train + APPLY end-to-end: learn 3 BPE merges over the
+    corpus (the distributed trainer above), then segment every document
+    with them and count per-lang words/tokens — the token-budget
+    measurement every mixing decision rests on. The oracle reuses the
+    unrolled 3-round CTE chain to compute each distinct word's post-
+    merge symbol count and joins it back onto the corpus; a single word
+    segmented differently anywhere shifts a lang's token count and
+    mismatches."""
+    from ..stages.bpe import learn_bpe_merges, token_stats_after_merges
+
+    docs = _read(sf_dir, "documents", columns=["lang", "text"])
+    m = learn_bpe_merges(docs, k=3, num_shards=16)
+    merges = list(zip(m["left"], m["right"]))
+    return token_stats_after_merges(docs, merges)
+
+
 def _bpe_round_sql(i: int) -> str:
     """One unrolled BPE round: s{i-1} -> b{i} (the winning pair) and
     s{i} (the re-segmented symbol table)."""
@@ -5493,7 +5510,7 @@ s{c} AS (
 )"""
 
 
-SQL_BPE_MERGES = ("""
+_BPE_PREFIX = ("""
 WITH w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
     SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
@@ -5503,7 +5520,9 @@ s0 AS (
   SELECT word, cnt, string_split(word, '')[p.pos] AS sym, p.pos
   FROM w0, UNNEST(range(1, len(string_split(word, '')) + 1)) AS p(pos)
 ),"""
-    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3)) + """
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3)))
+
+SQL_BPE_MERGES = (_BPE_PREFIX + """
 SELECT * FROM (
   SELECT CAST(0 AS BIGINT) AS merge_rank, l AS lsym, r AS rsym,
          n AS pair_n FROM b1
@@ -5512,6 +5531,21 @@ SELECT * FROM (
   UNION ALL
   SELECT CAST(2 AS BIGINT), l, r, n FROM b3
 ) ORDER BY merge_rank
+""")
+
+SQL_BPE_TOKEN_STATS = (_BPE_PREFIX + """,
+wsyms AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS nsym FROM s3 GROUP BY word
+),
+docw AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM documents
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(w.nsym) AS BIGINT) AS n_tokens
+FROM docw d JOIN wsyms w USING (word)
+WHERE d.word <> ''
+GROUP BY d.lang ORDER BY d.lang
 """)
 
 
@@ -5525,7 +5559,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # -- never-driver-graded oracled queries (rounds 2b-3) --
     "bloom_antijoin": q_bloom_antijoin,
     "training_prep_pipeline": q_training_prep_pipeline,
-    "supplier_revenue": q_supplier_revenue,
     "bloom_per_lang_source": q_bloom_per_lang_source,
     "incremental_growable": q_incremental_growable,
     "tcf_per_domain": q_tcf_per_domain,
@@ -5574,6 +5607,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "link_pagerank_topk": q_link_pagerank_topk,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "bpe_merges": q_bpe_merges,
+    "bpe_token_stats": q_bpe_token_stats,
     # -- rotation slots: previously driver-green oracled anchors --
     # (the link-graph + jsonl additions pushed doc_stats_by_lang,
     #  pricing_summary and bloom_semijoin — all driver-green in
@@ -5588,6 +5622,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_asof_orders": q_events_asof_orders,
     "value_band_range_join": q_value_band_range_join,
     # -- remaining oracled queries (driver-green in earlier rounds) --
+    "supplier_revenue": q_supplier_revenue,
     "event_funnel": q_event_funnel,
     "distinct_users_by_type": q_distinct_users_by_type,
     "value_quantiles_by_type": q_value_quantiles_by_type,
@@ -5722,4 +5757,5 @@ ORACLES: dict[str, str] = {
     "link_pagerank_topk": SQL_LINK_PAGERANK_TOPK,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "bpe_merges": SQL_BPE_MERGES,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
 }

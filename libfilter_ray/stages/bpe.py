@@ -212,6 +212,65 @@ def learn_bpe_merges(docs_ds, *, k: int = 3, text_col: str = "text",
     return out
 
 
+def token_stats_after_merges(docs_ds, merges, *, text_col: str = "text",
+                             group_col: str = "lang"):
+    """Tokenizer APPLICATION: segment the corpus with an already-learned
+    merge list and count tokens — the operator behind every token-budget
+    decision. `merges` is a small ordered [(left, right), ...] list
+    (driver state, broadcast by closure); each batch segments its OWN
+    distinct words (np.unique collapses repeats before the per-word
+    split) with the same vectorized run-parity merge-apply the trainer
+    uses, so train and apply can never drift. One streaming pass + a
+    group-sized groupby — no other shuffle.
+
+    Returns a pandas frame (group_col, n_words, n_tokens)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    merges = [(str(a), str(b)) for a, b in merges]
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t[text_col].combine_chunks() \
+            if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        lists = pc.split_pattern(col, " ")
+        flat = pc.list_flatten(lists)
+        doc_lens = np.asarray(pc.list_value_length(lists),
+                              dtype=np.int64)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                           doc_lens)
+        words = np.asarray(flat, dtype=object)
+        keep = words != ""
+        words, doc_of = words[keep], doc_of[keep]
+        uniq, inv = np.unique(words.astype(str), return_inverse=True)
+        seqs = [list(w) for w in uniq]  # code-point split, as training
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        syms = np.array([c for s in seqs for c in s], dtype=object)
+        word_of = np.repeat(np.arange(len(uniq), dtype=np.int64), lens)
+        for a, b in merges:
+            syms, word_of = _apply_merge_flat(syms, word_of, a, b)
+        nsym = np.bincount(word_of, minlength=len(uniq)) \
+            .astype(np.int64)
+        tok_per_doc = np.bincount(doc_of, weights=nsym[inv]
+                                  .astype(np.float64),
+                                  minlength=t.num_rows).astype(np.int64)
+        wrd_per_doc = np.bincount(doc_of, minlength=t.num_rows) \
+            .astype(np.int64)
+        return pa.table({
+            group_col: t[group_col],
+            "n_words": pa.array(wrd_per_doc),
+            "n_tokens": pa.array(tok_per_doc),
+        })
+
+    out = docs_ds.map_batches(stats, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_tokens", alias_name="n_tokens")) \
+        .to_pandas().sort_values(group_col).reset_index(drop=True)
+    for c in ("n_words", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def bpe_reference(texts, counts=None, *, k: int = 3):
     """Pure-Python reference (same semantics) for tests: texts is an
     iterable of document strings."""

@@ -77,3 +77,42 @@ def test_min_count_prunes_tail(ray_session):
     # with 'rare' pruned, the winning pair comes from 'common' alone
     ref = bpe_reference(["common common common common"], k=1)
     assert got.to_dict("records") == ref
+
+
+def test_token_stats_matches_reference(ray_session):
+    """Apply-path parity: per-group token counts after K merges match a
+    word-by-word local segmentation."""
+    import ray.data
+
+    from libfilter_ray.stages.bpe import token_stats_after_merges
+
+    texts = CORPUS
+    langs = ["en", "en", "aa", "la", "zh", "xy", "xy", "ab", "zz"]
+    docs = ray.data.from_arrow(pa.table(
+        {"lang": pa.array(langs), "text": pa.array(texts)})).repartition(3)
+    merges = [(m["left"], m["right"]) for m in bpe_reference(texts, k=4)]
+    got = token_stats_after_merges(docs, merges)
+
+    def seg_len(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i+1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return len(syms)
+
+    import collections
+    ref = collections.defaultdict(lambda: [0, 0])
+    for lang, text in zip(langs, texts):
+        for w in text.split(" "):
+            if w:
+                ref[lang][0] += 1
+                ref[lang][1] += seg_len(w)
+    for _, row in got.iterrows():
+        assert [row["n_words"], row["n_tokens"]] == ref[row["lang"]], row
+    assert set(got["lang"]) == {k for k, v in ref.items() if v[0]} | \
+        {l for l, t in zip(langs, texts)}  # empty-text docs still group
