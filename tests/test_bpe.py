@@ -116,3 +116,33 @@ def test_token_stats_matches_reference(ray_session):
         assert [row["n_words"], row["n_tokens"]] == ref[row["lang"]], row
     assert set(got["lang"]) == {k for k, v in ref.items() if v[0]} | \
         {l for l, t in zip(langs, texts)}  # empty-text docs still group
+
+
+def test_learn_never_collects_word_or_pair_tables(ray_session,
+                                                  monkeypatch):
+    """Scale guard (the house to_pandas spy): per round the trainer may
+    collect only the per-block top-1 candidates (≤ blocks rows) — never
+    the word table or the pair table."""
+    import ray.data
+
+    # corpus with a deliberately wide vocabulary
+    texts = [" ".join(f"w{i}x{j}" for j in range(40))
+             for i in range(50)]
+    docs = ray.data.from_arrow(pa.table(
+        {"text": pa.array(texts)})).repartition(4)
+
+    collected = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    got = learn_bpe_merges(docs, k=2, num_shards=4)
+    assert len(got) == 2
+    assert collected, "spy never fired"
+    # vocabulary is 2000 words / >5000 distinct pairs; each collect must
+    # stay at per-block-top-1 scale
+    assert max(collected) <= 64, collected
