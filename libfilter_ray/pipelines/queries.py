@@ -5553,8 +5553,12 @@ GROUP BY d.lang ORDER BY d.lang
 # dict, so SQL-oracled queries come first (rotating so every oracled query
 # eventually lands in the graded window) and the no-oracle entries (sketch
 # payloads, LSH-probabilistic results, throughput rows) sit at the end.
-# Round-4 rotation: slots 1-41 are the oracled queries that had never been
-# driver-graded (rounds 2b-3); slots 42-50 rotate in previously-green anchors.
+# Round-4 window: the 41 never-driver-graded oracled queries (rounds 2b-3)
+# plus the round-4 additions (warc/png/y4m/multimodal/link-graph/jsonl/bpe);
+# event_funnel, supplier_revenue, doc_stats_by_lang, pricing_summary and
+# bloom_semijoin (all driver-green in r2/r3) rotated below slot 50 to make
+# room. After r4 grades, every oracled query has hard driver signal from
+# some round; round-5 rotation should re-admit the oldest rotated anchors.
 QUERIES: dict[str, Callable[[str], Any]] = {
     # -- never-driver-graded oracled queries (rounds 2b-3) --
     "bloom_antijoin": q_bloom_antijoin,
