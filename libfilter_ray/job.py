@@ -1274,13 +1274,20 @@ def _cmd_ann(args: argparse.Namespace) -> int:
     paths = _table_paths(args.input, args.table)
     _check_columns(paths, [args.id_column, args.column])
     qids = [int(x) for x in args.query_ids.split(",")]
+    if len(set(qids)) != len(qids):
+        dupes = sorted({x for x in qids if qids.count(x) > 1})
+        raise SystemExit(f"duplicate --query-ids: {dupes}")
     qt = ray.data.read_parquet(
         paths, columns=[args.id_column, args.column],
         filter=_pc.field(args.id_column).isin(qids)).to_pandas()
-    if len(qt) != len(qids):
-        have = set(qt[args.id_column]) if len(qt) else set()
-        missing = sorted(set(qids) - have)
+    have = set(qt[args.id_column]) if len(qt) else set()
+    missing = sorted(set(qids) - have)
+    if missing:
         raise SystemExit(f"query ids not in table: {missing}")
+    if len(qt) != len(qids):  # same id on several table rows
+        raise SystemExit(
+            f"--id-column {args.id_column!r} is not unique for the "
+            f"requested ids ({len(qt)} rows for {len(qids)} ids)")
     qt = qt.set_index(args.id_column).loc[qids]
     Q = np.stack(qt[args.column].to_numpy())
     ds = ray.data.read_parquet(paths,
@@ -1383,25 +1390,13 @@ def _cmd_graph(args: argparse.Namespace) -> int:
         node_col = "node"
 
     if args.mode == "pagerank":
+        from .stages.graph import topk_from_ranks
+
         ranks = integer_pagerank_edges(
             edges, nodes, iters=args.iters, node_col=node_col,
             src_col=args.src_col, dst_col=args.dst_col,
             num_shards=args.shards)
-
-        k = args.top
-
-        def partial_topk(t: _pa.Table) -> _pa.Table:
-            v = np.asarray(t["v"], dtype=np.int64)
-            r = np.asarray(t["pr_micro"], dtype=np.int64)
-            order = np.lexsort((v, -r))[:k]
-            return _pa.table({"node": _pa.array(v[order]),
-                              "pr_micro": _pa.array(r[order])})
-
-        parts = ranks.map_batches(partial_topk,
-                                  batch_format="pyarrow").to_pandas()
-        out = parts.sort_values(["pr_micro", "node"],
-                                ascending=[False, True]).head(k) \
-            .reset_index(drop=True)
+        out = topk_from_ranks(ranks, args.top, id_name="node")
     else:
         from .stages.graph import component_size_histogram_edges
 

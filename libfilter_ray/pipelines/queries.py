@@ -4601,9 +4601,19 @@ def q_ppm_decode_features(sf_dir: str) -> pd.DataFrame:
     honestly stubbed — no codecs in this environment.)"""
     from ..stages.multimodal import PpmFeatureStage, attach_ppm_images
 
+    return _image_decode_features(sf_dir, attach_ppm_images,
+                                  PpmFeatureStage)
+
+
+def _image_decode_features(sf_dir: str, attach_fn, stage_cls):
+    """Shared body of the PPM/PNG decode pipelines (identical schema and
+    exact-integer-mean contract; only the attach/stage pair differs).
+    Single home of the px_mean division rule — one correctly-rounded
+    IEEE division of exact int sums, bit-identical to the oracle's
+    CAST(sum AS DOUBLE) / CAST(n_px AS DOUBLE)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    feats = docs.map_batches(attach_ppm_images, batch_format="pyarrow") \
-        .map_batches(PpmFeatureStage, batch_size=256, concurrency=(2, 16),
+    feats = docs.map_batches(attach_fn, batch_format="pyarrow") \
+        .map_batches(stage_cls, batch_size=256, concurrency=(2, 16),
                      batch_format="pyarrow")
 
     def stats(t: pa.Table) -> pa.Table:
@@ -4632,8 +4642,6 @@ def q_ppm_decode_features(sf_dir: str) -> pd.DataFrame:
               "px_sum_r", "px_sum_g", "px_sum_b"):
         out[c] = out[c].astype("int64")
     for ch in ("r", "g", "b"):
-        # exact-int / exact-int: one correctly-rounded IEEE division,
-        # bit-identical to the oracle's CAST(sum AS DOUBLE) / CAST(n ...)
         out[f"px_mean_{ch}"] = out[f"px_sum_{ch}"] / out["n_px"]
         out = out.drop(columns=[f"px_sum_{ch}"])
     return out.drop(columns=["n_px"])
@@ -4685,40 +4693,8 @@ def q_png_decode_features(sf_dir: str) -> pd.DataFrame:
     division — no float summation order, no round() ties."""
     from ..stages.multimodal import PngFeatureStage, attach_png_images
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    feats = docs.map_batches(attach_png_images, batch_format="pyarrow") \
-        .map_batches(PngFeatureStage, batch_size=256, concurrency=(2, 16),
-                     batch_format="pyarrow")
-
-    def stats(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "lang": t["lang"],
-            "n_images": pa.array(np.ones(t.num_rows, np.int64)),
-            "sum_width": t["width"],
-            "sum_height": t["height"],
-            "n_px": t["n_px"],
-            "px_sum_r": t["px_sum_r"],
-            "px_sum_g": t["px_sum_g"],
-            "px_sum_b": t["px_sum_b"],
-        })
-
-    out = feats.map_batches(stats, batch_format="pyarrow") \
-        .groupby("lang").aggregate(
-            Sum("n_images", alias_name="n_images"),
-            Sum("sum_width", alias_name="sum_width"),
-            Sum("sum_height", alias_name="sum_height"),
-            Sum("n_px", alias_name="n_px"),
-            Sum("px_sum_r", alias_name="px_sum_r"),
-            Sum("px_sum_g", alias_name="px_sum_g"),
-            Sum("px_sum_b", alias_name="px_sum_b")) \
-        .to_pandas().sort_values("lang").reset_index(drop=True)
-    for c in ("n_images", "sum_width", "sum_height", "n_px",
-              "px_sum_r", "px_sum_g", "px_sum_b"):
-        out[c] = out[c].astype("int64")
-    for ch in ("r", "g", "b"):
-        out[f"px_mean_{ch}"] = out[f"px_sum_{ch}"] / out["n_px"]
-        out = out.drop(columns=[f"px_sum_{ch}"])
-    return out.drop(columns=["n_px"])
+    return _image_decode_features(sf_dir, attach_png_images,
+                                  PngFeatureStage)
 
 
 SQL_PNG_DECODE_FEATURES = """

@@ -251,7 +251,7 @@ class CuckooFilter:
         return f
 
     def size_in_bytes(self) -> int:
-        return 16 + self.table.nbytes
+        return 20 + self.table.nbytes  # <IQQ header, as to_bytes packs
 
     def clone(self) -> "CuckooFilter":
         f = CuckooFilter(bytes_=self.num_buckets * SLOTS_PER_BUCKET * 2,

@@ -94,20 +94,22 @@ def read_jsonl(paths, *, batch_rows: int = 4096,
         parse_jsonl_stage(batch_rows, schema), batch_format="pyarrow")
 
 
-def write_jsonl_shards_stage(out_dir: str, key_col: str):
+def write_jsonl_shards_stage(out_dir: str, key_col: str = None):
     """map_batches fn turning each batch into ONE ``.jsonl.gz`` shard
     under `out_dir` + a manifest row (shard_path, n_records) — the same
     resumable partitioned-sink shape as the WARC and parquet sinks:
-    shard names derive from the batch's min `key_col` hash, so a re-run
-    of a finished input block overwrites its own file idempotently."""
-    from ..sketch.hashing import hash_arrow_array
+    shard names digest the batch's full content (`warc.shard_name`), so
+    a re-run of a finished input block overwrites its own file
+    idempotently and distinct batches can never clobber each other.
+    `key_col` is accepted for signature compatibility; naming no longer
+    depends on any single column."""
+    from .warc import shard_name
 
     def fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"shard_path": pa.array([], type=pa.string()),
                              "n_records": pa.array([], type=pa.int64())})
-        h = hash_arrow_array(t[key_col])
-        path = f"{out_dir}/shard-{int(h.min()):016x}.jsonl.gz"
+        path = f"{out_dir}/{shard_name(t)}.jsonl.gz"
         n = write_jsonl_gz(path, t)
         return pa.table({"shard_path": pa.array([path]),
                          "n_records": pa.array([n], type=pa.int64())})

@@ -237,24 +237,39 @@ def read_warc(paths, *, batch_rows: int = 512):
         parse_warc_stage(batch_rows), batch_format="pyarrow")
 
 
+def shard_name(table: pa.Table) -> str:
+    """Deterministic, content-derived shard name for one batch: a min
+    key hash alone is NOT unique when the key column repeats across
+    batches (a lang key, recrawled urls), so two concurrent tasks would
+    silently overwrite each other's shard and the manifest would
+    over-report rows. Digesting the batch's FULL Arrow IPC bytes keys
+    the file to its content: a re-run of the same input block lands on
+    the same file (idempotent overwrite), while distinct batches can
+    collide only on a blake2b accident."""
+    import hashlib
+
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table.combine_chunks())
+    d = hashlib.blake2b(sink.getvalue(), digest_size=12).hexdigest()
+    return f"shard-{d}"
+
+
 def write_warc_shards_stage(out_dir: str):
     """map_batches fn turning a web-page batch (url, warc_ts, html) into
     ONE `.warc.gz` shard under `out_dir` + a manifest row
     (shard_path, n_records) — the resumable partitioned-sink shape: a
-    shard is named by the batch's min url hash, so re-running a finished
-    input block overwrites its own file idempotently instead of
-    appending a duplicate."""
+    shard is named by the batch's key-multiset hash (`shard_name`), so
+    re-running a finished input block overwrites its own file
+    idempotently instead of appending a duplicate, and batches sharing
+    a min key never clobber each other."""
     import pyarrow.compute as pc
-
-    from ..sketch.hashing import hash_arrow_array
 
     def fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"shard_path": pa.array([], type=pa.string()),
                              "n_records": pa.array([], type=pa.int64())})
-        h = hash_arrow_array(t["url"])
-        name = f"shard-{int(h.min()):016x}.warc.gz"
-        path = f"{out_dir}/{name}"
+        path = f"{out_dir}/{shard_name(t)}.warc.gz"
         ts = pc.cast(t["warc_ts"], pa.int64()).to_numpy(
             zero_copy_only=False)
         n = write_warc_gz(path, t["url"].to_pylist(), ts,

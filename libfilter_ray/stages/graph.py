@@ -241,16 +241,11 @@ def integer_pagerank_edges(edges_ds, nodes_ds, *, iters: int = 3,
     return ranks
 
 
-def pagerank_topk(docs_ds, n_docs: int, *, k: int = 10, iters: int = 3,
-                  id_col: str = "doc_id"):
-    """Top-k (doc_id, pr_micro) pandas frame, ties broken by doc_id —
-    distributed per-block partial top-k (sort is on a k-row result,
-    never the full rank table)."""
-    import pandas as pd
-
-    ranks = integer_pagerank(docs_ds, n_docs, iters=iters,
-                             id_col=id_col)
-
+def topk_from_ranks(ranks_ds, k: int, *, id_name: str = "doc_id"):
+    """Distributed top-k over a (v, pr_micro) rank Dataset: per-block
+    partial top-k, then a k-row driver sort — ties break by node id.
+    The single home of the tie-break rule; both the query path and the
+    graph CLI use it."""
     def partial_topk(t: pa.Table) -> pa.Table:
         v = np.asarray(t["v"], dtype=np.int64)
         r = np.asarray(t["pr_micro"], dtype=np.int64)
@@ -258,11 +253,21 @@ def pagerank_topk(docs_ds, n_docs: int, *, k: int = 10, iters: int = 3,
         return pa.table({"v": pa.array(v[order]),
                          "pr_micro": pa.array(r[order])})
 
-    parts = ranks.map_batches(partial_topk,
-                              batch_format="pyarrow").to_pandas()
+    parts = ranks_ds.map_batches(partial_topk,
+                                 batch_format="pyarrow").to_pandas()
     out = parts.sort_values(["pr_micro", "v"],
                             ascending=[False, True]).head(k)
-    out = out.rename(columns={"v": "doc_id"}).reset_index(drop=True)
-    for c in ("doc_id", "pr_micro"):
+    out = out.rename(columns={"v": id_name}).reset_index(drop=True)
+    for c in (id_name, "pr_micro"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def pagerank_topk(docs_ds, n_docs: int, *, k: int = 10, iters: int = 3,
+                  id_col: str = "doc_id"):
+    """Top-k (doc_id, pr_micro) pandas frame, ties broken by doc_id —
+    distributed per-block partial top-k (sort is on a k-row result,
+    never the full rank table)."""
+    ranks = integer_pagerank(docs_ds, n_docs, iters=iters,
+                             id_col=id_col)
+    return topk_from_ranks(ranks, k, id_name="doc_id")

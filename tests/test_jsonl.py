@@ -90,3 +90,20 @@ def test_ray_roundtrip_dataset(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     orig = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert back.equals(orig)
+
+
+def test_shard_names_distinct_for_shared_keys(tmp_path):
+    """Different batches must write DIFFERENT shards even when their
+    key columns are identical multisets — shard_name digests the full
+    batch content, never a single column."""
+    fn = write_jsonl_shards_stage(str(tmp_path), "lang")
+    t1 = pa.table({"lang": pa.array(["en", "en"]),
+                   "text": pa.array(["a", "b"])})
+    t2 = pa.table({"lang": pa.array(["en", "en"]),   # same key multiset
+                   "text": pa.array(["c", "d"])})    # different payload
+    p1 = fn(t1)["shard_path"][0].as_py()
+    p2 = fn(t2)["shard_path"][0].as_py()
+    assert p1 != p2
+    assert len(list(tmp_path.glob("shard-*.jsonl.gz"))) == 2
+    # and idempotency still holds for a re-run of the same block
+    assert fn(t1)["shard_path"][0].as_py() == p1
