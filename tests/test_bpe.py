@@ -146,3 +146,41 @@ def test_learn_never_collects_word_or_pair_tables(ray_session,
     # vocabulary is 2000 words / >5000 distinct pairs; each collect must
     # stay at per-block-top-1 scale
     assert max(collected) <= 64, collected
+
+
+def test_apply_merge_hypothesis_parity():
+    """Property: the vectorized run-parity merge equals the per-word
+    greedy left-to-right reference for random words over a tiny
+    alphabet (maximizes overlapping-run cases)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def ref_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    alphabet = st.sampled_from(["a", "b", "ab", "aa"])
+    words = st.lists(st.lists(alphabet, min_size=1, max_size=12),
+                     min_size=1, max_size=8)
+
+    @settings(max_examples=300, deadline=None)
+    @given(words=words, a=alphabet, b=alphabet)
+    def check(words, a, b):
+        flat = np.array([s for w in words for s in w], dtype=object)
+        word_of = np.repeat(np.arange(len(words), dtype=np.int64),
+                            [len(w) for w in words])
+        got_syms, got_wo = _apply_merge_flat(flat, word_of, a, b)
+        exp = [ref_merge(w, a, b) for w in words]
+        exp_flat = [s for w in exp for s in w]
+        exp_wo = [i for i, w in enumerate(exp) for _ in w]
+        assert got_syms.tolist() == exp_flat
+        assert got_wo.tolist() == exp_wo
+
+    check()
