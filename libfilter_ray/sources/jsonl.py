@@ -52,9 +52,13 @@ def write_jsonl_gz(path: str, table: pa.Table) -> int:
     pydict = [table[c].to_pylist() for c in cols]
     with gzip.open(path, "wt", encoding="utf-8") as f:
         for i in range(table.num_rows):
+            # allow_nan=False: bare NaN/Infinity tokens are invalid
+            # RFC 8259 — fail fast at write (the format's whole point
+            # is interchange; strict parsers reject such shards)
             f.write(json.dumps(
                 {c: v[i] for c, v in zip(cols, pydict)},
-                ensure_ascii=False, separators=(",", ":")) + "\n")
+                ensure_ascii=False, separators=(",", ":"),
+                allow_nan=False) + "\n")
     return table.num_rows
 
 
@@ -66,7 +70,11 @@ def parse_jsonl_stage(batch_rows: int = 4096, schema: pa.Schema = None):
     shard carries every column, the writer's invariant)."""
     import pyarrow.json as pj
 
-    opts = (pj.ParseOptions(explicit_schema=schema)
+    # unexpected_field_behavior="ignore": a pinned schema must actually
+    # pin — otherwise shards carrying an extra key gain an extra column
+    # and the Dataset's block schemas go ragged
+    opts = (pj.ParseOptions(explicit_schema=schema,
+                            unexpected_field_behavior="ignore")
             if schema is not None else None)
 
     def fn(t: pa.Table):
@@ -74,6 +82,8 @@ def parse_jsonl_stage(batch_rows: int = 4096, schema: pa.Schema = None):
             data = blob.as_py()
             if data[:2] == b"\x1f\x8b":
                 data = gzip.decompress(data)
+            if not data.strip():  # zero-record shard: common in dumps;
+                continue          # Arrow raises 'Empty JSON file'
             parsed = pj.read_json(io.BytesIO(data), parse_options=opts)
             for off in range(0, parsed.num_rows, batch_rows):
                 yield parsed.slice(off, batch_rows)

@@ -97,7 +97,8 @@ def _rebuild(table: pa.Table, syms: np.ndarray,
     offsets = np.concatenate([[0], np.cumsum(lens)])
     col = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()),
-        pa.array(syms.astype(str), type=pa.string()))
+        pa.array(syms.tolist(), type=pa.string()))  # object-safe, no
+        # U-dtype round trip (would truncate NULs / pad to max width)
     return pa.table({"syms": col, "cnt": table["cnt"]})
 
 
@@ -116,7 +117,8 @@ def build_word_table(docs_ds, *, text_col: str = "text",
         flat = pc.list_flatten(lists)
         flat = flat.filter(pc.not_equal(flat, ""))
         words, counts = np.unique(np.asarray(flat), return_counts=True)
-        return pa.table({"word": pa.array(words.astype(str)),
+        return pa.table({"word": pa.array(words.tolist(),
+                                          type=pa.string()),
                          "cnt": pa.array(counts, type=pa.int64())})
 
     words = docs_ds.map_batches(word_partial, batch_format="pyarrow") \
@@ -162,17 +164,20 @@ def learn_bpe_merges(docs_ds, *, k: int = 3, text_col: str = "text",
                              "r": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
         w = cnt[word_of[at]]
-        # ' ' is the one character no symbol can ever contain (words
-        # come from space-splitting) — and numpy U-dtype can't carry
-        # NUL, so space IS the safe pair separator
-        key = np.char.add(np.char.add(l.astype(str), " "),
-                          r.astype(str))
-        uniq, inv = np.unique(key, return_inverse=True)
+        # factorize each side separately, then pair via integer codes —
+        # NO U-dtype conversion anywhere (numpy U truncates trailing
+        # NULs, collapsing distinct symbols, and pads every element to
+        # the longest symbol's width)
+        ul, il = np.unique(l, return_inverse=True)
+        ur, ir = np.unique(r, return_inverse=True)
+        code = il.astype(np.int64) * len(ur) + ir
+        ucode, inv = np.unique(code, return_inverse=True)
         n = np.bincount(inv, weights=w.astype(np.float64)) \
             .astype(np.int64)  # counts < 2^53: float64 path is exact
-        lr = np.char.partition(uniq, " ")
-        return pa.table({"l": pa.array(lr[:, 0].astype(str)),
-                         "r": pa.array(lr[:, 2].astype(str)),
+        return pa.table({"l": pa.array(ul[ucode // len(ur)].tolist(),
+                                       type=pa.string()),
+                         "r": pa.array(ur[ucode % len(ur)].tolist(),
+                                       type=pa.string()),
                          "n": pa.array(n)})
 
     def block_top1(t: pa.Table) -> pa.Table:
@@ -232,6 +237,11 @@ def token_stats_after_merges(docs_ds, merges, *, text_col: str = "text",
     def stats(t: pa.Table) -> pa.Table:
         col = t[text_col].combine_chunks() \
             if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        # null text = zero words (what the trainer's list_flatten and
+        # SQL's unnest(string_split(NULL)) both do) — without this,
+        # list_value_length(null) becomes INT64_MIN under np.asarray
+        # and np.repeat raises on the negative count
+        col = pc.fill_null(col, "")
         lists = pc.split_pattern(col, " ")
         flat = pc.list_flatten(lists)
         doc_lens = np.asarray(pc.list_value_length(lists),
@@ -241,7 +251,10 @@ def token_stats_after_merges(docs_ds, merges, *, text_col: str = "text",
         words = np.asarray(flat, dtype=object)
         keep = words != ""
         words, doc_of = words[keep], doc_of[keep]
-        uniq, inv = np.unique(words.astype(str), return_inverse=True)
+        # object-dtype unique: numpy U-dtype would truncate trailing
+        # NULs (collapsing distinct words) and pad every occurrence to
+        # the longest word's width
+        uniq, inv = np.unique(words, return_inverse=True)
         seqs = [list(w) for w in uniq]  # code-point split, as training
         lens = np.array([len(s) for s in seqs], dtype=np.int64)
         syms = np.array([c for s in seqs for c in s], dtype=object)

@@ -66,6 +66,21 @@ def _outdeg_of(u: np.ndarray, n_docs: int) -> np.ndarray:
     return d
 
 
+def _pr_init(t: pa.Table, id_col: str) -> pa.Table:
+    """(v, pr_micro=PR_BASE) init rows — shared by both PageRank faces."""
+    v = np.asarray(t[id_col], dtype=np.int64)
+    return pa.table({"v": pa.array(v), "pr_micro": pa.array(
+        np.full(len(v), PR_BASE, dtype=np.int64))})
+
+
+def _pr_damp(t: pa.Table) -> pa.Table:
+    """The damping recurrence r' = teleport + (85*s)//100 — the single
+    home of the rule both PageRank faces (and their oracles) encode."""
+    s = np.asarray(t["s"], dtype=np.int64)
+    r = PR_TELEPORT + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+    return pa.table({"v": t["v"], "pr_micro": pa.array(r)})
+
+
 def synth_link_edges(docs_ds, n_docs: int, *, id_col: str = "doc_id"):
     """Directed (src, dst) edge Dataset from the formula above — the
     stand-in for reading a real anchor-href edge table. Streaming
@@ -134,12 +149,8 @@ def integer_pagerank(docs_ds, n_docs: int, *, iters: int = 3,
     every node itself so in-degree-0 nodes survive the groupby."""
     from ray.data.aggregate import Sum
 
-    def init(t: pa.Table) -> pa.Table:
-        v = np.asarray(t[id_col], dtype=np.int64)
-        return pa.table({"v": pa.array(v), "pr_micro": pa.array(
-            np.full(len(v), PR_BASE, dtype=np.int64))})
-
-    ranks = docs_ds.map_batches(init, batch_format="pyarrow")
+    ranks = docs_ds.map_batches(lambda t: _pr_init(t, id_col),
+                                batch_format="pyarrow")
 
     def scatter(t: pa.Table) -> pa.Table:
         u = np.asarray(t["v"], dtype=np.int64)
@@ -157,15 +168,10 @@ def integer_pagerank(docs_ds, n_docs: int, *, iters: int = 3,
                  np.zeros(len(u), dtype=np.int64)])),
         })
 
-    def damp(t: pa.Table) -> pa.Table:
-        s = np.asarray(t["s"], dtype=np.int64)
-        r = PR_TELEPORT + (PR_DAMP_NUM * s) // PR_DAMP_DEN
-        return pa.table({"v": t["v"], "pr_micro": pa.array(r)})
-
     for _ in range(iters):
         ranks = ranks.map_batches(scatter, batch_format="pyarrow") \
             .groupby("v").aggregate(Sum("contrib", alias_name="s")) \
-            .map_batches(damp, batch_format="pyarrow")
+            .map_batches(_pr_damp, batch_format="pyarrow")
     return ranks
 
 
@@ -181,23 +187,34 @@ def integer_pagerank_edges(edges_ds, nodes_ds, *, iters: int = 3,
     map_batches -> union with per-node zero rows -> groupby-sum ->
     damp. Two shuffles per iteration — the unavoidable all-to-all of
     link analysis; co-partition the edge table by src on disk to make
-    the first one a local exchange."""
+    the first one a local exchange. Setup validates node uniqueness
+    (one O(nodes) aggregate): a duplicated node id would replicate the
+    node's out-edges through every round's join, silently multiplying
+    its contribution mass."""
     from ray.data.aggregate import Count, Sum
 
     from .joins import hash_equi_join
 
+    # read the edge table once: it feeds both the out-degree groupby
+    # and the join's left side, which would otherwise re-scan the
+    # source (double I/O at exactly the scale this function targets)
+    edges_ds = edges_ds.materialize()
     deg = edges_ds.groupby(src_col).aggregate(Count(alias_name="d"))
     edges_d = hash_equi_join(
         edges_ds, deg, left_on=src_col, right_on=src_col,
         left_cols=[dst_col], right_cols=["d"],
         num_shards=num_shards).materialize()
 
-    def init(t: pa.Table) -> pa.Table:
-        v = np.asarray(t[node_col], dtype=np.int64)
-        return pa.table({"v": pa.array(v), "pr_micro": pa.array(
-            np.full(len(v), PR_BASE, dtype=np.int64))})
-
-    ranks = nodes_ds.map_batches(init, batch_format="pyarrow")
+    ranks = nodes_ds.map_batches(
+        lambda t: _pr_init(t, node_col),
+        batch_format="pyarrow").materialize()
+    n_nodes = ranks.count()
+    n_distinct = ranks.groupby("v").count().count()
+    if n_distinct != n_nodes:
+        raise ValueError(
+            f"nodes table has duplicate {node_col!r} ids "
+            f"({n_nodes} rows, {n_distinct} distinct) — duplicates "
+            "would silently multiply those nodes' contribution mass")
 
     def contrib(t: pa.Table) -> pa.Table:
         r = np.asarray(t["pr_micro"], dtype=np.int64)
@@ -211,11 +228,6 @@ def integer_pagerank_edges(edges_ds, nodes_ds, *, iters: int = 3,
         v = np.asarray(t["v"], dtype=np.int64)
         return pa.table({"v": pa.array(v), "contrib": pa.array(
             np.zeros(len(v), dtype=np.int64))})
-
-    def damp(t: pa.Table) -> pa.Table:
-        s = np.asarray(t["s"], dtype=np.int64)
-        r = PR_TELEPORT + (PR_DAMP_NUM * s) // PR_DAMP_DEN
-        return pa.table({"v": t["v"], "pr_micro": pa.array(r)})
 
     for _ in range(iters):
         # Two iterative-dataflow guards, both load-bearing:
@@ -237,7 +249,7 @@ def integer_pagerank_edges(edges_ds, nodes_ds, *, iters: int = 3,
         ranks = joined.map_batches(contrib, batch_format="pyarrow") \
             .union(ranks.map_batches(zero, batch_format="pyarrow")) \
             .groupby("v").aggregate(Sum("contrib", alias_name="s")) \
-            .map_batches(damp, batch_format="pyarrow")
+            .map_batches(_pr_damp, batch_format="pyarrow")
     return ranks
 
 

@@ -211,3 +211,17 @@ def test_synth_edges_streaming_shape(ray_session):
     src, dst = _edges_of(np.arange(64, dtype=np.int64), 64)
     got = sorted(zip(edges["src"], edges["dst"]))
     assert got == sorted(zip(src, dst))
+
+
+def test_edge_table_pagerank_rejects_duplicate_nodes(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.graph import integer_pagerank_edges
+
+    edges = ray.data.from_arrow(pa.table(
+        {"src": pa.array([0, 1], type=pa.int64()),
+         "dst": pa.array([1, 2], type=pa.int64())}))
+    nodes = ray.data.from_arrow(pa.table(
+        {"node": pa.array([0, 1, 2, 2], type=pa.int64())}))
+    with pytest.raises(ValueError, match="duplicate"):
+        integer_pagerank_edges(edges, nodes, iters=1, num_shards=2)

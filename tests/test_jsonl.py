@@ -107,3 +107,15 @@ def test_shard_names_distinct_for_shared_keys(tmp_path):
     assert len(list(tmp_path.glob("shard-*.jsonl.gz"))) == 2
     # and idempotency still holds for a re-run of the same block
     assert fn(t1)["shard_path"][0].as_py() == p1
+
+
+def test_empty_shard_and_nan_gate(tmp_path):
+    # zero-record shards must parse to nothing, not crash
+    (tmp_path / "e.jsonl").write_text("")
+    batches = list(parse_jsonl_stage(schema=SCHEMA)(
+        pa.table({"bytes": pa.array([(tmp_path / "e.jsonl").read_bytes()])})))
+    assert batches == []
+    # non-finite floats are rejected at write (invalid RFC 8259)
+    t = pa.table({"x": pa.array([float("nan")])})
+    with pytest.raises(ValueError):
+        write_jsonl_gz(str(tmp_path / "n.jsonl.gz"), t)
