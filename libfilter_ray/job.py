@@ -1335,7 +1335,7 @@ def _cmd_export(args: argparse.Namespace) -> int:
     JSON-native — project timestamps/binary first or pass --columns),
     `--format warc` writes member-per-record gzip'd WARC (requires
     url/warc_ts/html columns). Each task writes its own shard named by
-    its batch's min key hash (idempotent re-runs); stdout is the
+    its batch's content digest (idempotent re-runs); stdout is the
     manifest (shard_path, n_records)."""
     import ray.data
 
@@ -1346,9 +1346,9 @@ def _cmd_export(args: argparse.Namespace) -> int:
     if args.format == "jsonl":
         from .sources.jsonl import write_jsonl_shards_stage
 
-        key = args.key_column or (cols[0] if cols else
-                                  ds.schema().names[0])
-        stage = write_jsonl_shards_stage(args.out, key)
+        # shard naming digests full batch content; --key-column is
+        # accepted for compatibility but no longer affects names
+        stage = write_jsonl_shards_stage(args.out, args.key_column)
     else:
         from .sources.warc import write_warc_shards_stage
 
