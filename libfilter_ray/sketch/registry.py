@@ -79,3 +79,4 @@ def _ensure_builtins() -> None:
     from . import minimal_taffy_cuckoo  # noqa: F401
     from . import vector_quotient  # noqa: F401
     from . import cuckoo  # noqa: F401
+    from . import kmv  # noqa: F401

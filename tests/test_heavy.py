@@ -1,0 +1,116 @@
+"""Misra-Gries heavy hitters: compress invariants, the merged-summary
+no-false-negative guarantee, and the two-pass exact pipeline vs a plain
+exact count."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from libfilter_ray.stages.heavy import (heavy_hitters, mg_compress,
+                                        zipf_items)
+
+
+def _exact(items):
+    vals, counts = np.unique(items, return_counts=True)
+    return dict(zip(vals.tolist(), counts.tolist()))
+
+
+def test_mg_compress_invariants(rng):
+    items = rng.zipf(1.5, 10_000).astype(np.int64)
+    vals, counts = np.unique(items, return_counts=True)
+    cv, cc = mg_compress(vals, counts.astype(np.int64), 32)
+    assert len(cv) <= 32
+    true = _exact(items)
+    for v, c in zip(cv.tolist(), cc.tolist()):
+        assert 0 < c <= true[v]  # never overcounts
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 40), min_size=1, max_size=500),
+       st.integers(2, 8), st.integers(4, 16))
+def test_merged_summary_no_false_negatives(vals, nblocks, k):
+    """Split the stream into blocks, MG-compress each, SUM the summaries
+    (the groupby-Sum merge): every item with true count > n/(k+1) must
+    survive with lower bound within n/(k+1) of its true count —
+    Agarwal et al.'s mergeability bound, the guarantee heavy_hitters'
+    candidate filter relies on."""
+    items = np.array(vals, dtype=np.int64)
+    n = len(items)
+    true = _exact(items)
+    summed: dict[int, int] = {}
+    for i in range(nblocks):
+        block = items[i::nblocks]
+        if not len(block):
+            continue
+        v, c = np.unique(block, return_counts=True)
+        v, c = mg_compress(v, c.astype(np.int64), k)
+        for vv, cc in zip(v.tolist(), c.tolist()):
+            summed[vv] = summed.get(vv, 0) + cc
+    bound = n // (k + 1)
+    for item, t in true.items():
+        got = summed.get(item, 0)
+        assert got <= t
+        if t > bound:
+            assert item in summed and got >= t - bound, (item, t, got, bound)
+
+
+def test_zipf_items_shape():
+    ids = np.arange(200_000, dtype=np.int64)
+    it = zipf_items(ids)
+    assert it.dtype == np.int64 and (it >= 1).all()
+    # P(item=1) = 1/2, P(item=2) = 1/6 — within loose sampling bands
+    share1 = (it == 1).mean()
+    share2 = (it == 2).mean()
+    assert 0.49 < share1 < 0.51 and 0.16 < share2 < 0.175
+    # deterministic
+    assert np.array_equal(it[:100], zipf_items(ids[:100]))
+
+
+def test_phi_guarantee_check(ray_session):
+    import ray.data
+
+    ds = ray.data.range(10)
+    with pytest.raises(ValueError):
+        heavy_hitters(ds, lambda t: np.zeros(t.num_rows, dtype=np.int64),
+                      k=10, phi_num=1, phi_den=50)
+
+
+def test_heavy_hitters_end_to_end(ray_session, rng):
+    """Two-pass MG + recount over a Ray dataset == exact pandas
+    groupby + threshold, with blocks small enough that per-block MG
+    compression genuinely engages."""
+    import ray.data
+
+    n = 60_000
+    ids = rng.permutation(n).astype(np.int64)
+    truth_items = zipf_items(ids)
+    ds = ray.data.from_arrow(pa.table({"id": ids})).repartition(12)
+
+    def items(t: pa.Table) -> np.ndarray:
+        col = t.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        return zipf_items(np.asarray(col))
+
+    out, total = heavy_hitters(ds, items, k=64, phi_num=1, phi_den=50,
+                               batch_size=4096)
+    assert total == n
+    thresh = (n + 49) // 50
+    exact = pd.Series(truth_items).value_counts()
+    want = exact[exact >= thresh].sort_index()
+    got = out.set_index("item")["n"].sort_index()
+    assert got.index.tolist() == want.index.tolist()
+    assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_heavy_hitters_empty(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"id": pa.array([], type=pa.int64())}))
+    out, total = heavy_hitters(
+        ds, lambda t: np.empty(0, dtype=np.int64), k=16, phi_num=1,
+        phi_den=4)
+    assert total == 0 and len(out) == 0
