@@ -51,6 +51,10 @@ Subcommands:
   corpus size. ``--exact-quantiles`` swaps the KLL estimates for exact
   order statistics (stages/order_stats.py iterative range refinement — a
   few extra streaming passes, still no group materialization).
+- ``topk``    exact heavy hitters over a string/integer column
+  (heavy domains/urls/tokens): per-block Misra-Gries summaries, bounded
+  candidate collect, broadcast exact recount — exact counts for every
+  item with frequency >= ``--phi``, no full-vocabulary shuffle.
 - ``list``    print every registered pipeline and whether it carries a
   DuckDB oracle.
 """
@@ -1259,6 +1263,50 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_topk(args: argparse.Namespace) -> int:
+    """EXACT heavy hitters over a string/integer column (the heavy
+    domains / urls / tokens report): per-block Misra-Gries summaries ->
+    bounded candidate set -> broadcast exact recount (stages/heavy.py).
+    Output is exactly the items with count >= ceil(total * phi) and
+    their exact counts — no sketch error — while no stage ever holds
+    more than k rows per block or ~1/(phi - 1/(k+1)) rows on the
+    driver."""
+    import ray.data
+
+    from .stages.heavy import column_items, heavy_hitters
+
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, [args.column])
+    ftype = pq.read_schema(paths[0]).field(args.column).type
+    if pa.types.is_integer(ftype):
+        item_type, sentinel = pa.int64(), 0
+    elif pa.types.is_string(ftype) or pa.types.is_large_string(ftype):
+        item_type, sentinel = pa.string(), ""
+    else:
+        raise SystemExit(f"cannot run topk on column of type {ftype} — "
+                         "supported: string and integer")
+    try:
+        num, den = (int(x) for x in args.phi.split("/", 1))
+    except ValueError:
+        raise SystemExit(f"--phi must look like 1/100, got {args.phi!r}")
+    ds = ray.data.read_parquet(paths, columns=[args.column])
+    try:
+        out, total = heavy_hitters(
+            ds, column_items(args.column), k=args.k,
+            phi_num=num, phi_den=den, item_type=item_type,
+            sentinel=sentinel)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    out = out.rename(columns={"item": args.column})
+    if total:
+        out["share_ppm"] = (out["n"] * 1_000_000 // total).astype("int64")
+    print(f"total items: {total}, threshold: "
+          f">= ceil({num}/{den} * total) = {(num * total + den - 1) // den}",
+          file=sys.stderr)
+    _write_result(out, args.output)
+    return 0
+
+
 def _cmd_ann(args: argparse.Namespace) -> int:
     """Similarity search over an embedding table: exact brute-force
     cosine top-k, or the IVF / PQ approximate scale paths (stages/ann.py).
@@ -1686,6 +1734,20 @@ def make_parser() -> argparse.ArgumentParser:
                     help="refinement rounds for --exact-quantiles")
     pf.add_argument("--output", default=None)
     pf.set_defaults(fn=_cmd_profile)
+
+    tk = sub.add_parser("topk",
+                        help="exact heavy hitters over a column "
+                             "(Misra-Gries candidates + exact recount)")
+    tk.add_argument("--input", required=True)
+    tk.add_argument("--table", required=True)
+    tk.add_argument("--column", required=True)
+    tk.add_argument("--k", type=int, default=256,
+                    help="MG summary size; must satisfy phi > 1/(k+1)")
+    tk.add_argument("--phi", default="1/100",
+                    help="frequency threshold as NUM/DEN (items with "
+                         "count >= ceil(total*phi) are reported)")
+    tk.add_argument("--output", default=None)
+    tk.set_defaults(fn=_cmd_topk)
 
     an = sub.add_parser("ann", help="similarity search over embeddings")
     an.add_argument("--input", required=True)

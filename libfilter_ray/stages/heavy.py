@@ -63,9 +63,27 @@ def mg_compress(vals: np.ndarray, counts: np.ndarray, k: int):
     return vals[m], dec[m]
 
 
+def column_items(column: str):
+    """make_items reading a string or integer column directly (the
+    heavy-domains / heavy-urls / heavy-tokens shape). NULL rows are not
+    items and are dropped; strings come out as an object-dtype array
+    (never numpy U-dtype — it can't carry NUL and pads to the longest
+    value)."""
+
+    def items(t: pa.Table) -> np.ndarray:
+        col = t.column(column).combine_chunks().drop_null()
+        if pa.types.is_integer(col.type):
+            return np.asarray(col.to_numpy(zero_copy_only=False),
+                              dtype=np.int64)
+        return np.asarray(col, dtype=object)
+
+    return items
+
+
 def heavy_hitters(ds, make_items, *, k: int = 64,
                   phi_num: int = 1, phi_den: int = 50,
                   item_type: pa.DataType = pa.int64(),
+                  sentinel=0,
                   batch_size: int | None = 8192):
     """Exact heavy hitters over the item stream `make_items(batch)`.
 
@@ -76,6 +94,10 @@ def heavy_hitters(ds, make_items, *, k: int = 64,
     Correctness requires phi > 1/(k+1) (checked): the merged MG summary
     undercounts any item by at most total/(k+1) < phi*total, so no
     qualifying item can be missing from the candidate set.
+
+    `sentinel` is the item value carried by the per-block total rows
+    (any valid value of item_type — "" for strings); it is segregated by
+    the is_total flag and can also appear as a real item.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -96,7 +118,7 @@ def heavy_hitters(ds, make_items, *, k: int = 64,
                          type=pa.int32())
         summary = pa.table({"item": item_arr, "n": n_arr, "is_total": flags})
         total_row = pa.table({
-            "item": pa.array([0], type=item_type),
+            "item": pa.array([sentinel], type=item_type),
             "n": pa.array([total], type=pa.int64()),
             "is_total": pa.array([1], type=pa.int32()),
         })

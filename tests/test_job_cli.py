@@ -1362,3 +1362,54 @@ def test_bpe_subcommand_matches_reference(tmp_path, ray_session):
                            columns=["text"])["text"].to_pylist()
     ref = bpe_reference(texts, k=3)
     assert got.to_dict("records") == ref
+
+
+def test_topk_subcommand_exact_string_and_int(tmp_path, ray_session):
+    """`topk` == plain GROUP BY ... HAVING on both column families."""
+    import duckdb
+    import pandas as pd
+
+    out = tmp_path / "hh.parquet"
+    assert main(["topk", "--input", SF_DIR_01, "--table", "events",
+                 "--column", "user_id", "--k", "256", "--phi", "1/200",
+                 "--output", str(out)]) == 0
+    got = pd.read_parquet(out)
+    want = duckdb.sql(f"""
+        WITH c AS (SELECT user_id, count(*)::BIGINT AS n
+                   FROM '{SF_DIR_01}/events.parquet' GROUP BY 1),
+             t AS (SELECT count(*) AS total
+                   FROM '{SF_DIR_01}/events.parquet')
+        SELECT user_id, n FROM c, t WHERE 200 * n >= total
+        ORDER BY n DESC, user_id""").df().astype("int64")
+    g = got[["user_id", "n"]].sort_values(
+        ["n", "user_id"], ascending=[False, True]).reset_index(drop=True)
+    assert g.equals(want.reset_index(drop=True))
+    assert (got["share_ppm"] == got["n"] * 1_000_000 // 10_000).all()
+
+    out2 = tmp_path / "hh2.parquet"
+    assert main(["topk", "--input", SF_DIR_01, "--table", "documents",
+                 "--column", "source", "--k", "64", "--phi", "1/25",
+                 "--output", str(out2)]) == 0
+    got2 = pd.read_parquet(out2)
+    want2 = duckdb.sql(f"""
+        WITH c AS (SELECT source, count(*)::BIGINT AS n
+                   FROM '{SF_DIR_01}/documents.parquet' GROUP BY 1),
+             t AS (SELECT count(*) AS total
+                   FROM '{SF_DIR_01}/documents.parquet')
+        SELECT source, n FROM c, t WHERE 25 * n >= total
+        ORDER BY n DESC, source""").df()
+    g2 = got2[["source", "n"]].sort_values(
+        ["n", "source"], ascending=[False, True]).reset_index(drop=True)
+    assert g2.equals(want2.reset_index(drop=True))
+
+
+def test_topk_guarantee_gate(ray_session):
+    with pytest.raises(SystemExit):
+        main(["topk", "--input", SF_DIR_01, "--table", "events",
+              "--column", "user_id", "--k", "100", "--phi", "1/200"])
+    with pytest.raises(SystemExit):
+        main(["topk", "--input", SF_DIR_01, "--table", "events",
+              "--column", "value", "--k", "64", "--phi", "1/25"])
+    with pytest.raises(SystemExit):
+        main(["topk", "--input", SF_DIR_01, "--table", "events",
+              "--column", "user_id", "--phi", "bogus"])
