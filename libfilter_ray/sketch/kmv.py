@@ -132,7 +132,15 @@ def set_ops(a: KMV, b: KMV) -> dict:
         "theta": theta,
         "n_common": n_common,
         "n_union_kept": n_union,
+        "n_a_kept": int(len(ka)),
+        "n_b_kept": int(len(kb)),
         "inter_est": n_common * scale,
         "union_est": n_union * scale,
         "jaccard": (n_common / n_union) if n_union else 0.0,
+        # share of A's (resp. B's) distinct values also present in B
+        # (resp. A) — both sides restricted to h < theta are rate-equal
+        # samples, so the ratio is an unbiased containment estimate (the
+        # decontamination pre-flight number)
+        "containment_a": (n_common / len(ka)) if len(ka) else 0.0,
+        "containment_b": (n_common / len(kb)) if len(kb) else 0.0,
     }
