@@ -123,3 +123,31 @@ def test_hash_buffer_chunked_matches_single_pass(monkeypatch, rng):
     w2 = hashing.hash_arrow_array(big, seed=9)
     monkeypatch.setattr(hashing, "_HASH_CHUNK_BYTES", 100)
     assert np.array_equal(w2, hashing.hash_arrow_array(big, seed=9))
+
+
+def test_sql_splitmix_chain_bit_exact(rng):
+    """The shared SQL CTE chain (queries._sql_splitmix_chain) reproduces
+    sketch/hashing.py:splitmix64 bit-for-bit for random inputs and the
+    seeds every oracle uses — the foundation all kmv/heavy/multimodal
+    oracles stand on."""
+    import duckdb
+
+    from libfilter_ray.pipelines.queries import (_M64, _SM_ADD_KMV,
+                                                 _SM_ADD_ZIPF,
+                                                 _sql_splitmix_chain)
+    from libfilter_ray.sketch.hashing import splitmix64
+
+    xs = np.concatenate([
+        rng.integers(0, 2**63, 500, dtype=np.uint64),
+        np.array([0, 1, 2**63 - 1], dtype=np.uint64),
+    ])
+    con = duckdb.connect()
+    con.register("tin", __import__("pandas").DataFrame(
+        {"x": xs.astype(np.int64)}))  # int64 view, like parquet ids
+    for add_const, seed in ((_SM_ADD_KMV, 0x5EEDBADBEE52B055),
+                            (_SM_ADD_ZIPF, 0x21BF)):
+        sql = ("WITH " + _sql_splitmix_chain("c", "tin", "x", add_const)
+               + " SELECT h FROM c3")
+        got = con.sql(sql).df()["h"].to_numpy().astype(np.uint64)
+        want = splitmix64(xs, seed=seed)
+        assert np.array_equal(got, want), add_const
