@@ -114,3 +114,44 @@ def test_heavy_hitters_empty(ray_session):
         ds, lambda t: np.empty(0, dtype=np.int64), k=16, phi_num=1,
         phi_den=4)
     assert total == 0 and len(out) == 0
+
+
+def test_heavy_hitters_never_collects_vocab(ray_session, monkeypatch):
+    """Scale guard (the house to_pandas spy): with a vocabulary far wider
+    than the candidate bound, every driver collect stays at
+    O(1/(phi - 1/(k+1))) rows — never O(vocab)."""
+    import ray.data
+
+    # 40k-row stream: zipf head (heavy hitters) + 20k singleton items
+    # (the wide crawl tail a naive collect would choke on)
+    ids = np.arange(40_000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"id": ids})).repartition(8)
+
+    def make(id_arr: np.ndarray) -> np.ndarray:
+        out = zipf_items(id_arr)
+        tail = id_arr >= 20_000
+        out[tail] = 1_000_000_000 + id_arr[tail]
+        return out
+
+    def items(t: pa.Table) -> np.ndarray:
+        col = t.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        return make(np.asarray(col))
+
+    vocab = len(np.unique(make(ids)))
+    assert vocab > 20_000  # the guard is vacuous on a narrow vocabulary
+
+    collected = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    out, total = heavy_hitters(ds, items, k=64, phi_num=1, phi_den=50,
+                               batch_size=4096)
+    assert total == 40_000 and len(out) >= 4
+    assert collected, "spy never fired"
+    # bound: 1/(phi - 1/(k+1)) = 1/(1/50 - 1/65) ~ 217 candidate rows
+    assert max(collected) <= 250, (max(collected), vocab)
