@@ -5730,6 +5730,46 @@ ORDER BY c.n DESC, c.item ASC
 """
 
 
+def q_grouped_heavy_hitter_items(sf_dir: str) -> pd.DataFrame:
+    """Per-key exact heavy hitters (the Gopher-style "heavy tokens per
+    language" shape, keyed by event_type here): per-block MG summaries
+    per key-in-block via the sort-split idiom, per-key cutoffs against
+    broadcast totals, per-key candidate recount — every stage bounded by
+    #keys x the candidate constant (stages/heavy.py:
+    grouped_heavy_hitters). Same planted zipf stream as
+    heavy_hitter_items; the oracle joins per-type totals back in SQL."""
+    from ..stages.heavy import grouped_heavy_hitters, zipf_items
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def items(t: pa.Table) -> np.ndarray:
+        ids = t.column("event_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return zipf_items(np.asarray(ids))
+
+    out, _totals = grouped_heavy_hitters(ds, "event_type", items, k=64,
+                                         phi_num=1, phi_den=50)
+    return out.rename(columns={"item": "item", "n": "n"})
+
+
+SQL_GROUPED_HEAVY = f"""
+WITH {_sql_splitmix_chain("gz", "events", "event_id", _SM_ADD_ZIPF,
+                          carry="event_type").lstrip()},
+i AS (
+  SELECT event_type,
+         CAST(CAST(9007199254740992 AS HUGEINT)
+              // (CAST(h >> 11 AS HUGEINT) + 1) AS BIGINT) AS item
+  FROM gz3
+),
+t AS (SELECT event_type, count(*)::BIGINT AS total FROM i GROUP BY 1),
+c AS (SELECT event_type, item, count(*)::BIGINT AS n FROM i GROUP BY 1, 2)
+SELECT c.event_type, c.item, c.n
+FROM c JOIN t USING (event_type)
+WHERE 50 * c.n >= t.total
+ORDER BY c.event_type, c.n DESC, c.item
+"""
+
+
 # Ordering policy: the correctness driver grades the FIRST 50 entries of this
 # dict, so SQL-oracled queries come first (rotating so every oracled query
 # eventually lands in the graded window) and the no-oracle entries (sketch
@@ -5760,7 +5800,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sequence_packing_sharded": q_sequence_packing_sharded,
     "url_dedup_latest": q_url_dedup_latest,
     "domain_cap": q_domain_cap,
-    "decontamination_stats": q_decontamination_stats,
     "freq_quality_stats": q_freq_quality_stats,
     "token_budget_sample": q_token_budget_sample,
     "weighted_mixture_sample": q_weighted_mixture_sample,
@@ -5796,12 +5835,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kmv_distinct_by_type": q_kmv_distinct_by_type,
     "kmv_set_ops_types": q_kmv_set_ops_types,
     "heavy_hitter_items": q_heavy_hitter_items,
+    "grouped_heavy_hitter_items": q_grouped_heavy_hitter_items,
     # -- rotation slots: previously driver-green or judge-verified
     # oracled anchors pushed below slot 50 (doc_stats_by_lang,
     # pricing_summary, bloom_semijoin by the link-graph/jsonl additions;
     # customer_order_counts, train_val_test_split,
     # quality_percentile_cut — judge-verified 16/16 in the r3 VERDICT —
     # by the kmv/heavy-hitter additions) --
+    "decontamination_stats": q_decontamination_stats,
     "customer_order_counts": q_customer_order_counts,
     "train_val_test_split": q_train_val_test_split,
     "quality_percentile_cut": q_quality_percentile_cut,
@@ -5954,4 +5995,5 @@ ORACLES: dict[str, str] = {
     "kmv_distinct_by_type": SQL_KMV_DISTINCT,
     "kmv_set_ops_types": SQL_KMV_SET_OPS,
     "heavy_hitter_items": SQL_HEAVY_HITTERS,
+    "grouped_heavy_hitter_items": SQL_GROUPED_HEAVY,
 }

@@ -168,3 +168,152 @@ def heavy_hitters(ds, make_items, *, k: int = 64,
     out = out.sort_values(["n", "item"], ascending=[False, True]) \
         .reset_index(drop=True)[["item", "n"]]
     return out, total
+
+
+def grouped_heavy_hitters(ds, key: str, make_items, *, k: int = 64,
+                          phi_num: int = 1, phi_den: int = 50,
+                          item_type: pa.DataType = pa.int64(),
+                          sentinel=0,
+                          batch_size: int | None = 8192):
+    """Per-key exact heavy hitters (the Gopher-style "heavy tokens per
+    language" shape): for every key, exactly the items with in-key count
+    >= ceil(phi * key_total), with exact counts.
+
+    `make_items(batch)` must return an item array ALIGNED with the batch
+    rows (one item per row — unlike the global path, items cannot be
+    dropped because they pair with the key column).
+
+    Same two bounded passes as `heavy_hitters`, per key: block-level MG
+    summaries per (key-in-block) via one argsort + zero-copy slices
+    (the sketch_build sort-split idiom), groupby (key, item) over <=
+    (k+1) rows per key per block, per-key cutoff applied against the
+    broadcast totals, recount restricted to the per-key candidate sets.
+    Driver state: O(#keys) totals + O(#keys / (phi - 1/(k+1)))
+    candidates — key cardinality is assumed dictionary-sized (langs,
+    domains-after-capping); for billions of keys use the global path on
+    (key, item) composite items instead.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if phi_num * (k + 1) <= phi_den:
+        raise ValueError(
+            f"phi={phi_num}/{phi_den} must exceed 1/(k+1)={1}/{k + 1}: "
+            "the MG guarantee cannot cover the threshold")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        items = make_items(t)
+        keycol = t.column(key).combine_chunks()
+        if len(items) != len(keycol):
+            raise ValueError(
+                "grouped make_items must return one item per row "
+                f"({len(items)} items for {len(keycol)} rows)")
+        dict_arr = pc.dictionary_encode(keycol)
+        codes = np.asarray(dict_arr.indices)
+        uniq = dict_arr.dictionary
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+        items_sorted = items[order]
+        keys_out, items_out, counts_out, flags_out = [], [], [], []
+        for code in range(len(uniq)):
+            b0, b1 = int(bounds[code]), int(bounds[code + 1])
+            vals, counts = np.unique(items_sorted[b0:b1],
+                                     return_counts=True)
+            vals, counts = mg_compress(vals, counts.astype(np.int64), k)
+            kv = uniq[code].as_py()
+            keys_out.extend([kv] * (len(vals) + 1))
+            items_out.extend(vals.tolist())
+            counts_out.extend(counts.tolist())
+            flags_out.extend([0] * len(vals))
+            items_out.append(sentinel)
+            counts_out.append(b1 - b0)
+            flags_out.append(1)
+        return pa.table({
+            key: pa.array(keys_out, type=keycol.type),
+            "item": pa.array(items_out, type=item_type),
+            "n": pa.array(counts_out, type=pa.int64()),
+            "is_total": pa.array(flags_out, type=pa.int32()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=batch_size) \
+        .groupby([key, "is_total", "item"]) \
+        .aggregate(Sum("n", alias_name="n")).materialize()
+
+    totals = agg.filter(expr="is_total == 1").to_pandas()  # O(#keys)
+    import pandas as pd
+    if not len(totals):
+        empty = pd.DataFrame({
+            key: pa.array([], type=pa.string()).to_pandas(),
+            "item": pa.array([], type=item_type).to_pandas(),
+            "n": np.array([], dtype=np.int64)})
+        return empty, {}
+    totals_by_key = {r[key]: int(r["n"]) for _, r in totals.iterrows()}
+    cutoffs = {kv: max(1, (phi_num * n + phi_den - 1) // phi_den
+                       - n // (k + 1))
+               for kv, n in totals_by_key.items()}
+    cut_ref = ray.put(cutoffs)
+
+    def cand_filter(t: pa.Table) -> pa.Table:
+        cuts = ray.get(cut_ref)
+        flags = np.asarray(t["is_total"])
+        ns = np.asarray(t["n"])
+        kvs = t.column(key).to_pylist()
+        keep = (flags == 0) & np.array(
+            [n >= cuts.get(kv, 1) for kv, n in zip(kvs, ns)])
+        return t.filter(pa.array(keep))
+
+    cand = agg.map_batches(cand_filter, batch_format="pyarrow").to_pandas()
+    if not len(cand):
+        empty = pd.DataFrame({key: totals[key].iloc[:0],
+                              "item": pa.array([], type=item_type)
+                              .to_pandas(),
+                              "n": np.array([], dtype=np.int64)})
+        return empty, totals_by_key
+    cand_sets = {kv: np.sort(g["item"].to_numpy())
+                 for kv, g in cand.groupby(key, sort=False)}
+    sets_ref = ray.put(cand_sets)
+
+    def recount(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sets = ray.get(sets_ref)
+        items = make_items(t)
+        keycol = t.column(key).combine_chunks()
+        dict_arr = pc.dictionary_encode(keycol)
+        codes = np.asarray(dict_arr.indices)
+        uniq = dict_arr.dictionary
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+        items_sorted = items[order]
+        keys_out, items_out, counts_out = [], [], []
+        for code in range(len(uniq)):
+            kv = uniq[code].as_py()
+            cands = sets.get(kv)
+            if cands is None or not len(cands):
+                continue
+            seg = items_sorted[int(bounds[code]):int(bounds[code + 1])]
+            pos = np.searchsorted(cands, seg)
+            pos[pos >= len(cands)] = 0
+            seg = seg[cands[pos] == seg]
+            vals, counts = np.unique(seg, return_counts=True)
+            keys_out.extend([kv] * len(vals))
+            items_out.extend(vals.tolist())
+            counts_out.extend(counts.astype(np.int64).tolist())
+        return pa.table({
+            key: pa.array(keys_out, type=keycol.type),
+            "item": pa.array(items_out, type=item_type),
+            "n": pa.array(counts_out, type=pa.int64()),
+        })
+
+    exact = ds.map_batches(recount, batch_format="pyarrow",
+                           batch_size=batch_size) \
+        .groupby([key, "item"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    exact["n"] = exact["n"].astype("int64")
+    tot = exact[key].map(totals_by_key).astype("int64")
+    out = exact[exact["n"] * phi_den >= phi_num * tot]
+    out = out.sort_values([key, "n", "item"],
+                          ascending=[True, False, True]) \
+        .reset_index(drop=True)[[key, "item", "n"]]
+    return out, totals_by_key

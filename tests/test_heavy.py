@@ -11,7 +11,8 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from libfilter_ray.stages.heavy import (heavy_hitters, mg_compress,
+from libfilter_ray.stages.heavy import (grouped_heavy_hitters,
+                                        heavy_hitters, mg_compress,
                                         zipf_items)
 
 
@@ -155,3 +156,117 @@ def test_heavy_hitters_never_collects_vocab(ray_session, monkeypatch):
     assert collected, "spy never fired"
     # bound: 1/(phi - 1/(k+1)) = 1/(1/50 - 1/65) ~ 217 candidate rows
     assert max(collected) <= 250, (max(collected), vocab)
+
+
+def _grouped_truth(keys, items, phi_num, phi_den):
+    df = pd.DataFrame({"key": keys, "item": items})
+    tot = df.groupby("key").size()
+    cnt = df.groupby(["key", "item"]).size().reset_index(name="n")
+    cnt["total"] = cnt["key"].map(tot)
+    out = cnt[cnt["n"] * phi_den >= phi_num * cnt["total"]]
+    return out.sort_values(["key", "n", "item"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)[["key", "item", "n"]], tot.to_dict()
+
+
+def _grouped_ds(keys, ids, nblocks=12):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "key": pa.array(keys, type=pa.string()),
+        "id": pa.array(ids, type=pa.int64()),
+    })).repartition(nblocks)
+
+
+def _id_items(make):
+    def items(t: pa.Table) -> np.ndarray:
+        col = t.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        return make(np.asarray(col))
+
+    return items
+
+
+def test_grouped_heavy_hitters_end_to_end(ray_session, rng):
+    """Per-key two-pass MG + recount == exact per-key pandas groupby +
+    threshold, on keys with very different stream sizes (skewed key) so
+    the per-key cutoffs genuinely differ."""
+    n = 50_000
+    ids = rng.permutation(n).astype(np.int64)
+    # skew: key 'a' carries ~70% of rows, 'c' ~2%
+    u = rng.random(n)
+    keys = np.where(u < 0.7, "a", np.where(u < 0.98, "b", "c"))
+    truth_items = zipf_items(ids)
+    want, want_totals = _grouped_truth(keys, truth_items, 1, 50)
+
+    ds = _grouped_ds(keys.tolist(), ids)
+    out, totals = grouped_heavy_hitters(ds, "key", _id_items(zipf_items),
+                                        k=64, phi_num=1, phi_den=50,
+                                        batch_size=4096)
+    assert totals == want_totals
+    assert out["key"].tolist() == want["key"].tolist()
+    assert out["item"].tolist() == want["item"].tolist()
+    assert out["n"].tolist() == want["n"].tolist()
+
+
+def test_grouped_heavy_hitters_guards(ray_session):
+    import ray.data
+
+    ds = _grouped_ds(["a", "b"], [1, 2], nblocks=1)
+    with pytest.raises(ValueError):
+        grouped_heavy_hitters(
+            ds, "key", lambda t: np.zeros(t.num_rows, dtype=np.int64),
+            k=10, phi_num=1, phi_den=50)
+    # make_items must stay row-aligned in the grouped path; the
+    # misalignment raises inside a Ray task and surfaces at materialize
+    with pytest.raises(Exception, match="one item per row"):
+        grouped_heavy_hitters(
+            ds, "key", lambda t: np.zeros(t.num_rows - 1, dtype=np.int64),
+            k=64, phi_num=1, phi_den=50)
+
+    empty = ray.data.from_arrow(pa.table({
+        "key": pa.array([], type=pa.string()),
+        "id": pa.array([], type=pa.int64())}))
+    out, totals = grouped_heavy_hitters(
+        empty, "key", lambda t: np.empty(0, dtype=np.int64),
+        k=16, phi_num=1, phi_den=4)
+    assert len(out) == 0 and totals == {}
+
+
+def test_grouped_heavy_hitters_never_collects_vocab(ray_session,
+                                                    monkeypatch):
+    """Scale guard: per-key driver collects stay at O(#keys x candidate
+    bound) even when each key's vocabulary is 10k+ singletons."""
+    import ray.data
+
+    n = 40_000
+    ids = np.arange(n, dtype=np.int64)
+    keys = np.where(ids % 2 == 0, "a", "b")
+
+    def make(id_arr: np.ndarray) -> np.ndarray:
+        out = zipf_items(id_arr)
+        tail = id_arr >= n // 2
+        out[tail] = 1_000_000_000 + id_arr[tail]  # per-key singleton tail
+        return out
+
+    ds = _grouped_ds(keys.tolist(), ids, nblocks=8)
+
+    collected = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    out, totals = grouped_heavy_hitters(ds, "key", _id_items(make),
+                                        k=64, phi_num=1, phi_den=50,
+                                        batch_size=4096)
+    assert totals == {"a": n // 2, "b": n // 2} and len(out) >= 8
+    assert collected, "spy never fired"
+    # 2 keys x ~217 candidates; totals collect is 2 rows
+    assert max(collected) <= 500, max(collected)
+    # exactness on the same stream
+    want, _ = _grouped_truth(keys, make(ids), 1, 50)
+    assert out["n"].tolist() == want["n"].tolist()
+    assert out["item"].tolist() == want["item"].tolist()
