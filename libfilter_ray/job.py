@@ -1273,13 +1273,19 @@ def _cmd_topk(args: argparse.Namespace) -> int:
     Output is exactly the items with count >= ceil(total * phi) and
     their exact counts — no sketch error — while no stage ever holds
     more than k rows per block or ~1/(phi - 1/(k+1)) rows on the
-    driver."""
+    driver. With --by KEY the threshold applies within each key's
+    stream (grouped_heavy_hitters — heavy tokens per language); rows
+    where either column is NULL are dropped."""
     import ray.data
 
-    from .stages.heavy import column_items, heavy_hitters
+    from .stages.heavy import (column_items, grouped_heavy_hitters,
+                               heavy_hitters)
 
     paths = _table_paths(args.input, args.table)
-    _check_columns(paths, [args.column])
+    need = [args.column] if not args.by else [args.column, args.by]
+    if args.by == args.column:
+        raise SystemExit("--by must differ from --column")
+    _check_columns(paths, need)
     ftype = pq.read_schema(paths[0]).field(args.column).type
     if pa.types.is_integer(ftype):
         item_type, sentinel = pa.int64(), 0
@@ -1292,7 +1298,26 @@ def _cmd_topk(args: argparse.Namespace) -> int:
         num, den = (int(x) for x in args.phi.split("/", 1))
     except ValueError:
         raise SystemExit(f"--phi must look like 1/100, got {args.phi!r}")
-    ds = ray.data.read_parquet(paths, columns=[args.column])
+    ds = ray.data.read_parquet(paths, columns=need)
+    if args.by:
+        ds = ds.map_batches(lambda t: t.drop_null(),
+                            batch_format="pyarrow")
+        try:
+            out, totals = grouped_heavy_hitters(
+                ds, args.by, column_items(args.column, drop_null=False),
+                k=args.k, phi_num=num, phi_den=den, item_type=item_type,
+                sentinel=sentinel)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        out = out.rename(columns={"item": args.column})
+        if len(out):
+            tot = out[args.by].map(totals).astype("int64")
+            out["share_ppm"] = (out["n"] * 1_000_000 // tot).astype("int64")
+        print(f"keys: {len(totals)}, total items: {sum(totals.values())}, "
+              f"per-key threshold: >= ceil({num}/{den} * key_total)",
+              file=sys.stderr)
+        _write_result(out, args.output)
+        return 0
     try:
         out, total = heavy_hitters(
             ds, column_items(args.column), k=args.k,
@@ -1791,6 +1816,9 @@ def make_parser() -> argparse.ArgumentParser:
     tk.add_argument("--phi", default="1/100",
                     help="frequency threshold as NUM/DEN (items with "
                          "count >= ceil(total*phi) are reported)")
+    tk.add_argument("--by", default=None,
+                    help="grouping key column: report per-key heavy "
+                         "hitters, threshold applied within each key")
     tk.add_argument("--output", default=None)
     tk.set_defaults(fn=_cmd_topk)
 

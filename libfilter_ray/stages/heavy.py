@@ -63,15 +63,19 @@ def mg_compress(vals: np.ndarray, counts: np.ndarray, k: int):
     return vals[m], dec[m]
 
 
-def column_items(column: str):
+def column_items(column: str, *, drop_null: bool = True):
     """make_items reading a string or integer column directly (the
     heavy-domains / heavy-urls / heavy-tokens shape). NULL rows are not
-    items and are dropped; strings come out as an object-dtype array
+    items and are dropped by default; the grouped path needs row-aligned
+    items, so grouped callers pass drop_null=False after dropping null
+    rows at the Dataset level. Strings come out as an object-dtype array
     (never numpy U-dtype — it can't carry NUL and pads to the longest
     value)."""
 
     def items(t: pa.Table) -> np.ndarray:
-        col = t.column(column).combine_chunks().drop_null()
+        col = t.column(column).combine_chunks()
+        if drop_null:
+            col = col.drop_null()
         if pa.types.is_integer(col.type):
             return np.asarray(col.to_numpy(zero_copy_only=False),
                               dtype=np.int64)

@@ -1403,10 +1403,41 @@ def test_topk_subcommand_exact_string_and_int(tmp_path, ray_session):
     assert g2.equals(want2.reset_index(drop=True))
 
 
+def test_topk_by_key_exact(tmp_path, ray_session):
+    """`topk --by` == per-key GROUP BY ... HAVING with per-key totals."""
+    import duckdb
+    import pandas as pd
+
+    out = tmp_path / "ghh.parquet"
+    assert main(["topk", "--input", SF_DIR_01, "--table", "events",
+                 "--column", "user_id", "--by", "event_type",
+                 "--k", "256", "--phi", "1/100",
+                 "--output", str(out)]) == 0
+    got = pd.read_parquet(out)
+    want = duckdb.sql(f"""
+        WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n
+                   FROM '{SF_DIR_01}/events.parquet' GROUP BY 1, 2),
+             t AS (SELECT event_type, count(*)::BIGINT AS total
+                   FROM '{SF_DIR_01}/events.parquet' GROUP BY 1)
+        SELECT c.event_type, c.user_id, c.n, c.n * 1000000 // t.total
+               AS share_ppm
+        FROM c JOIN t USING (event_type) WHERE 100 * c.n >= t.total
+        ORDER BY c.event_type, c.n DESC, c.user_id""").df()
+    want[["user_id", "n", "share_ppm"]] = \
+        want[["user_id", "n", "share_ppm"]].astype("int64")
+    g = got.sort_values(["event_type", "n", "user_id"],
+                        ascending=[True, False, True]) \
+        .reset_index(drop=True)[list(want.columns)]
+    assert g.equals(want.reset_index(drop=True))
+
+
 def test_topk_guarantee_gate(ray_session):
     with pytest.raises(SystemExit):
         main(["topk", "--input", SF_DIR_01, "--table", "events",
               "--column", "user_id", "--k", "100", "--phi", "1/200"])
+    with pytest.raises(SystemExit):
+        main(["topk", "--input", SF_DIR_01, "--table", "events",
+              "--column", "user_id", "--by", "user_id", "--phi", "1/100"])
     with pytest.raises(SystemExit):
         main(["topk", "--input", SF_DIR_01, "--table", "events",
               "--column", "value", "--k", "64", "--phi", "1/25"])
