@@ -58,6 +58,9 @@ Subcommands:
 - ``overlap`` KMV set-overlap report between two table columns: distinct
   / union / intersection / jaccard / containment estimates in one
   streaming pass per side — the pre-flight for exact decontamination.
+- ``shuffle`` deterministic global shuffle into hash-range training
+  shards (splitmix64 order — reproducible permutation, resumable
+  per-shard files, positional-digest report).
 - ``list``    print every registered pipeline and whether it carries a
   DuckDB oracle.
 """
@@ -1446,6 +1449,34 @@ def _cmd_bpe(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_shuffle(args: argparse.Namespace) -> int:
+    """Deterministic global shuffle into training shards: shard = top
+    log2(S) bits of splitmix64(id column), within-shard order =
+    ascending hash — a pseudorandom permutation any re-run reproduces
+    (stages/shuffle.py). With --out, each shard writes its own parquet
+    file (tmp+rename, re-runs skip finished shards); stdout is the
+    report (shard, n_docs, sum_doc_id, ord_digest[, path])."""
+    import ray.data
+
+    from .stages.shuffle import shuffle_shards
+
+    paths = _table_paths(args.input, args.table)
+    payload = [c for c in (args.payload or "").split(",") if c]
+    _check_columns(paths, [args.column, *payload])
+    ds = ray.data.read_parquet(paths, columns=[args.column, *payload])
+    try:
+        report = shuffle_shards(ds, args.column,
+                                nshards_log2=args.shards_log2,
+                                out_dir=args.out,
+                                payload_columns=tuple(payload))
+    except ValueError as e:
+        raise SystemExit(str(e))
+    print(f"shards: {len(report)}, docs: {int(report['n_docs'].sum())}",
+          file=sys.stderr)
+    _write_result(report, args.output)
+    return 0
+
+
 def _cmd_export(args: argparse.Namespace) -> int:
     """Ship a parquet table as wire-format shards — the off-ramp
     mirroring import-warc's on-ramp: `--format jsonl` writes gzip'd
@@ -1901,6 +1932,25 @@ def make_parser() -> argparse.ArgumentParser:
                          "cluster size and edge count)")
     gr.add_argument("--output", default=None)
     gr.set_defaults(fn=_cmd_graph)
+
+    shf = sub.add_parser("shuffle",
+                         help="deterministic global shuffle into "
+                              "hash-range training shards")
+    shf.add_argument("--input", required=True)
+    shf.add_argument("--table", default="documents")
+    shf.add_argument("--column", default="doc_id",
+                     help="unique integer id column (shuffle key)")
+    shf.add_argument("--payload", default=None,
+                     help="comma-separated payload columns carried "
+                          "into the shard files")
+    shf.add_argument("--shards-log2", type=int, default=4,
+                     dest="shards_log2",
+                     help="log2(shard count); size so one shard fits "
+                          "a task (512MB-ish files at scale)")
+    shf.add_argument("--out", default=None,
+                     help="shard output directory (omit: report only)")
+    shf.add_argument("--output", default=None)
+    shf.set_defaults(fn=_cmd_shuffle)
 
     ex = sub.add_parser("export",
                         help="parquet table -> wire-format shards")

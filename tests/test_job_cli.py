@@ -1313,6 +1313,37 @@ def test_graph_subcommand_pagerank_and_components(tmp_path, ray_session):
     assert int((hist["size"] * hist["n_components"]).sum()) == n
 
 
+def test_shuffle_subcommand(tmp_path, ray_session):
+    """`shuffle` report == the oracle-verified library pipeline; --out
+    writes one parquet per shard carrying the payload columns."""
+    import pandas as pd
+
+    from libfilter_ray.pipelines.queries import q_shuffle_shard_report
+
+    rep = tmp_path / "report.parquet"
+    assert main(["shuffle", "--input", SF_DIR_01, "--table", "documents",
+                 "--column", "doc_id", "--shards-log2", "4",
+                 "--output", str(rep)]) == 0
+    got = pd.read_parquet(rep)
+    want = q_shuffle_shard_report(SF_DIR_01)
+    assert got.equals(want)
+
+    out = tmp_path / "shards"
+    rep2 = tmp_path / "report2.parquet"
+    assert main(["shuffle", "--input", SF_DIR_01, "--table", "documents",
+                 "--column", "doc_id", "--payload", "lang,source",
+                 "--shards-log2", "2", "--out", str(out),
+                 "--output", str(rep2)]) == 0
+    got2 = pd.read_parquet(rep2)
+    assert len(got2) == 4 and got2["n_docs"].sum() == want["n_docs"].sum()
+    for p in got2["path"]:
+        t = pd.read_parquet(p)
+        assert list(t.columns) == ["doc_id", "lang", "source"]
+    with pytest.raises(SystemExit):
+        main(["shuffle", "--input", SF_DIR_01, "--table", "documents",
+              "--column", "doc_id", "--shards-log2", "99"])
+
+
 def test_export_subcommand_jsonl_roundtrip(tmp_path, ray_session):
     """export --format jsonl ships a parquet table as gzip'd JSONL
     shards; reading them back reproduces the projected table."""
