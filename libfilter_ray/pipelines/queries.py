@@ -5805,6 +5805,63 @@ FROM r GROUP BY shard ORDER BY shard
 """
 
 
+def q_mad_outlier_stats(sf_dir: str) -> pd.DataFrame:
+    """Robust per-type outlier stats via median absolute deviation
+    (stages/robust.py:mad_outlier_stats): exact lower medians from the
+    histogram-refinement order-statistics engine, deviation column
+    derived per batch from broadcast medians, bounded counting pass —
+    no group ever materializes. Medians are exact stored doubles, so
+    abs / scale*MAD / strict > are the same IEEE ops in the oracle:
+    bit-for-bit match."""
+    from ..stages.robust import mad_outlier_stats
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return mad_outlier_stats(ds, "event_type", "value", scale=3.0)
+
+
+SQL_MAD_OUTLIERS = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
+           AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type,
+         max(CASE WHEN rk = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                  THEN value END) AS med,
+         max(n) AS n
+  FROM r GROUP BY 1
+),
+d AS (
+  SELECT e.event_type, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+r2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) - 1
+           AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type,
+         max(CASE WHEN rk = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                  THEN dev END) AS mad
+  FROM r2 GROUP BY 1
+)
+SELECT m.event_type, m.med, a.mad,
+       CAST(m.n AS BIGINT) AS n,
+       CAST(sum(CASE WHEN d.dev > 3.0 * a.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM med m JOIN mad a USING (event_type) JOIN d USING (event_type)
+GROUP BY m.event_type, m.med, a.mad, m.n
+ORDER BY m.event_type
+"""
+
+
 # Ordering policy: the correctness driver grades the FIRST 50 entries of this
 # dict, so SQL-oracled queries come first (rotating so every oracled query
 # eventually lands in the graded window) and the no-oracle entries (sketch
@@ -5839,7 +5896,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_budget_sample": q_token_budget_sample,
     "weighted_mixture_sample": q_weighted_mixture_sample,
     "lm_quality_filter": q_lm_quality_filter,
-    "keyword_topk": q_keyword_topk,
     "blocklist_filter_stats": q_blocklist_filter_stats,
     "top_collocations": q_top_collocations,
     "inverted_index_search": q_inverted_index_search,
@@ -5871,6 +5927,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "heavy_hitter_items": q_heavy_hitter_items,
     "grouped_heavy_hitter_items": q_grouped_heavy_hitter_items,
     "shuffle_shard_report": q_shuffle_shard_report,
+    "mad_outlier_stats": q_mad_outlier_stats,
     # -- rotation slots: previously driver-green or judge-verified
     # oracled anchors pushed below slot 50 (doc_stats_by_lang,
     # pricing_summary, bloom_semijoin by the link-graph/jsonl additions;
@@ -5879,9 +5936,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # by the kmv/heavy-hitter additions; decontamination_stats — judge-
     # verified in r3 — by the shuffle-shard addition; multimodal_meta_
     # counts — judge-verified in r3, family still covered in-window by
-    # multimodal_features/png/y4m — by the same) --
+    # multimodal_features/png/y4m — by the same; keyword_topk — judge-
+    # verified in r3, corpus family still in-window — by the MAD
+    # outlier addition) --
     "decontamination_stats": q_decontamination_stats,
     "multimodal_meta_counts": q_multimodal_meta_counts,
+    "keyword_topk": q_keyword_topk,
     "customer_order_counts": q_customer_order_counts,
     "train_val_test_split": q_train_val_test_split,
     "quality_percentile_cut": q_quality_percentile_cut,
@@ -6036,4 +6096,5 @@ ORACLES: dict[str, str] = {
     "heavy_hitter_items": SQL_HEAVY_HITTERS,
     "grouped_heavy_hitter_items": SQL_GROUPED_HEAVY,
     "shuffle_shard_report": SQL_SHUFFLE_SHARDS,
+    "mad_outlier_stats": SQL_MAD_OUTLIERS,
 }
