@@ -639,10 +639,12 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     """Composed crawl-to-corpus curation over a web-page-shaped table:
     keep-newest capture per url -> duplicate-passage removal ->
     per-domain cap -> benchmark decontamination -> self-trained
-    frequency quality filter -> per-lang token budget. Every stage is
+    frequency quality filter -> per-lang token budget -> optional
+    off-ramp (--split hive partitions, or --shuffle-out deterministic
+    global shuffle into training shards). Every stage is
     optional; each is the streaming form of its stages/crawl.py /
-    stages/corpus.py / stages/passages.py operator (bounded
-    broadcast/DropIdStore/SpanStore carriers throughout).
+    stages/corpus.py / stages/passages.py / stages/shuffle.py operator
+    (bounded broadcast/DropIdStore/SpanStore carriers throughout).
 
     With --checkpoint-dir every expensive full-corpus artifact persists
     on shared storage and a resubmitted run re-attaches instead of
@@ -689,6 +691,8 @@ def _cmd_curate(args: argparse.Namespace) -> int:
          + (f", mix {args.mix}" if args.mix else "") + ")",
          bool(args.token_budget)),
         (f"split({args.split})", bool(args.split)),
+        (f"shuffle({1 << args.shuffle_shards_log2} shards)",
+         bool(args.shuffle_out)),
     ) if on]
     if not stages:
         raise SystemExit("all curation stages disabled — nothing to do")
@@ -700,6 +704,14 @@ def _cmd_curate(args: argparse.Namespace) -> int:
                 or sum(split_shares.values()) != 100:
             raise SystemExit("--split shares must be integer percents "
                              f"summing to 100, got {args.split!r}")
+    if args.shuffle_out:  # validate BEFORE any stage runs
+        if split_shares is not None:
+            raise SystemExit(
+                "--shuffle-out and --split are mutually exclusive "
+                "(shuffle each split partition in its own run)")
+        if not 0 <= args.shuffle_shards_log2 <= 24:
+            raise SystemExit("--shuffle-shards-log2 must be in [0, 24], "
+                             f"got {args.shuffle_shards_log2}")
     mix = _parse_mix(args.mix) if args.mix else None
     if mix is not None and not args.token_budget:
         raise SystemExit("--mix needs --token-budget (the TOTAL token "
@@ -1066,7 +1078,20 @@ def _cmd_curate(args: argparse.Namespace) -> int:
             how = "cached" if m["cached"] else f"built {m['sec']}s"
             parts.append(f"{m['stage']}: n={m['n']} ({how})")
         print("artifacts: " + "; ".join(parts), file=sys.stderr)
-    if split_shares is not None:
+    if args.shuffle_out:
+        from .stages.shuffle import shuffle_shards
+
+        payload = tuple(c for c in pq.read_schema(paths[0]).names
+                        if c != args.id_column)
+        report = shuffle_shards(ds, args.id_column,
+                                nshards_log2=args.shuffle_shards_log2,
+                                out_dir=args.shuffle_out,
+                                payload_columns=payload)
+        print(f"shuffled {int(report['n_docs'].sum())} docs into "
+              f"{len(report)} shards under {args.shuffle_out}",
+              file=sys.stderr)
+        _write_result(report, args.output)
+    elif split_shares is not None:
         from .stages.corpus import hash_split_stage
 
         ds = ds.map_batches(
@@ -1769,6 +1794,13 @@ def make_parser() -> argparse.ArgumentParser:
                          "each language is budgeted "
                          "floor(weight share x --token-budget) tokens; "
                          "languages absent from the mix are dropped")
+    cu.add_argument("--shuffle-out", default=None,
+                    help="after all stages, globally shuffle the curated "
+                         "corpus into hash-range training shards under "
+                         "this directory (deterministic splitmix64 "
+                         "order); the report replaces the row output")
+    cu.add_argument("--shuffle-shards-log2", type=int, default=4,
+                    dest="shuffle_shards_log2")
     cu.add_argument("--checkpoint-dir", default=None,
                     help="shared-storage run dir: every stage artifact "
                          "(drop/keep stores, shingle set, vocab, budget "

@@ -1088,6 +1088,60 @@ def test_curate_split_partitions(tmp_path, ray_session):
               "--output", str(tmp_path / "o2")])
 
 
+def test_curate_shuffle_offramp(tmp_path, ray_session):
+    """--shuffle-out: the curated (url-deduped) corpus lands in
+    hash-range shard files in deterministic splitmix64 order; the union
+    of shard files is exactly the curated row set; --split is refused
+    alongside."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from libfilter_ray.sketch.hashing import splitmix64
+    from libfilter_ray.stages.shuffle import SHUFFLE_SEED
+
+    n = 300
+    df = pd.DataFrame({
+        "url": [f"https://d.org/p{i % 250}" for i in range(n)],  # 50 dups
+        "warc_ts": pd.to_datetime(np.arange(n) * 1000, unit="us"),
+        "text": [f"alpha beta {i}" for i in range(n)],
+        "lang": ["en"] * n,
+        "row_id": np.arange(n, dtype=np.int64)})
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        src / "pages.parquet")
+    shards = tmp_path / "shards"
+    rep = tmp_path / "report.parquet"
+    assert main(["curate", "--input", str(src), "--table", "pages",
+                 "--column", "text", "--id-column", "row_id",
+                 "--shuffle-out", str(shards),
+                 "--shuffle-shards-log2", "2",
+                 "--output", str(rep)]) == 0
+    report = pd.read_parquet(rep)
+    # url-dedup keeps the newest capture per url: 250 survivors
+    assert report["n_docs"].sum() == 250
+    parts = []
+    for _, r in report.iterrows():
+        t = pq.read_table(r["path"]).to_pandas()
+        h = splitmix64(t["row_id"].to_numpy().astype(np.uint64),
+                       seed=SHUFFLE_SEED)
+        assert (np.diff(h) > 0).all()  # shuffled order inside the shard
+        parts.append(t)
+    whole = pd.concat(parts)
+    # newest capture per url == row_ids 50..299 here (dups are 0..49)
+    assert sorted(whole["row_id"]) == list(range(50, 300))
+    assert set(whole.columns) == {"url", "warc_ts", "text", "lang",
+                                  "row_id"}
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["curate", "--input", str(src), "--table", "pages",
+              "--column", "text", "--id-column", "row_id",
+              "--no-url-dedup", "--split", "train=90,val=5,test=5",
+              "--shuffle-out", str(tmp_path / "s2"),
+              "--output", str(tmp_path / "o2")])
+
+
 def test_curate_full_composition_resumes(tmp_path, ray_session):
     """ALL nine curate stages composed in one checkpointed run —
     blocklist -> url-dedup -> passage-dedup -> domain-cap ->
