@@ -66,7 +66,7 @@ def exact_group_quantiles(ds, key: str, column: str,
     identical to what an ORDER BY ... OFFSET k oracle selects. Nulls in
     `column` are excluded (matching SQL aggregate semantics)."""
     import ray
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Count, Max, Min, Sum
 
     base = ds.groupby(key).aggregate(
         Count(on=column, ignore_nulls=True, alias_name="n"),
@@ -144,8 +144,14 @@ def exact_group_quantiles(ds, key: str, column: str,
             break
         sref = ray.put([(p["group"], p["lo"], p["hi"], p["inclusive"])
                         for p in lp])
+        # reduce the per-block partial histograms INSIDE the Dataset: the
+        # driver collect is <= probes x buckets rows (the documented
+        # contract) instead of O(blocks x probes x buckets) — at 100 TB
+        # (~1e6 blocks) the unreduced partials would swamp the driver
         part = ds.map_batches(scan_fn(sref, emit_values=False),
-                              batch_format="pyarrow").to_pandas()
+                              batch_format="pyarrow") \
+            .groupby(["pid", "b"]) \
+            .aggregate(Sum("n", alias_name="n")).to_pandas()
         counts = np.zeros((len(lp), buckets), dtype=np.int64)
         np.add.at(counts, (part["pid"].to_numpy(), part["b"].to_numpy()),
                   part["n"].to_numpy())

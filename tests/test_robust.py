@@ -57,6 +57,36 @@ def test_mad_outliers_random_with_nulls(ray_session, rng):
     assert got.equals(want)
 
 
+def test_mad_outliers_never_collects_rows(ray_session, rng, monkeypatch):
+    """Scale guard (the house to_pandas spy): every driver collect in
+    the med -> mad -> count chain stays at O(#groups) + the order-stats
+    probe/bucket state — never O(rows)."""
+    import ray.data
+
+    n = 30_000
+    df = pd.DataFrame({
+        "key": np.array(["a", "b", "c", "d"], dtype=object)[
+            rng.integers(0, 4, n)],
+        "value": rng.normal(0, 1, n),
+    })
+    collected = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    got = _run(df, nblocks=10)
+    want = _local(df, 3.0)
+    assert got.equals(want)
+    assert collected, "spy never fired"
+    # 4 groups x (medians + counts) plus order-stats bucket histograms
+    # (probes x buckets = 4 x 32 rows per refinement round)
+    assert max(collected) <= 4 * 32 * 2, max(collected)
+
+
 def test_mad_outliers_edge_groups(ray_session):
     df = pd.DataFrame({
         "key": ["const"] * 50 + ["single"] + ["two"] * 2,
