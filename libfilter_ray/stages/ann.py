@@ -48,6 +48,29 @@ def _normalize(X: np.ndarray) -> np.ndarray:
     return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
 
 
+# Per-block partial-top-k candidate sets are O(blocks x queries x k)
+# rows. Below this bound they collect straight to the driver; above it
+# (the dedup.py auto-switch idiom) an exact per-query top-k merge runs
+# inside the Dataset first, so the driver only ever sees queries x k
+# rows. The merge is semantics-preserving: global top-k of per-block
+# top-ks equals top-k of everything, with the same deterministic
+# (value desc, neighbor_id asc) tie-break at every level.
+DRIVER_MERGE_LIMIT = 1 << 20
+
+
+def _collect_candidates(cand_ds, k: int, value_col: str) -> pd.DataFrame:
+    cand_ds = cand_ds.materialize()  # candidates, never the corpus
+    if cand_ds.count() <= DRIVER_MERGE_LIMIT:
+        return cand_ds.to_pandas()
+
+    def merge_q(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([value_col, "neighbor_id"],
+                             ascending=[False, True]).head(k)
+
+    return cand_ds.groupby("query_id") \
+        .map_groups(merge_q, batch_format="pandas").to_pandas()
+
+
 def brute_topk(ds, queries: np.ndarray, *, column: str = "embedding",
                id_column: str = "vec_id", k: int = 10,
                batch_size: int = 4096, dtype=np.float32) -> pd.DataFrame:
@@ -80,8 +103,9 @@ def brute_topk(ds, queries: np.ndarray, *, column: str = "embedding",
             "cosine": pa.array(sim[rows, qid].astype(np.float64)),
         })
 
-    cand = ds.map_batches(partial_topk, batch_format="pyarrow",
-                          batch_size=batch_size).to_pandas()
+    cand = _collect_candidates(
+        ds.map_batches(partial_topk, batch_format="pyarrow",
+                       batch_size=batch_size), k, "cosine")
     # exact final merge over the small candidate set
     cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
                             ascending=[True, False, True])
@@ -482,8 +506,9 @@ def ivf_topk(ds, queries: np.ndarray, *, column: str = "embedding",
             "cosine": pa.array(vals[keep].astype(np.float64)),
         })
 
-    cand = ds.map_batches(ivf_partial, batch_format="pyarrow",
-                          batch_size=batch_size).to_pandas()
+    cand = _collect_candidates(
+        ds.map_batches(ivf_partial, batch_format="pyarrow",
+                       batch_size=batch_size), k, "cosine")
     cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
                             ascending=[True, False, True])
     out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)

@@ -338,6 +338,37 @@ def test_brute_topk_matches_numpy_exact(ray_session):
         assert got == [int(t["vec_id"][i].as_py()) for i in order]
 
 
+def test_brute_topk_distributed_merge_identical(ray_session, monkeypatch):
+    """Forcing the above-bound path (candidate merge inside the Dataset)
+    returns the identical frame to the driver-side merge, and the driver
+    never collects more than queries x k candidate rows."""
+    import pyarrow.parquet as pq
+
+    from libfilter_ray.stages import ann
+    from libfilter_ray.stages.ann import brute_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()]) \
+        .astype(np.float32)
+    Q = (X / np.linalg.norm(X, axis=1, keepdims=True))[:3]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    want = brute_topk(ds, Q, k=5, batch_size=512)
+
+    monkeypatch.setattr(ann, "DRIVER_MERGE_LIMIT", 0)
+    collected = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    got = brute_topk(ds, Q, k=5, batch_size=512)
+    assert got.equals(want)
+    assert collected and max(collected) <= 3 * 5, collected
+
+
 def test_ivf_recall_vs_brute(ray_session):
     from libfilter_ray.stages.ann import brute_topk, ivf_topk
 
