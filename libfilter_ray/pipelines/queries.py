@@ -5862,6 +5862,71 @@ ORDER BY m.event_type
 """
 
 
+def q_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+    """Quality-keyed exact dedup (stages/dedup.py:exact_dedup with
+    keep_score): every duplicate set keeps its HIGHEST-score member
+    (ties min id) instead of the min id — the "keep the best copy, not
+    the first crawled" curation policy. Corpus = documents plus a clone
+    at doc_id+100000 with per-row scores derived from splitmix64(doc_id)
+    so the clone pair genuinely disagrees on score; same bounded
+    drop-set machinery (bloom prune + sharded exact confirm +
+    DropIdStore spill) as exact_dedup_docs."""
+    from ..sketch.hashing import splitmix64
+    from ..stages.dedup import exact_dedup
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def clone_and_score(t: pa.Table) -> pa.Table:
+        shifted = t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(np.asarray(t["doc_id"], dtype=np.int64) + 100000,
+                     type=pa.int64()))
+        both = pa.concat_tables([t, shifted])
+        h = splitmix64(np.asarray(both["doc_id"], dtype=np.int64)
+                       .astype(np.uint64), seed=_BEST_SEED)
+        return both.append_column(
+            "score", pa.array((h % np.uint64(1000)).astype(np.int64),
+                              type=pa.int64()))
+
+    from ray.data.aggregate import Count, Sum
+
+    dup = base.map_batches(clone_and_score, batch_format="pyarrow")
+    out = exact_dedup(dup, "text", "doc_id", keep_score="score") \
+        .groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("doc_id", alias_name="sum_ids"),
+            Sum("score", alias_name="sum_score")).to_pandas()
+    for c in ("n_docs", "sum_ids", "sum_score"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+_BEST_SEED = 0x0B57
+_SM_ADD_BEST = (_BEST_SEED * 0x9E3779B97F4A7C15 + 1) % _M64
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH dupd AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang FROM documents
+),
+{_sql_splitmix_chain("kb", "dupd", "doc_id", _SM_ADD_BEST,
+                     carry="doc_id, text, lang").lstrip()},
+s AS (SELECT doc_id, text, lang,
+             CAST(h % 1000 AS BIGINT) AS score FROM kb3),
+r AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (PARTITION BY text
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM s
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(doc_id)::BIGINT AS sum_ids,
+       sum(score)::BIGINT AS sum_score
+FROM r WHERE rn = 1 GROUP BY lang ORDER BY lang
+"""
+
+
 # Ordering policy: the correctness driver grades the FIRST 50 entries of this
 # dict, so SQL-oracled queries come first (rotating so every oracled query
 # eventually lands in the graded window) and the no-oracle entries (sketch
@@ -5902,7 +5967,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bm25_search": q_bm25_search,
     "bm25_snippets": q_bm25_snippets,
     "shipping_priority": q_shipping_priority,
-    "ppm_decode_features": q_ppm_decode_features,
     "wav_decode_stats": q_wav_decode_stats,
     "crawl_delta": q_crawl_delta,
     "ann_topk_ivf_exhaustive": q_ann_topk_ivf_exhaustive,
@@ -5928,6 +5992,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "grouped_heavy_hitter_items": q_grouped_heavy_hitter_items,
     "shuffle_shard_report": q_shuffle_shard_report,
     "mad_outlier_stats": q_mad_outlier_stats,
+    "dedup_keep_best": q_dedup_keep_best,
     # -- rotation slots: previously driver-green or judge-verified
     # oracled anchors pushed below slot 50 (doc_stats_by_lang,
     # pricing_summary, bloom_semijoin by the link-graph/jsonl additions;
@@ -5938,10 +6003,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # counts — judge-verified in r3, family still covered in-window by
     # multimodal_features/png/y4m — by the same; keyword_topk — judge-
     # verified in r3, corpus family still in-window — by the MAD
-    # outlier addition) --
+    # outlier addition; ppm_decode_features — judge-verified in r3,
+    # multimodal family still in-window — by dedup_keep_best) --
     "decontamination_stats": q_decontamination_stats,
     "multimodal_meta_counts": q_multimodal_meta_counts,
     "keyword_topk": q_keyword_topk,
+    "ppm_decode_features": q_ppm_decode_features,
     "customer_order_counts": q_customer_order_counts,
     "train_val_test_split": q_train_val_test_split,
     "quality_percentile_cut": q_quality_percentile_cut,
@@ -6097,4 +6164,5 @@ ORACLES: dict[str, str] = {
     "grouped_heavy_hitter_items": SQL_GROUPED_HEAVY,
     "shuffle_shard_report": SQL_SHUFFLE_SHARDS,
     "mad_outlier_stats": SQL_MAD_OUTLIERS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
 }

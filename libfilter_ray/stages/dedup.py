@@ -88,10 +88,12 @@ DROP_BROADCAST_LIMIT = 1 << 22
 
 def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64,
                 broadcast_limit: int = DROP_BROADCAST_LIMIT,
-                store_dir: str | None = None):
-    """Full exact dedup: keep exactly the min-id row of every DISTINCT
-    payload, with driver/broadcast memory BOUNDED (independent of the
-    duplicate count).
+                store_dir: str | None = None,
+                keep_score: str | None = None):
+    """Full exact dedup: keep exactly one row of every DISTINCT payload
+    — the min-id row, or with `keep_score` the highest-score member
+    (ties min id) — with driver/broadcast memory BOUNDED (independent of
+    the duplicate count).
 
     Shape: `exact_dedup_drop_ds` (the shared, checkpointable core) yields
     the Dataset of ids to REMOVE, then one streaming filter pass drops
@@ -103,7 +105,8 @@ def exact_dedup(ds, column: str, id_column: str, *, num_shards: int = 64,
     against only the overlapped ranges (stages/dropstore.py).
     """
     drop_ds = exact_dedup_drop_ds(ds, column, id_column,
-                                  num_shards=num_shards).materialize()
+                                  num_shards=num_shards,
+                                  keep_score=keep_score).materialize()
     source = drop_source_of(drop_ds, broadcast_limit=broadcast_limit,
                             store_dir=store_dir)
     if source is None:
@@ -173,9 +176,12 @@ def drop_id_filter(drop_source, id_column: str):
 def exact_dedup_drop_ds(ds, column: str, id_column: str, *,
                         num_shards: int = 64,
                         multi_hashes: np.ndarray | None = None,
-                        multi_limit: int = DROP_BROADCAST_LIMIT):
+                        multi_limit: int = DROP_BROADCAST_LIMIT,
+                        keep_score: str | None = None):
     """Dataset (one int64 `drop_id` column) of the rows exact dedup REMOVES
-    (every multi-group row except its group's min-id survivor). Nothing
+    (every multi-group row except its group's survivor: the min id, or
+    with `keep_score` the max-score member — ties min id — the "keep the
+    best copy, not the first crawled" curation policy). Nothing
     O(duplicate rows) ever lands on the driver — the result stays a
     Dataset; collect it with `exact_dedup_drop_ids` only when small.
 
@@ -236,7 +242,8 @@ def exact_dedup_drop_ds(ds, column: str, id_column: str, *,
         bloom = _cached_filter(bloom_ref, BlockBloom.from_bytes)
         h = hash_arrow_array(t[column]).view(np.int64)
         maybe = bloom.find_hashes(h.view(np.uint64))
-        t2 = t.select([id_column, column]).filter(pa.array(maybe))
+        cols = [id_column, column] + ([keep_score] if keep_score else [])
+        t2 = t.select(cols).filter(pa.array(maybe))
         h2 = h[maybe]
         if multi_ref is not None:
             multi = ray.get(multi_ref)
@@ -252,9 +259,15 @@ def exact_dedup_drop_ds(ds, column: str, id_column: str, *,
             .append_column("shard", pa.array(shard, type=pa.int64()))
 
     def confirm_drop(df: pd.DataFrame) -> pd.DataFrame:
-        # min id per (hash, exact payload) survives; emit the rest
-        df = df.sort_values(["content_hash", column, id_column],
-                            kind="stable")
+        # the survivor per (hash, exact payload) sorts first: min id, or
+        # max keep_score with min-id tie-break; emit the rest
+        if keep_score:
+            df = df.sort_values(
+                ["content_hash", column, keep_score, id_column],
+                ascending=[True, True, False, True], kind="stable")
+        else:
+            df = df.sort_values(["content_hash", column, id_column],
+                                kind="stable")
         dropped = df[df.duplicated(subset=["content_hash", column])]
         return pd.DataFrame({
             "drop_id": dropped[id_column].to_numpy().astype(np.int64)})

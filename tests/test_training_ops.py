@@ -186,6 +186,38 @@ def test_exact_dedup(dup_docs):
         set(range(40))
 
 
+def test_exact_dedup_keep_best(dup_docs):
+    """keep_score keeps the max-score member of every duplicate set
+    (ties min id) — matches a local pandas argmax reference, and
+    genuinely diverges from the min-id policy."""
+    from libfilter_ray.stages.dedup import exact_dedup
+
+    def add_score(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        # clones (+10000) score HIGHER than their originals for even base
+        # ids, lower for odd — both directions exercised; ties impossible
+        return t.append_column(
+            "score", pa.array((ids % 10000) * 2 + (ids // 10000) *
+                              np.where(ids % 2 == 0, 1, -1),
+                              type=pa.int64()))
+
+    scored = dup_docs.map_batches(add_score, batch_format="pyarrow")
+    out = exact_dedup(scored, "text", "doc_id",
+                      keep_score="score").to_pandas()
+    ref = scored.to_pandas()
+    want = ref.sort_values(["score", "doc_id"],
+                           ascending=[False, True], kind="stable") \
+        .drop_duplicates(subset="text").sort_values("doc_id")
+    assert sorted(out["doc_id"]) == want["doc_id"].tolist()
+    assert len(out) == 120 + 40
+    # even base ids: the +10000 clone won; odd: the original won
+    survivors = set(out["doc_id"])
+    for i in range(0, 120, 2):
+        assert i + 10000 in survivors and i not in survivors
+    for i in range(1, 120, 2):
+        assert i in survivors and i + 10000 not in survivors
+
+
 def test_minhash_lsh_near_dup(dup_docs):
     from libfilter_ray.stages.dedup import (minhash_near_dup_pairs,
                                             near_dup_dedup)
