@@ -260,12 +260,16 @@ def grouped_heavy_hitters(ds, key: str, make_items, *, k: int = 64,
     cut_ref = ray.put(cutoffs)
 
     def cand_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         cuts = ray.get(cut_ref)
         flags = np.asarray(t["is_total"])
         ns = np.asarray(t["n"])
-        kvs = t.column(key).to_pylist()
-        keep = (flags == 0) & np.array(
-            [n >= cuts.get(kv, 1) for kv, n in zip(kvs, ns)])
+        dict_arr = pc.dictionary_encode(t.column(key).combine_chunks())
+        codes = np.asarray(dict_arr.indices)
+        lut = np.array([cuts.get(kv, 1)
+                        for kv in dict_arr.dictionary.to_pylist()],
+                       dtype=np.int64)  # O(uniq) Python, not O(rows)
+        keep = (flags == 0) & (ns >= lut[codes])
         return t.filter(pa.array(keep))
 
     cand = agg.map_batches(cand_filter, batch_format="pyarrow").to_pandas()
