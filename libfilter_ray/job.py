@@ -236,10 +236,14 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     from .state.checkpoint import CheckpointedDedup
 
     paths = _table_paths(args.input, args.table)
-    _check_columns(paths, [args.column, args.id_column])
+    need = [args.column, args.id_column]
+    if args.keep_best:
+        need.append(args.keep_best)
+    _check_columns(paths, need)
     job = CheckpointedDedup(args.checkpoint_dir, paths,
                             column=args.column, id_column=args.id_column,
-                            target_rows=args.target_rows)
+                            target_rows=args.target_rows,
+                            keep_score=args.keep_best)
     st = job.status()
     print(f"checkpoint: {st['done']}/{st['total']} partitions done, "
           f"resuming {len(st['pending'])}", file=sys.stderr)
@@ -1474,6 +1478,23 @@ def _cmd_bpe(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_outliers(args: argparse.Namespace) -> int:
+    """Robust per-key outlier report over a numeric column: exact lower
+    median + MAD (order-statistics engine, no group materialized) and
+    the count of |x - median| > scale * MAD rows per key
+    (stages/robust.py)."""
+    import ray.data
+
+    from .stages.robust import mad_outlier_stats
+
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, [args.column, args.by])
+    ds = ray.data.read_parquet(paths, columns=[args.by, args.column])
+    out = mad_outlier_stats(ds, args.by, args.column, scale=args.scale)
+    _write_result(out, args.output)
+    return 0
+
+
 def _cmd_shuffle(args: argparse.Namespace) -> int:
     """Deterministic global shuffle into training shards: shard = top
     log2(S) bits of splitmix64(id column), within-shard order =
@@ -1680,6 +1701,10 @@ def make_parser() -> argparse.ArgumentParser:
     d.add_argument("--output", default=None,
                    help="deduped parquet output dir")
     d.add_argument("--target-rows", type=int, default=1 << 20)
+    d.add_argument("--keep-best", default=None, dest="keep_best",
+                   help="score column: each duplicate set keeps its "
+                        "max-score member (ties min id) instead of the "
+                        "min id; pinned in the checkpoint manifest")
     d.set_defaults(fn=_cmd_dedup)
 
     pr = sub.add_parser("probe", help="probe a column against built filters")
@@ -1964,6 +1989,18 @@ def make_parser() -> argparse.ArgumentParser:
                          "cluster size and edge count)")
     gr.add_argument("--output", default=None)
     gr.set_defaults(fn=_cmd_graph)
+
+    ol = sub.add_parser("outliers",
+                        help="robust per-key outlier report "
+                             "(exact median + MAD)")
+    ol.add_argument("--input", required=True)
+    ol.add_argument("--table", required=True)
+    ol.add_argument("--column", required=True, help="numeric column")
+    ol.add_argument("--by", required=True, help="grouping key column")
+    ol.add_argument("--scale", type=float, default=3.0,
+                    help="flag |x - median| > scale * MAD")
+    ol.add_argument("--output", default=None)
+    ol.set_defaults(fn=_cmd_outliers)
 
     shf = sub.add_parser("shuffle",
                          help="deterministic global shuffle into "

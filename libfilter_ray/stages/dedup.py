@@ -285,15 +285,16 @@ def _empty_drop_ds():
 
 def exact_dedup_drop_ids(ds, column: str, id_column: str, *,
                          num_shards: int = 64,
-                         multi_hashes: np.ndarray | None = None
-                         ) -> np.ndarray:
+                         multi_hashes: np.ndarray | None = None,
+                         keep_score: str | None = None) -> np.ndarray:
     """Sorted int64 collect of `exact_dedup_drop_ds` — O(duplicate rows)
     driver memory, for callers that broadcast the set themselves (bounded
     corpora / checkpoint caches). Large-scale callers should keep the
     Dataset (`exact_dedup_drop_ds` + `drop_source_of`) instead."""
     drop = exact_dedup_drop_ds(ds, column, id_column,
                                num_shards=num_shards,
-                               multi_hashes=multi_hashes).to_pandas()
+                               multi_hashes=multi_hashes,
+                               keep_score=keep_score).to_pandas()
     if not len(drop) or "drop_id" not in drop.columns:
         # all pruned rows survived (hash collisions between distinct
         # payloads): Ray drops the 0-row group outputs -> column-less frame

@@ -532,11 +532,17 @@ class CheckpointedDedup(_CheckpointedJob):
                  id_column: str, target_rows: int = 1 << 20,
                  transform: Callable[[pa.Table], pa.Table] | None = None,
                  read_columns: list[str] | None = None,
-                 config_extra: dict | None = None):
+                 config_extra: dict | None = None,
+                 keep_score: str | None = None):
         self.column, self.id_column = column, id_column
         self.transform = transform
         self.read_columns = read_columns if read_columns is not None \
             else [column]
+        # survivor policy (None = min id, else max-score member). The
+        # phase-1/2 hash-histogram artifacts are policy-independent, but
+        # the manifest still pins the policy so a resume can't silently
+        # change which rows the confirm pass keeps.
+        self.keep_score = keep_score
         # transforms aren't content-hashable — callers whose transform
         # varies by options pass their identity here so a resume with
         # different options is REJECTED instead of mixing partial hashes
@@ -545,8 +551,11 @@ class CheckpointedDedup(_CheckpointedJob):
         super().__init__(run_dir, input_paths, target_rows)
 
     def _config(self) -> dict:
-        return {"kind": "exact_dedup", "column": self.column,
-                "key": self.id_column, **self.config_extra}
+        cfg = {"kind": "exact_dedup", "column": self.column,
+               "key": self.id_column, **self.config_extra}
+        if self.keep_score:  # absent for min-id: old manifests stay valid
+            cfg["keep_score"] = self.keep_score
+        return cfg
 
     def _make_builder(self):
         return _DedupPartitionHasher(self.run_dir, self.column,
@@ -589,13 +598,14 @@ class CheckpointedDedup(_CheckpointedJob):
         return self.multi_hashes()
 
     def drop_ids(self, ds) -> np.ndarray:
-        """Sorted ids of the rows dedup removes (min-id-per-payload
-        survives), confirmed exactly against `ds` using the checkpointed
-        duplicate-hash set."""
+        """Sorted ids of the rows dedup removes (the min-id-per-payload
+        survivor, or the max-`keep_score` member), confirmed exactly
+        against `ds` using the checkpointed duplicate-hash set."""
         from ..stages.dedup import exact_dedup_drop_ids
 
         return exact_dedup_drop_ids(ds, self.column, self.id_column,
-                                    multi_hashes=self.multi_hashes())
+                                    multi_hashes=self.multi_hashes(),
+                                    keep_score=self.keep_score)
 
     def dedup(self, ds):
         """The deduplicated Dataset: one streaming filter pass against the

@@ -1569,3 +1569,78 @@ def test_overlap_subcommand_planted(tmp_path, ray_session):
     with pytest.raises(SystemExit):
         main(["overlap", "--input", str(a_dir), "--table", "t",
               "--column", "v"])
+
+
+def test_dedup_keep_best_subcommand(tmp_path, ray_session):
+    """`job dedup --keep-best score` keeps each duplicate set's max-score
+    member (ties min id), matching exact_dedup(keep_score=...), and the
+    survivor policy is pinned in the checkpoint manifest (a resume with a
+    different --keep-best is rejected, never silently mixed)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    base = pq.read_table(f"{SF_DIR_01}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    shifted = base.set_column(
+        base.schema.get_field_index("doc_id"), "doc_id",
+        pa.array(np.asarray(base["doc_id"], dtype=np.int64) + 100000,
+                 type=pa.int64()))
+    both = pa.concat_tables([base, shifted])
+    # score disagrees within every clone pair (Knuth-hash of the id), so
+    # keep-best genuinely picks ~half the clones over the min-id rows
+    ids = np.asarray(both["doc_id"], dtype=np.int64).astype(np.uint64)
+    h = ids * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(31)           # mix so score(id+100000) != score(id)
+    score = (h % np.uint64(1000)).astype(np.float64)
+    both = both.append_column("score", pa.array(score, type=pa.float64()))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(both, str(inp / "documents.parquet"),
+                   row_group_size=512)
+    out = tmp_path / "deduped"
+    assert main(["dedup", "--input", str(inp), "--table", "documents",
+                 "--column", "text", "--id-column", "doc_id",
+                 "--keep-best", "score",
+                 "--checkpoint-dir", str(tmp_path / "ck"),
+                 "--target-rows", "512", "--output", str(out)]) == 0
+    got = sorted(pq.read_table(str(out), columns=["doc_id"])
+                 .to_pandas()["doc_id"])
+    from libfilter_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(str(inp / "documents.parquet"))
+    ref = sorted(exact_dedup(ds, "text", "doc_id", keep_score="score")
+                 .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    assert got == ref
+    assert len(got) < 2 * base.num_rows       # duplicates actually dropped
+    min_id = sorted(exact_dedup(ds, "text", "doc_id")
+                    .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    assert got != min_id                      # the policy changed survivors
+
+    # resume with a different survivor policy must be rejected
+    with pytest.raises(ValueError, match="config mismatch"):
+        main(["dedup", "--input", str(inp), "--table", "documents",
+              "--column", "text", "--id-column", "doc_id",
+              "--checkpoint-dir", str(tmp_path / "ck"),
+              "--target-rows", "512",
+              "--output", str(tmp_path / "d2")])
+
+
+def test_outliers_subcommand_matches_stage(tmp_path, ray_session):
+    """`job outliers` reproduces stages/robust.py:mad_outlier_stats over
+    the events table (exact per-key median/MAD/outlier counts)."""
+    import pandas as pd
+    import ray.data
+
+    out = tmp_path / "o.parquet"
+    assert main(["outliers", "--input", SF_DIR_01, "--table", "events",
+                 "--column", "value", "--by", "event_type",
+                 "--scale", "2.5", "--output", str(out)]) == 0
+    got = pd.read_parquet(out)
+    from libfilter_ray.stages.robust import mad_outlier_stats
+
+    ds = ray.data.read_parquet(f"{SF_DIR_01}/events.parquet",
+                               columns=["event_type", "value"])
+    ref = mad_outlier_stats(ds, "event_type", "value", scale=2.5)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
+    assert (got["n_outliers"] > 0).any()      # the rule actually fires
