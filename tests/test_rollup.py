@@ -1,0 +1,64 @@
+"""stages/rollup.py — one-shuffle GROUP BY ROLLUP."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from libfilter_ray.stages.rollup import rollup_aggregate
+
+
+def _ref_rollup(df: pd.DataFrame, keys, value):
+    frames = []
+    for d in range(len(keys), 0, -1):
+        g = df.groupby(keys[:d], as_index=False).agg(
+            s=(value, "sum"), n=(value, "size"))
+        for k in keys[d:]:
+            g[k] = "ALL"
+        g["lvl"] = d
+        frames.append(g)
+    frames.append(pd.DataFrame([{**{k: "ALL" for k in keys},
+                                 "s": df[value].sum(),
+                                 "n": len(df), "lvl": 0}]))
+    out = pd.concat(frames, ignore_index=True)
+    out = out.rename(columns={"s": f"sum_{value}"})
+    out["n"] = out["n"].astype("int64")
+    out["lvl"] = out["lvl"].astype("int64")
+    return out[["lvl", *keys, f"sum_{value}", "n"]] \
+        .sort_values(["lvl", *keys]).reset_index(drop=True)
+
+
+def test_rollup_three_keys_random(ray_session, rng):
+    import ray.data
+
+    n = 5000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "c": rng.choice(["1", "2", "3", "4"], n),
+        "v": rng.integers(0, 100, n).astype(np.float64),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = rollup_aggregate(ds, ["a", "b", "c"], "v").to_pandas() \
+        .sort_values(["lvl", "a", "b", "c"]).reset_index(drop=True)
+    ref = _ref_rollup(df, ["a", "b", "c"], "v")
+    pd.testing.assert_frame_equal(got, ref, check_like=True)
+    assert (got["lvl"] == 0).sum() == 1
+    assert got.loc[got["lvl"] == 0, "n"].iloc[0] == n
+
+
+def test_rollup_null_values_skipped_in_sum(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"a": ["x", "x", "y"],
+                       "v": [1.0, None, 3.0]})
+    ds = ray.data.from_pandas(df)
+    got = rollup_aggregate(ds, ["a"], "v").to_pandas() \
+        .sort_values(["lvl", "a"]).reset_index(drop=True)
+    # count(*) counts the null-v row; sum skips it (SQL semantics)
+    assert got.loc[(got["lvl"] == 1) & (got["a"] == "x"),
+                   "n"].iloc[0] == 2
+    assert got.loc[(got["lvl"] == 1) & (got["a"] == "x"),
+                   "sum_v"].iloc[0] == 1.0
+    assert got.loc[got["lvl"] == 0, "sum_v"].iloc[0] == 4.0
+    assert got.loc[got["lvl"] == 0, "n"].iloc[0] == 3
