@@ -1495,6 +1495,42 @@ def _cmd_outliers(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_rollup(args: argparse.Namespace) -> int:
+    """All GROUP BY ROLLUP levels of sum(value)+count over comma-listed
+    keys in ONE input shuffle (stages/rollup.py): coarser levels
+    re-aggregate the combo-sized finest result, never the raw rows."""
+    import ray.data
+
+    from .stages.rollup import rollup_aggregate
+
+    keys = [k for k in args.keys.split(",") if k]
+    if not keys:
+        raise SystemExit("--keys needs at least one column")
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, keys + [args.value])
+    ds = ray.data.read_parquet(paths, columns=keys + [args.value])
+    _write_result(rollup_aggregate(ds, keys, args.value), args.output)
+    return 0
+
+
+def _cmd_fuzzy(args: argparse.Namespace) -> int:
+    """All pairs of distinct column values within Levenshtein distance 1
+    (stages/fuzzy.py: FastSS deletion-neighborhood banding + vectorized
+    exact verify) — typo-variant detection over keys/tokens/URLs."""
+    import ray.data
+
+    from .stages.fuzzy import edit1_pairs
+
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, [args.column])
+    ds = ray.data.read_parquet(paths, columns=[args.column])
+    out = edit1_pairs(ds, args.column,
+                      num_shards=args.num_shards).to_pandas() \
+        .sort_values(["w1", "w2"]).reset_index(drop=True)
+    _write_result(out, args.output)
+    return 0
+
+
 def _cmd_shuffle(args: argparse.Namespace) -> int:
     """Deterministic global shuffle into training shards: shard = top
     log2(S) bits of splitmix64(id column), within-shard order =
@@ -2001,6 +2037,29 @@ def make_parser() -> argparse.ArgumentParser:
                     help="flag |x - median| > scale * MAD")
     ol.add_argument("--output", default=None)
     ol.set_defaults(fn=_cmd_outliers)
+
+    ru = sub.add_parser("rollup",
+                        help="all GROUP BY ROLLUP levels in one "
+                             "input shuffle")
+    ru.add_argument("--input", required=True)
+    ru.add_argument("--table", required=True)
+    ru.add_argument("--keys", required=True,
+                    help="comma-separated grouping columns, coarsest "
+                         "first (ROLLUP prefix order)")
+    ru.add_argument("--value", required=True, help="numeric column")
+    ru.add_argument("--output", default=None)
+    ru.set_defaults(fn=_cmd_rollup)
+
+    fz = sub.add_parser("fuzzy",
+                        help="edit-distance-1 pairs of distinct "
+                             "column values (typo variants)")
+    fz.add_argument("--input", required=True)
+    fz.add_argument("--table", required=True)
+    fz.add_argument("--column", required=True)
+    fz.add_argument("--num-shards", type=int, default=64,
+                    dest="num_shards")
+    fz.add_argument("--output", default=None)
+    fz.set_defaults(fn=_cmd_fuzzy)
 
     shf = sub.add_parser("shuffle",
                          help="deterministic global shuffle into "

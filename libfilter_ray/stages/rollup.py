@@ -30,9 +30,18 @@ import pyarrow as pa
 #: pass a different one.
 SENTINEL = "ALL"
 
+#: finest-level combo count at or below which the rollup tail runs on
+#: the driver (one pandas pass over the already-materialized finest
+#: result) instead of d more Ray jobs — the engine's standard
+#: driver-vs-distributed gate; at sf0.1 this turns ~5 s of fixed
+#: per-stage overhead into ~0. Above the bound every level stays a
+#: Dataset re-aggregation.
+DRIVER_COMBO_LIMIT = 1 << 16
+
 
 def rollup_aggregate(ds, keys: list[str], value: str, *,
-                     sentinel: str = SENTINEL):
+                     sentinel: str = SENTINEL,
+                     driver_combo_limit: int = DRIVER_COMBO_LIMIT):
     """All d+1 ROLLUP levels of (sum(value), count(*)) over `keys`, as
     one Dataset with columns (lvl, *keys, sum_<value>, n): lvl = number
     of live keys (d = finest .. 0 = grand total), aggregated-away keys
@@ -64,6 +73,9 @@ def rollup_aggregate(ds, keys: list[str], value: str, *,
     cur = ds.groupby(keys).aggregate(
         Sum(value, alias_name=sum_name),
         Count(alias_name="n")).materialize()
+    if cur.count() <= driver_combo_limit:
+        return _driver_tail(cur.to_pandas(), keys, sum_name,
+                            sentinel=sentinel)
     out = cur.map_batches(decorate(len(keys), keys),
                           batch_format="pyarrow")
     for d in range(len(keys) - 1, 0, -1):
@@ -81,3 +93,35 @@ def rollup_aggregate(ds, keys: list[str], value: str, *,
         "n": pa.array([int(g["n"])], type=pa.int64()),
     })
     return out.union(ray.data.from_arrow(total))
+
+
+def _driver_tail(finest, keys, sum_name, *, sentinel):
+    """Small-combos path: the whole rollup tail from the collected
+    finest frame in one pandas pass (identical level semantics)."""
+    import pandas as pd
+    import ray.data
+
+    frames = []
+    cur = finest.copy()
+    cur[sum_name] = cur[sum_name].astype(np.float64)
+    cur["n"] = cur["n"].astype(np.int64)
+    for k in keys:
+        cur[k] = cur[k].astype(str)
+    for d in range(len(keys), 0, -1):
+        lv = cur if d == len(keys) else \
+            cur.groupby(keys[:d], as_index=False) \
+               .agg({sum_name: "sum", "n": "sum"})
+        cur = lv
+        lv = lv.copy()
+        for k in keys[d:]:
+            lv[k] = sentinel
+        lv["lvl"] = np.int64(d)
+        frames.append(lv[["lvl", *keys, sum_name, "n"]])
+    frames.append(pd.DataFrame([{
+        "lvl": np.int64(0), **{k: sentinel for k in keys},
+        sum_name: float(cur[sum_name].sum()),
+        "n": np.int64(cur["n"].sum())}]))
+    out = pd.concat(frames, ignore_index=True)
+    out["lvl"] = out["lvl"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return ray.data.from_pandas(out)

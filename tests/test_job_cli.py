@@ -1644,3 +1644,57 @@ def test_outliers_subcommand_matches_stage(tmp_path, ray_session):
     ref = mad_outlier_stats(ds, "event_type", "value", scale=2.5)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
     assert (got["n_outliers"] > 0).any()      # the rule actually fires
+
+
+def test_rollup_subcommand_matches_duckdb(tmp_path, ray_session):
+    """`job rollup` over lineitem equals GROUP BY ROLLUP in DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    out = tmp_path / "r.parquet"
+    assert main(["rollup", "--input", SF_DIR_01, "--table", "lineitem",
+                 "--keys", "l_returnflag,l_linestatus",
+                 "--value", "l_quantity", "--output", str(out)]) == 0
+    got = pd.read_parquet(out) \
+        .sort_values(["lvl", "l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    ref = con.execute(f"""
+        SELECT CAST(2 - GROUPING(l_returnflag) - GROUPING(l_linestatus)
+                    AS BIGINT) AS lvl,
+               COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               sum(l_quantity) AS sum_l_quantity,
+               count(*)::BIGINT AS n
+        FROM read_parquet('{SF_DIR_01}/lineitem.parquet')
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY lvl, l_returnflag, l_linestatus""").df()
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_fuzzy_subcommand_finds_planted_typos(tmp_path, ray_session):
+    """`job fuzzy` over a keys table recovers exactly the DuckDB
+    levenshtein()=1 cross-join pairs."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    keys = ["alpha", "alpa", "alphax", "beta", "bteа".replace("а", "a"),
+            "gamma", "gamm", "delta", "delta-", "unrelated"]
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(pa.table({"k": keys * 3}), str(inp / "keys.parquet"))
+    out = tmp_path / "p.parquet"
+    assert main(["fuzzy", "--input", str(inp), "--table", "keys",
+                 "--column", "k", "--num-shards", "8",
+                 "--output", str(out)]) == 0
+    got = pd.read_parquet(out)
+    con = duckdb.connect()
+    ref = con.execute(f"""
+        WITH v AS (SELECT DISTINCT k FROM
+                   read_parquet('{inp}/keys.parquet'))
+        SELECT a.k AS w1, b.k AS w2 FROM v a JOIN v b
+        ON a.k < b.k AND levenshtein(a.k, b.k) = 1
+        ORDER BY w1, w2""").df()
+    pd.testing.assert_frame_equal(got, ref)
+    assert len(got) >= 3

@@ -39,12 +39,18 @@ def test_rollup_three_keys_random(ray_session, rng):
         "v": rng.integers(0, 100, n).astype(np.float64),
     })
     ds = ray.data.from_pandas(df).repartition(8)
-    got = rollup_aggregate(ds, ["a", "b", "c"], "v").to_pandas() \
-        .sort_values(["lvl", "a", "b", "c"]).reset_index(drop=True)
     ref = _ref_rollup(df, ["a", "b", "c"], "v")
-    pd.testing.assert_frame_equal(got, ref, check_like=True)
-    assert (got["lvl"] == 0).sum() == 1
-    assert got.loc[got["lvl"] == 0, "n"].iloc[0] == n
+    # driver-tail path (default gate) AND forced distributed path:
+    # identical results (v is integer-valued, double sums exact at any
+    # accumulation order)
+    for limit in (None, 0):
+        kw = {} if limit is None else {"driver_combo_limit": limit}
+        got = rollup_aggregate(ds, ["a", "b", "c"], "v", **kw) \
+            .to_pandas().sort_values(["lvl", "a", "b", "c"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_like=True)
+        assert (got["lvl"] == 0).sum() == 1
+        assert got.loc[got["lvl"] == 0, "n"].iloc[0] == n
 
 
 def test_rollup_null_values_skipped_in_sum(ray_session):
