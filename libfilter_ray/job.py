@@ -1531,6 +1531,26 @@ def _cmd_fuzzy(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_rank(args: argparse.Namespace) -> int:
+    """Exact per-key percent_rank of a numeric column for every row
+    (stages/rank.py): histogram shuffle + per-key cumsum + broadcast-
+    or-join rank attach — the group itself never materializes."""
+    import ray.data
+
+    from .stages.rank import percent_rank
+
+    id_cols = [c for c in args.id_cols.split(",") if c]
+    if not id_cols:
+        raise SystemExit("--id-cols needs at least one column")
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, id_cols + [args.by, args.column])
+    ds = ray.data.read_parquet(paths,
+                               columns=id_cols + [args.by, args.column])
+    _write_result(percent_rank(ds, args.by, args.column,
+                               id_cols=id_cols), args.output)
+    return 0
+
+
 def _cmd_shuffle(args: argparse.Namespace) -> int:
     """Deterministic global shuffle into training shards: shard = top
     log2(S) bits of splitmix64(id column), within-shard order =
@@ -2060,6 +2080,18 @@ def make_parser() -> argparse.ArgumentParser:
                     dest="num_shards")
     fz.add_argument("--output", default=None)
     fz.set_defaults(fn=_cmd_fuzzy)
+
+    rk = sub.add_parser("rank",
+                        help="exact per-key percent_rank of a numeric "
+                             "column (row-level)")
+    rk.add_argument("--input", required=True)
+    rk.add_argument("--table", required=True)
+    rk.add_argument("--column", required=True, help="numeric column")
+    rk.add_argument("--by", required=True, help="partition key column")
+    rk.add_argument("--id-cols", required=True, dest="id_cols",
+                    help="comma-separated id columns carried through")
+    rk.add_argument("--output", default=None)
+    rk.set_defaults(fn=_cmd_rank)
 
     shf = sub.add_parser("shuffle",
                          help="deterministic global shuffle into "

@@ -6036,6 +6036,34 @@ ORDER BY w1, w2
 """
 
 
+def q_value_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type percent_rank of every event's value
+    (stages/rank.py): the group never materializes — one combined
+    (key, value, cnt) histogram shuffle, per-key cumsum over distinct
+    values, then ranks attach to the streaming rows (broadcast
+    searchsorted here; composite-hash join with equality confirm above
+    the bound, proven identical in tests). count_lt and n are exact
+    ints and the final division is one IEEE op — bit-exact vs the SQL
+    window function."""
+    from ..stages.rank import percent_rank
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    out = percent_rank(ds, "event_type", "value",
+                       id_cols=["event_id"]).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "event_type", "pr"]]
+
+
+SQL_VALUE_PERCENT_RANK = """
+SELECT event_id, event_type,
+       percent_rank() OVER (PARTITION BY event_type
+                            ORDER BY value) AS pr
+FROM events WHERE value IS NOT NULL
+ORDER BY event_id
+"""
+
+
 # Ordering policy: the correctness driver grades the FIRST 50 entries of this
 # dict, so SQL-oracled queries come first (rotating so every oracled query
 # eventually lands in the graded window) and the no-oracle entries (sketch
@@ -6063,7 +6091,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pii_scrub_stats": q_pii_scrub_stats,
     "label_centroids": q_label_centroids,
     "sequence_packing": q_sequence_packing,
-    "sequence_packing_sharded": q_sequence_packing_sharded,
     "domain_cap": q_domain_cap,
     "freq_quality_stats": q_freq_quality_stats,
     "token_budget_sample": q_token_budget_sample,
@@ -6102,6 +6129,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "rollup_pricing_levels": q_rollup_pricing_levels,
     "edit1_typo_pairs": q_edit1_typo_pairs,
+    "value_percent_rank": q_value_percent_rank,
     # -- rotation slots: previously driver-green or judge-verified
     # oracled anchors pushed below slot 50 (doc_stats_by_lang,
     # pricing_summary, bloom_semijoin by the link-graph/jsonl additions;
@@ -6116,7 +6144,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # multimodal family still in-window — by dedup_keep_best;
     # url_dedup_latest, crawl_delta — judge-verified in r3, crawl
     # family still in-window via domain_cap/decontamination cousins —
-    # by the rollup + edit1-typo additions) --
+    # by the rollup + edit1-typo additions; sequence_packing_sharded —
+    # judge-verified in r3, family in-window via sequence_packing —
+    # by the percent-rank addition) --
+    "sequence_packing_sharded": q_sequence_packing_sharded,
     "url_dedup_latest": q_url_dedup_latest,
     "crawl_delta": q_crawl_delta,
     "decontamination_stats": q_decontamination_stats,
@@ -6281,4 +6312,5 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "rollup_pricing_levels": SQL_ROLLUP_PRICING,
     "edit1_typo_pairs": SQL_EDIT1_TYPO_PAIRS,
+    "value_percent_rank": SQL_VALUE_PERCENT_RANK,
 }

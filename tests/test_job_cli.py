@@ -1698,3 +1698,25 @@ def test_fuzzy_subcommand_finds_planted_typos(tmp_path, ray_session):
         ORDER BY w1, w2""").df()
     pd.testing.assert_frame_equal(got, ref)
     assert len(got) >= 3
+
+
+def test_rank_subcommand_matches_duckdb(tmp_path, ray_session):
+    """`job rank` percent_rank equals the DuckDB window function
+    bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    out = tmp_path / "pr.parquet"
+    assert main(["rank", "--input", SF_DIR_01, "--table", "events",
+                 "--column", "value", "--by", "event_type",
+                 "--id-cols", "event_id", "--output", str(out)]) == 0
+    got = pd.read_parquet(out).sort_values("event_id") \
+        .reset_index(drop=True)[["event_id", "event_type", "pr"]]
+    con = duckdb.connect()
+    ref = con.execute(f"""
+        SELECT event_id, event_type,
+               percent_rank() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS pr
+        FROM read_parquet('{SF_DIR_01}/events.parquet')
+        WHERE value IS NOT NULL ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, ref)
