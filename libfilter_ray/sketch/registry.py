@@ -80,3 +80,4 @@ def _ensure_builtins() -> None:
     from . import vector_quotient  # noqa: F401
     from . import cuckoo  # noqa: F401
     from . import kmv  # noqa: F401
+    from . import frequent_directions  # noqa: F401

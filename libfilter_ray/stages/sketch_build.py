@@ -50,6 +50,20 @@ def _updates_from(batch_col, sketch, seed: int, pre_hashed: bool = False):
         sketch.update(np.ascontiguousarray(vals, dtype=np.int64).view(np.uint64))
     elif _column_input(sketch) == "hashes":
         sketch.update(hash_arrow_array(batch_col, seed=seed))
+    elif _column_input(sketch) == "vectors":
+        # list<float> column -> (n, dim) float64 matrix (null rows out);
+        # flatten() respects offsets so sliced/filtered arrays are safe
+        col = batch_col.combine_chunks() \
+            if isinstance(batch_col, pa.ChunkedArray) else batch_col
+        col = col.drop_null()
+        if len(col):
+            widths = np.diff(np.asarray(col.offsets, dtype=np.int64))
+            if widths.min() != widths.max():
+                raise ValueError(
+                    "vector sketch: ragged list column (rows of "
+                    f"width {widths.min()}..{widths.max()})")
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            sketch.update(flat.reshape(len(col), int(widths[0])))
     else:
         vals = batch_col.to_numpy(zero_copy_only=False).astype(np.float64)
         sketch.update(vals[~np.isnan(vals)])
