@@ -6064,6 +6064,42 @@ ORDER BY event_id
 """
 
 
+def q_user_running_value(sf_dir: str) -> pd.DataFrame:
+    """Row-level running window functions per user
+    (stages/running.py:grouped_running): 1-based row_number, running
+    sum and lag-1 of value under the total order (ts, event_id) —
+    the shard-scan shape (key-hash shard, one sort + one vectorized
+    pass per shard, never per-group Python). The running sum is a
+    sequential in-order IEEE chain in both engines; round(2) follows
+    the house float convention (DuckDB evaluates cumulative frames
+    with a segment tree, so the raw accumulation order can differ)."""
+    from ..stages.running import grouped_running
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_running(ds, "user_id", ["ts", "event_id"], "value",
+                          id_cols=["event_id"]).to_pandas()
+    out["run_sum"] = out["run_sum"].round(2)
+    out["prev_value"] = out["prev_value"].round(2)
+    out["rn"] = out["rn"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "user_id", "rn", "run_sum", "prev_value"]]
+
+
+SQL_USER_RUNNING_VALUE = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS run_sum,
+       round(lag(value, 1, 0.0) OVER w, 2) AS prev_value
+FROM events WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
 def q_fd_embedding_sketch(sf_dir: str) -> pd.DataFrame:
     """Frequent-Directions matrix sketch of the embedding column
     (sketch/frequent_directions.py): streaming mergeable low-rank
@@ -6139,7 +6175,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "blocklist_filter_stats": q_blocklist_filter_stats,
     "top_collocations": q_top_collocations,
     "inverted_index_search": q_inverted_index_search,
-    "bm25_search": q_bm25_search,
     "bm25_snippets": q_bm25_snippets,
     "shipping_priority": q_shipping_priority,
     "wav_decode_stats": q_wav_decode_stats,
@@ -6170,6 +6205,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rollup_pricing_levels": q_rollup_pricing_levels,
     "edit1_typo_pairs": q_edit1_typo_pairs,
     "value_percent_rank": q_value_percent_rank,
+    "user_running_value": q_user_running_value,
     # -- rotation slots: previously driver-green or judge-verified
     # oracled anchors pushed below slot 50 (doc_stats_by_lang,
     # pricing_summary, bloom_semijoin by the link-graph/jsonl additions;
@@ -6186,7 +6222,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # family still in-window via domain_cap/decontamination cousins —
     # by the rollup + edit1-typo additions; sequence_packing_sharded —
     # judge-verified in r3, family in-window via sequence_packing —
-    # by the percent-rank addition) --
+    # by the percent-rank addition; bm25_search — judge-verified in
+    # r3, family in-window via bm25_snippets + inverted_index_search —
+    # by the running-window addition) --
+    "bm25_search": q_bm25_search,
     "sequence_packing_sharded": q_sequence_packing_sharded,
     "url_dedup_latest": q_url_dedup_latest,
     "crawl_delta": q_crawl_delta,
@@ -6354,4 +6393,5 @@ ORACLES: dict[str, str] = {
     "rollup_pricing_levels": SQL_ROLLUP_PRICING,
     "edit1_typo_pairs": SQL_EDIT1_TYPO_PAIRS,
     "value_percent_rank": SQL_VALUE_PERCENT_RANK,
+    "user_running_value": SQL_USER_RUNNING_VALUE,
 }
