@@ -6100,6 +6100,71 @@ ORDER BY event_id
 """
 
 
+def q_value_ntile(sf_dir: str) -> pd.DataFrame:
+    """Equi-depth bucketing: NTILE(8) of value within each event_type
+    under the total order (value, event_id) — a pure COMPOSITION of
+    stages/running.py:grouped_running (row numbers via the shard scan)
+    with the exact integer NTILE size rule (first n%k buckets get
+    floor(n/k)+1 rows) applied vectorized per batch off a broadcast
+    5-row per-key count table. All-integer output — hash-exact."""
+    import pyarrow.compute as pc
+
+    from ..stages.running import grouped_running
+
+    K = 8
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    rn_ds = grouped_running(ds, "event_type", ["value", "event_id"],
+                            "value", id_cols=["event_id"])
+    def _nn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["value"]))
+
+    counts = ds.map_batches(_nn, batch_format="pyarrow") \
+        .groupby("event_type").count().to_pandas()
+    n_by_key = ray.put(dict(zip(counts["event_type"],
+                                counts["count()"].astype(np.int64))))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        from ..stages.broadcast import cached_broadcast
+
+        nk = cached_broadcast(n_by_key, lambda m: m)
+        keycol = t.column("event_type").combine_chunks()
+        dict_arr = pc.dictionary_encode(keycol)
+        codes = np.asarray(dict_arr.indices)
+        n_lut = np.array([int(nk[kv])
+                          for kv in dict_arr.dictionary.to_pylist()],
+                         dtype=np.int64)
+        n = n_lut[codes]
+        rn = t.column("rn").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q, r = n // K, n % K
+        hi = r * (q + 1)
+        bucket = np.where(
+            rn <= hi, (rn - 1) // np.maximum(q + 1, 1) + 1,
+            r + (rn - hi - 1) // np.maximum(q, 1) + 1)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": keycol,
+            "bucket": pa.array(bucket.astype(np.int64)),
+        })
+
+    out = rn_ds.map_batches(bucketize, batch_format="pyarrow") \
+        .to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["bucket"] = out["bucket"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_VALUE_NTILE = """
+SELECT event_id, event_type,
+       CAST(ntile(8) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT)
+         AS bucket
+FROM events WHERE value IS NOT NULL
+ORDER BY event_id
+"""
+
+
 def q_fd_embedding_sketch(sf_dir: str) -> pd.DataFrame:
     """Frequent-Directions matrix sketch of the embedding column
     (sketch/frequent_directions.py): streaming mergeable low-rank
@@ -6174,7 +6239,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lm_quality_filter": q_lm_quality_filter,
     "blocklist_filter_stats": q_blocklist_filter_stats,
     "top_collocations": q_top_collocations,
-    "inverted_index_search": q_inverted_index_search,
     "bm25_snippets": q_bm25_snippets,
     "shipping_priority": q_shipping_priority,
     "wav_decode_stats": q_wav_decode_stats,
@@ -6206,6 +6270,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "edit1_typo_pairs": q_edit1_typo_pairs,
     "value_percent_rank": q_value_percent_rank,
     "user_running_value": q_user_running_value,
+    "value_ntile": q_value_ntile,
     # -- rotation slots: previously driver-green or judge-verified
     # oracled anchors pushed below slot 50 (doc_stats_by_lang,
     # pricing_summary, bloom_semijoin by the link-graph/jsonl additions;
@@ -6222,9 +6287,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # family still in-window via domain_cap/decontamination cousins —
     # by the rollup + edit1-typo additions; sequence_packing_sharded —
     # judge-verified in r3, family in-window via sequence_packing —
-    # by the percent-rank addition; bm25_search — judge-verified in
-    # r3, family in-window via bm25_snippets + inverted_index_search —
-    # by the running-window addition) --
+    # by the percent-rank addition; bm25_search + inverted_index_search
+    # — judge-verified in r3, family in-window via bm25_snippets — by
+    # the running-window + ntile additions) --
+    "inverted_index_search": q_inverted_index_search,
     "bm25_search": q_bm25_search,
     "sequence_packing_sharded": q_sequence_packing_sharded,
     "url_dedup_latest": q_url_dedup_latest,
@@ -6394,4 +6460,5 @@ ORACLES: dict[str, str] = {
     "edit1_typo_pairs": SQL_EDIT1_TYPO_PAIRS,
     "value_percent_rank": SQL_VALUE_PERCENT_RANK,
     "user_running_value": SQL_USER_RUNNING_VALUE,
+    "value_ntile": SQL_VALUE_NTILE,
 }
