@@ -1531,6 +1531,24 @@ def _cmd_fuzzy(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_chunk(args: argparse.Namespace) -> int:
+    """Sliding-window document chunking (stages/chunk.py): expand each
+    doc into overlapping word windows — the flat_map in front of an
+    embedding or index build. Streams to partitioned parquet."""
+    import ray.data
+
+    from .stages.chunk import chunk_documents
+
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, [args.column, args.id_column])
+    ds = ray.data.read_parquet(paths,
+                               columns=[args.id_column, args.column])
+    out = chunk_documents(ds, args.column, args.id_column,
+                          window=args.window, stride=args.stride)
+    _write_result(out, args.output)
+    return 0
+
+
 def _cmd_rank(args: argparse.Namespace) -> int:
     """Exact per-key percent_rank of a numeric column for every row
     (stages/rank.py): histogram shuffle + per-key cumsum + broadcast-
@@ -2080,6 +2098,18 @@ def make_parser() -> argparse.ArgumentParser:
                     dest="num_shards")
     fz.add_argument("--output", default=None)
     fz.set_defaults(fn=_cmd_fuzzy)
+
+    ch = sub.add_parser("chunk",
+                        help="sliding-window document chunking "
+                             "(overlapping word windows)")
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--column", required=True, help="text column")
+    ch.add_argument("--id-column", required=True, dest="id_column")
+    ch.add_argument("--window", type=int, default=64)
+    ch.add_argument("--stride", type=int, default=32)
+    ch.add_argument("--output", default=None)
+    ch.set_defaults(fn=_cmd_chunk)
 
     rk = sub.add_parser("rank",
                         help="exact per-key percent_rank of a numeric "

@@ -6165,6 +6165,47 @@ ORDER BY event_id
 """
 
 
+def q_doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window chunking (stages/chunk.py): every document
+    expands into 64-token windows at stride 32 (tail = remainder) —
+    the flat_map in front of an embedding or index build. Chunk text
+    is a character-offset slice of the original string (offsets fully
+    vectorized; only the final substring per OUTPUT row is Python),
+    and the chunk-count rule ceil(max(L-64,0)/32)+1 is shared verbatim
+    with the SQL list-slicing oracle."""
+    from ..stages.chunk import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_documents(ds, "text", "doc_id",
+                          window=64, stride=32).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["chunk_id"] = out["chunk_id"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values(["doc_id", "chunk_id"]) \
+        .reset_index(drop=True)
+
+
+SQL_DOC_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS L
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, w, L,
+         UNNEST(range(0, CAST(ceil(greatest(L - 64, 0) / 32.0)
+                              AS BIGINT) + 1)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(w[chunk_id*32 + 1 :
+                         least(chunk_id*32 + 64, L)], ' ') AS chunk,
+       CAST(least(chunk_id*32 + 64, L) - chunk_id*32 AS BIGINT)
+         AS n_tokens
+FROM g ORDER BY doc_id, chunk_id
+"""
+
+
 def q_fd_embedding_sketch(sf_dir: str) -> pd.DataFrame:
     """Frequent-Directions matrix sketch of the embedding column
     (sketch/frequent_directions.py): streaming mergeable low-rank
@@ -6245,7 +6286,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk_ivf_exhaustive": q_ann_topk_ivf_exhaustive,
     "ann_topk_pq_exhaustive": q_ann_topk_pq_exhaustive,
     "embedding_exact_pairs": q_embedding_exact_pairs,
-    "exact_value_quantiles": q_exact_value_quantiles,
     "part_lineitem_full_join": q_part_lineitem_full_join,
     # -- new this round (oracled, never graded) --
     "warc_roundtrip": q_warc_roundtrip,
@@ -6271,6 +6311,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "value_percent_rank": q_value_percent_rank,
     "user_running_value": q_user_running_value,
     "value_ntile": q_value_ntile,
+    "doc_chunks": q_doc_chunks,
     # -- rotation slots: previously driver-green or judge-verified
     # oracled anchors pushed below slot 50 (doc_stats_by_lang,
     # pricing_summary, bloom_semijoin by the link-graph/jsonl additions;
@@ -6289,7 +6330,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # judge-verified in r3, family in-window via sequence_packing —
     # by the percent-rank addition; bm25_search + inverted_index_search
     # — judge-verified in r3, family in-window via bm25_snippets — by
-    # the running-window + ntile additions) --
+    # the running-window + ntile additions; exact_value_quantiles —
+    # judge-verified in r3, order-stats engine in-window via
+    # mad_outlier_stats — by the chunking addition) --
+    "exact_value_quantiles": q_exact_value_quantiles,
     "inverted_index_search": q_inverted_index_search,
     "bm25_search": q_bm25_search,
     "sequence_packing_sharded": q_sequence_packing_sharded,
@@ -6461,4 +6505,5 @@ ORACLES: dict[str, str] = {
     "value_percent_rank": SQL_VALUE_PERCENT_RANK,
     "user_running_value": SQL_USER_RUNNING_VALUE,
     "value_ntile": SQL_VALUE_NTILE,
+    "doc_chunks": SQL_DOC_CHUNKS,
 }

@@ -1720,3 +1720,27 @@ def test_rank_subcommand_matches_duckdb(tmp_path, ray_session):
         FROM read_parquet('{SF_DIR_01}/events.parquet')
         WHERE value IS NOT NULL ORDER BY event_id""").df()
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_chunk_subcommand_roundtrip(tmp_path, ray_session):
+    """`job chunk` writes the same chunks the stage computes and every
+    chunk rejoins into its source doc slice."""
+    import pandas as pd
+
+    out = tmp_path / "chunks"
+    assert main(["chunk", "--input", SF_DIR_01, "--table", "documents",
+                 "--column", "text", "--id-column", "doc_id",
+                 "--window", "16", "--stride", "8",
+                 "--output", str(out)]) == 0
+    got = pq.read_table(str(out)).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    docs = pq.read_table(f"{SF_DIR_01}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id")["text"]
+    assert (got["n_tokens"] <= 16).all()
+    # chunk 0 of every doc is the doc's first 16 tokens verbatim
+    first = got[got["chunk_id"] == 0]
+    assert len(first) == docs.notna().sum()
+    for _, r in first.sample(20, random_state=0).iterrows():
+        assert r["chunk"] == " ".join(
+            docs.loc[r["doc_id"]].split(" ")[:16])
