@@ -697,6 +697,8 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         (f"split({args.split})", bool(args.split)),
         (f"shuffle({1 << args.shuffle_shards_log2} shards)",
          bool(args.shuffle_out)),
+        (f"chunk(w={args.chunk_window},s={args.chunk_stride})",
+         bool(args.chunk_out)),
     ) if on]
     if not stages:
         raise SystemExit("all curation stages disabled — nothing to do")
@@ -716,6 +718,17 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         if not 0 <= args.shuffle_shards_log2 <= 24:
             raise SystemExit("--shuffle-shards-log2 must be in [0, 24], "
                              f"got {args.shuffle_shards_log2}")
+    if args.chunk_out:  # validate BEFORE any stage runs
+        if split_shares is not None or args.shuffle_out:
+            raise SystemExit(
+                "--chunk-out is mutually exclusive with --split / "
+                "--shuffle-out (one off-ramp per run)")
+        if args.chunk_window < 1 or not \
+                1 <= args.chunk_stride <= args.chunk_window:
+            raise SystemExit(
+                "--chunk-window must be >= 1 and --chunk-stride in "
+                f"[1, window], got w={args.chunk_window} "
+                f"s={args.chunk_stride}")
     mix = _parse_mix(args.mix) if args.mix else None
     if mix is not None and not args.token_budget:
         raise SystemExit("--mix needs --token-budget (the TOTAL token "
@@ -1095,6 +1108,16 @@ def _cmd_curate(args: argparse.Namespace) -> int:
               f"{len(report)} shards under {args.shuffle_out}",
               file=sys.stderr)
         _write_result(report, args.output)
+    elif args.chunk_out:
+        from .stages.chunk import chunk_documents
+
+        chunks = chunk_documents(ds, args.column, args.id_column,
+                                 window=args.chunk_window,
+                                 stride=args.chunk_stride)
+        _write_result(chunks, args.chunk_out)
+        print(f"chunked curated corpus (w={args.chunk_window}, "
+              f"s={args.chunk_stride}) under {args.chunk_out}",
+              file=sys.stderr)
     elif split_shares is not None:
         from .stages.corpus import hash_split_stage
 
@@ -1900,6 +1923,15 @@ def make_parser() -> argparse.ArgumentParser:
                          "order); the report replaces the row output")
     cu.add_argument("--shuffle-shards-log2", type=int, default=4,
                     dest="shuffle_shards_log2")
+    cu.add_argument("--chunk-out", default=None, dest="chunk_out",
+                    help="after all stages, expand the curated corpus "
+                         "into sliding-window chunks under this "
+                         "directory (RAG/index prep; exclusive with "
+                         "--split / --shuffle-out)")
+    cu.add_argument("--chunk-window", type=int, default=64,
+                    dest="chunk_window")
+    cu.add_argument("--chunk-stride", type=int, default=32,
+                    dest="chunk_stride")
     cu.add_argument("--checkpoint-dir", default=None,
                     help="shared-storage run dir: every stage artifact "
                          "(drop/keep stores, shingle set, vocab, budget "

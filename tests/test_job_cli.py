@@ -1744,3 +1744,54 @@ def test_chunk_subcommand_roundtrip(tmp_path, ray_session):
     for _, r in first.sample(20, random_state=0).iterrows():
         assert r["chunk"] == " ".join(
             docs.loc[r["doc_id"]].split(" ")[:16])
+
+
+def test_curate_chunk_offramp(tmp_path, ray_session):
+    """--chunk-out: the curated (url-deduped) corpus expands into
+    sliding-window chunks matching stages/chunk.py over the curated
+    rows exactly; exclusive with the other off-ramps."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from libfilter_ray.stages.chunk import chunk_documents
+
+    n = 200
+    df = pd.DataFrame({
+        "url": [f"https://d.org/p{i % 150}" for i in range(n)],
+        "warc_ts": pd.to_datetime(np.arange(n) * 1000, unit="us"),
+        "text": [" ".join(f"w{j}" for j in range(i % 30 + 1))
+                 for i in range(n)],
+        "lang": ["en"] * n,
+        "row_id": np.arange(n, dtype=np.int64)})
+    src = tmp_path / "in"
+    src.mkdir()
+    pa.parquet.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        src / "pages.parquet")
+    chunks_dir = tmp_path / "chunks"
+    assert main(["curate", "--input", str(src), "--table", "pages",
+                 "--column", "text", "--id-column", "row_id",
+                 "--chunk-out", str(chunks_dir),
+                 "--chunk-window", "8", "--chunk-stride", "4"]) == 0
+    got = pq.read_table(str(chunks_dir)).to_pandas() \
+        .sort_values(["row_id", "chunk_id"]).reset_index(drop=True)
+    # reference: chunk the url-dedup survivors (newest per url)
+    survivors = df[df["row_id"] >= 50]
+    ref = chunk_documents(
+        ray.data.from_pandas(survivors[["row_id", "text"]]),
+        "text", "row_id", window=8, stride=4).to_pandas() \
+        .sort_values(["row_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+    assert (got["n_tokens"] <= 8).all() and got["chunk_id"].max() > 0
+    with pytest.raises(SystemExit, match="exclusive"):
+        main(["curate", "--input", str(src), "--table", "pages",
+              "--column", "text", "--id-column", "row_id",
+              "--chunk-out", str(tmp_path / "c2"),
+              "--shuffle-out", str(tmp_path / "s2")])
+    with pytest.raises(SystemExit, match="chunk-stride"):
+        main(["curate", "--input", str(src), "--table", "pages",
+              "--column", "text", "--id-column", "row_id",
+              "--chunk-out", str(tmp_path / "c3"),
+              "--chunk-window", "4", "--chunk-stride", "9"])
