@@ -88,3 +88,36 @@ def test_fd_build_sketch_over_dataset(ray_session, rng):
     assert sk.count == int(kept.sum())
     assert sk.fnorm2 == pytest.approx(float((Ak * Ak).sum()))
     assert _cov_err(Ak, sk) <= sk.cov_error_bound() * (1 + 1e-9)
+
+
+def test_fd_through_job_build_cli(tmp_path, ray_session):
+    """The registry integration closes the loop: `job build` with a
+    kind-fd spec over the embeddings table writes a payload parquet
+    whose deserialized sketch satisfies the covariance bound."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conftest import SF_DIR_01
+    from libfilter_ray.job import main
+
+    emb = pq.read_table(f"{SF_DIR_01}/embeddings.parquet",
+                        columns=["embedding"])
+    dim = len(emb["embedding"][0])
+    spec = {"table": "embeddings",
+            "sketches": [{"name": "cov", "kind": "fd",
+                          "params": {"dim": dim, "ell": 8},
+                          "column": "embedding"}]}
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps(spec))
+    out = tmp_path / "fd.parquet"
+    assert main(["build", "--config", str(cfg), "--input", SF_DIR_01,
+                 "--output", str(out)]) == 0
+    payload = pq.read_table(out).to_pandas()["payload"].iloc[0]
+    sk = FrequentDirections.from_bytes(payload)
+    A = np.asarray(emb["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64).reshape(-1, dim)
+    assert sk.count == len(A)
+    assert sk.fnorm2 == pytest.approx(float((A * A).sum()))
+    assert _cov_err(A, sk) <= sk.cov_error_bound() * (1 + 1e-9)
