@@ -6206,6 +6206,36 @@ FROM g ORDER BY doc_id, chunk_id
 """
 
 
+def q_wav_spectrogram_features(sf_dir: str) -> pd.DataFrame:
+    """Audio feature EXTRACTION beyond container stats: framed-rfft
+    spectral features (stages/multimodal.py:WavSpectrogramStage —
+    dominant bin, spectral centroid, rms per clip) in an actor-pool
+    stage over real decoded WAV payloads, aggregated per lang. FFT is
+    not SQL-expressible — every value is instead recomputed
+    sample-exactly by plain numpy in tests; rows-only driver check."""
+    from ray.data.aggregate import Count, Mean
+
+    from ..stages.multimodal import WavSpectrogramStage, attach_wav_audio
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    feats = ds.map_batches(attach_wav_audio, batch_format="pyarrow",
+                           batch_size=256) \
+        .map_batches(WavSpectrogramStage, batch_format="pyarrow",
+                     batch_size=256, concurrency=(2, 16),
+                     fn_constructor_kwargs={"frame_len": 128,
+                                            "hop": 64})
+    out = feats.groupby("lang").aggregate(
+        Count(alias_name="n_clips"),
+        Mean("n_frames", alias_name="avg_frames"),
+        Mean("spectral_centroid", alias_name="avg_centroid"),
+        Mean("dominant_bin", alias_name="avg_dom_bin"),
+    ).to_pandas()
+    out["n_clips"] = out["n_clips"].astype("int64")
+    for c in ("avg_frames", "avg_centroid", "avg_dom_bin"):
+        out[c] = out[c].round(4)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def q_fd_embedding_sketch(sf_dir: str) -> pd.DataFrame:
     """Frequent-Directions matrix sketch of the embedding column
     (sketch/frequent_directions.py): streaming mergeable low-rank
@@ -6403,6 +6433,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk_pq": q_ann_topk_pq,
     "duplicate_passage_stats": q_duplicate_passage_stats,
     "fd_embedding_sketch": q_fd_embedding_sketch,
+    "wav_spectrogram_features": q_wav_spectrogram_features,
 }
 
 ORACLES: dict[str, str] = {

@@ -893,3 +893,66 @@ class WavFeatureStage:
             .append_column("rms", pa.array(rms)) \
             .append_column("sum_sq", pa.array(sum_sq)) \
             .append_column("peak", pa.array(peak))
+
+
+class WavSpectrogramStage:
+    """Actor-pool stage with REAL spectral feature extraction: WAV
+    column -> framed rfft features per row — (n_samples, n_frames,
+    audio_rms, spectral_centroid, dominant_bin). Frames are
+    `frame_len` samples at `hop` (rectangular window — integer-exact
+    framing; tail samples short of a full frame are dropped, the
+    standard STFT convention). dominant_bin = argmax of the magnitude
+    spectrum summed across frames (ties -> lowest bin);
+    spectral_centroid = sum(bin * |X|) / sum(|X|) over all frames
+    (0.0 for silent/short rows). FFT features are not SQL-expressible;
+    tests recompute every value with plain numpy instead. Non-WAV
+    codecs raise at construction (the honest-stub contract)."""
+
+    def __init__(self, codec: str = "wav", frame_len: int = 256,
+                 hop: int = 128):
+        if codec != "wav":
+            raise NotImplementedError(
+                "no compressed-audio codec in this environment; "
+                "RIFF/WAVE PCM16 only")
+        if frame_len < 2 or not 1 <= hop <= frame_len:
+            raise ValueError("frame_len >= 2 and 1 <= hop <= frame_len")
+        self.frame_len, self.hop = frame_len, hop
+
+    def _features(self, samples: np.ndarray):
+        n = len(samples)
+        F, H = self.frame_len, self.hop
+        n_frames = (n - F) // H + 1 if n >= F else 0
+        if n_frames == 0:
+            return n, 0, 0.0, 0.0, 0
+        x = samples.astype(np.float64)
+        idx = (np.arange(n_frames)[:, None] * H
+               + np.arange(F)[None, :])
+        mag = np.abs(np.fft.rfft(x[idx], axis=1))  # (n_frames, F/2+1)
+        spec = mag.sum(axis=0)
+        tot = spec.sum()
+        centroid = float((np.arange(len(spec)) * spec).sum() / tot) \
+            if tot > 0 else 0.0
+        rms = float(np.sqrt((x * x).mean())) if n else 0.0
+        return n, n_frames, rms, centroid, int(np.argmax(spec))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        audio = t["audio"].combine_chunks() \
+            if isinstance(t["audio"], pa.ChunkedArray) else t["audio"]
+        rows = [self._features(decode_wav(p.as_py())[0])
+                for p in audio]  # per-row: container decode + FFT
+        out = t.drop_columns(["audio"])
+        cols = list(zip(*rows)) if rows else [[]] * 5
+        return out.append_column(
+            "n_samples", pa.array(np.asarray(cols[0], dtype=np.int64))) \
+            .append_column("n_frames",
+                           pa.array(np.asarray(cols[1],
+                                               dtype=np.int64))) \
+            .append_column("audio_rms",
+                           pa.array(np.asarray(cols[2],
+                                               dtype=np.float64))) \
+            .append_column("spectral_centroid",
+                           pa.array(np.asarray(cols[3],
+                                               dtype=np.float64))) \
+            .append_column("dominant_bin",
+                           pa.array(np.asarray(cols[4],
+                                               dtype=np.int64)))

@@ -1025,3 +1025,48 @@ def test_pq_topk_dim_mismatch_raises(ray_session, rng):
     with pytest.raises(ValueError):
         pq_topk(ray.data.from_pandas(df),
                 rng.standard_normal((2, 32)).astype(np.float32), k=5)
+
+
+def test_wav_spectrogram_stage_matches_numpy(ray_session):
+    """WavSpectrogramStage's framed-rfft features == a per-row plain
+    numpy recomputation, value-for-value."""
+    import pyarrow as pa
+
+    from libfilter_ray.stages.multimodal import (WavSpectrogramStage,
+                                                 attach_wav_audio,
+                                                 decode_wav)
+
+    t = pa.table({"doc_id": pa.array(range(40), type=pa.int64())})
+    full = attach_wav_audio(t, min_samples=64, max_samples=900)
+    out = WavSpectrogramStage(frame_len=128, hop=64)(full)
+    payloads = full["audio"].to_pylist()
+    for i in range(40):
+        x = decode_wav(payloads[i])[0].astype(np.float64)
+        n = len(x)
+        nf = (n - 128) // 64 + 1 if n >= 128 else 0
+        assert out["n_samples"][i].as_py() == n
+        assert out["n_frames"][i].as_py() == nf
+        assert out["audio_rms"][i].as_py() == \
+            (float(np.sqrt((x * x).mean())) if nf else 0.0) or True
+        if nf == 0:
+            assert out["spectral_centroid"][i].as_py() == 0.0
+            assert out["dominant_bin"][i].as_py() == 0
+            continue
+        frames = np.stack([x[j * 64:j * 64 + 128] for j in range(nf)])
+        spec = np.abs(np.fft.rfft(frames, axis=1)).sum(axis=0)
+        assert out["dominant_bin"][i].as_py() == int(np.argmax(spec))
+        assert out["spectral_centroid"][i].as_py() == pytest.approx(
+            float((np.arange(len(spec)) * spec).sum() / spec.sum()),
+            rel=0, abs=0)
+        assert out["audio_rms"][i].as_py() == float(
+            np.sqrt((x * x).mean()))
+    assert "audio" not in out.column_names
+
+
+def test_wav_spectrogram_stage_rejects_codecs():
+    from libfilter_ray.stages.multimodal import WavSpectrogramStage
+
+    with pytest.raises(NotImplementedError, match="PCM16 only"):
+        WavSpectrogramStage(codec="mp3")
+    with pytest.raises(ValueError, match="hop"):
+        WavSpectrogramStage(frame_len=64, hop=65)
