@@ -6206,6 +6206,56 @@ FROM g ORDER BY doc_id, chunk_id
 """
 
 
+def q_gif_decode_features(sf_dir: str) -> pd.DataFrame:
+    """REAL palette-image decode under the oracle gate: deterministic
+    valid GIF87a payloads (pure-Python GIF-variant LZW — variable
+    9..12-bit codes, LSB packing, table-full deferred-clear) attach per
+    doc, decode in the actor-pool GifFeatureStage, and the decoded
+    dims/channel means aggregate per lang. The palette is an arithmetic
+    function of the index (r=i, g=2i mod 256, b=255-i), so the oracle
+    recomputes every decoded channel value — a mis-decoded LZW code or
+    palette lookup hash-mismatches. Same exact-integer-sum mean
+    contract as the PPM/PNG pipelines."""
+    from ..stages.multimodal import GifFeatureStage, attach_gif_images
+
+    return _image_decode_features(sf_dir, attach_gif_images,
+                                  GifFeatureStage)
+
+
+SQL_GIF_DECODE_FEATURES = """
+WITH dims AS (
+  SELECT doc_id, lang,
+         8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.lang,
+         (tx.x * (ty.y + 1) + d.doc_id) % 256 AS idx
+  FROM dims d, UNNEST(range(0, d.h)) AS ty(y),
+       UNNEST(range(0, d.w)) AS tx(x)
+),
+imgs AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_images,
+         CAST(sum(w) AS BIGINT) AS sum_width,
+         CAST(sum(h) AS BIGINT) AS sum_height
+  FROM dims GROUP BY lang
+),
+pix AS (
+  SELECT lang, count(*) AS n_px,
+         sum(idx) AS sr,
+         sum((2 * idx) % 256) AS sg,
+         sum(255 - idx) AS sb
+  FROM px GROUP BY lang
+)
+SELECT i.lang, i.n_images, i.sum_width, i.sum_height,
+       CAST(p.sr AS DOUBLE) / CAST(p.n_px AS DOUBLE) AS px_mean_r,
+       CAST(p.sg AS DOUBLE) / CAST(p.n_px AS DOUBLE) AS px_mean_g,
+       CAST(p.sb AS DOUBLE) / CAST(p.n_px AS DOUBLE) AS px_mean_b
+FROM imgs i JOIN pix p USING (lang) ORDER BY lang
+"""
+
+
 def q_wav_spectrogram_features(sf_dir: str) -> pd.DataFrame:
     """Audio feature EXTRACTION beyond container stats: framed-rfft
     spectral features (stages/multimodal.py:WavSpectrogramStage —
@@ -6366,6 +6416,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "exact_value_quantiles": q_exact_value_quantiles,
     "inverted_index_search": q_inverted_index_search,
     "bm25_search": q_bm25_search,
+    "gif_decode_features": q_gif_decode_features,
     "sequence_packing_sharded": q_sequence_packing_sharded,
     "url_dedup_latest": q_url_dedup_latest,
     "crawl_delta": q_crawl_delta,
@@ -6537,4 +6588,5 @@ ORACLES: dict[str, str] = {
     "user_running_value": SQL_USER_RUNNING_VALUE,
     "value_ntile": SQL_VALUE_NTILE,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "gif_decode_features": SQL_GIF_DECODE_FEATURES,
 }

@@ -956,3 +956,247 @@ class WavSpectrogramStage:
             .append_column("dominant_bin",
                            pa.array(np.asarray(cols[4],
                                                dtype=np.int64)))
+
+
+# ---------------------------------------------------------------------------
+# REAL palette-image decode — GIF87a with a pure-Python GIF-variant LZW
+# (variable 9..12-bit codes, LSB-first packing, CLEAR/EOI, table-full
+# deferred-clear). No codec library: the encoder below exists for test
+# synthesis; decode_gif is the real format walk.
+# ---------------------------------------------------------------------------
+
+GIF_MAGIC = b"GIF87a"
+
+
+def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW over uint8 symbols. Emits CLEAR first; stops
+    adding entries when the table is full (deferred clear — the
+    convention real decoders accept). Encoder code width bumps when
+    next_code == (1 << width) + 1 — one position AHEAD of the decoder's
+    next_code == (1 << width) rule, because the decoder's table add
+    lags the encoder's by exactly one code (the classic LZW offset)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    seq = indices.tobytes()
+    if seq:
+        w = seq[:1]
+        for j in range(1, len(seq)):
+            k = seq[j:j + 1]
+            if w + k in table:
+                w += k
+                continue
+            emit(table[w], width)
+            if next_code < 4096:
+                table[w + k] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            w = bytes(k)
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int,
+                    n_expected: int) -> np.ndarray:
+    """Inverse of the GIF LZW coding (spec algorithm): decoder width
+    bumps when next_code == 1 << width; table adds stop at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    pos = 0          # bit cursor
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            raise ValueError("LZW stream truncated")
+        byte0 = pos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 3], "little")
+        code = (chunk >> (pos & 7)) & ((1 << width) - 1)
+        pos += width
+        return code
+
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] \
+        + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = table[:eoi + 1]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("LZW output exceeds image size")
+    if len(out) != n_expected:
+        raise ValueError(
+            f"LZW output {len(out)} != {n_expected} pixels")
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal valid GIF87a: one image, 256-entry global color table,
+    no interlace. `indices` (h, w) uint8, `palette` (256, 3) uint8."""
+    import struct
+
+    h, w = indices.shape
+    out = bytearray(GIF_MAGIC)
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])     # GCT present, 8-bit, 256 entries
+    out += palette.astype(np.uint8).tobytes()
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(8)                  # LZW min code size
+    lzw = _lzw_encode_gif(indices.ravel(), 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"             # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from a GIF87a/89a payload: header + global
+    color table + first image descriptor + LZW data sub-blocks.
+    Extensions (0x21) are skipped; local color tables and interlace are
+    rejected (out of scope for the synthesis contract)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("missing global color table")
+    gct_n = 2 << (flags & 7)
+    palette = np.frombuffer(payload[pos:pos + gct_n * 3],
+                            dtype=np.uint8).reshape(gct_n, 3)
+    pos += gct_n * 3
+    while pos < len(payload) and payload[pos] == 0x21:  # extensions
+        pos += 2
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+    if pos >= len(payload) or payload[pos] != 0x2C:
+        raise ValueError("no image descriptor")
+    _x, _y, w, h, iflags = struct.unpack("<HHHHB",
+                                         payload[pos + 1:pos + 10])
+    pos += 10
+    if iflags & 0x80:
+        raise ValueError("local color tables unsupported")
+    if iflags & 0x40:
+        raise ValueError("interlaced GIFs unsupported")
+    mcs = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while payload[pos]:
+        n = payload[pos]
+        lzw += payload[pos + 1:pos + 1 + n]
+        pos += 1 + n
+    idx = _lzw_decode_gif(bytes(lzw), mcs, w * h)
+    return palette[idx.reshape(h, w)]
+
+
+def attach_gif_images(t: pa.Table, *, id_column: str = "doc_id",
+                      max_side: int = 20) -> pa.Table:
+    """Deterministic VALID GIF87a payloads per row: same dims formula
+    as the PNG fixture (w = 8 + id % 13, h = 8 + id % 11 at the default
+    max_side), palette index (y, x) = (x * (y + 1) + id) % 256, palette
+    entry i = (i, (2*i) % 256, 255 - i) — every decoded channel value
+    is recomputable arithmetically by the SQL oracle."""
+    ids = np.asarray(t[id_column].combine_chunks()
+                     if isinstance(t[id_column], pa.ChunkedArray)
+                     else t[id_column]).astype(np.int64)
+    pal = np.stack([np.arange(256),
+                    (2 * np.arange(256)) % 256,
+                    255 - np.arange(256)], axis=1).astype(np.uint8)
+    payloads = []
+    for i in ids:
+        w = int(8 + i % (max_side - 7))
+        h = int(8 + i % (max_side - 9))
+        y, x = np.ogrid[0:h, 0:w]
+        idx = ((x * (y + 1) + int(i)) % 256).astype(np.uint8)
+        payloads.append(encode_gif(idx, pal))
+    return t.append_column("image",
+                           pa.array(payloads, type=pa.large_binary()))
+
+
+class GifFeatureStage:
+    """Actor-pool stage with REAL palette-image decode: GIF column ->
+    (width, height, mean R/G/B, exact channel sums, thumbnail) — the
+    pure-Python GIF-variant LZW + palette lookup (decode_gif), same
+    output layout as Ppm/PngFeatureStage. Non-GIF codecs raise at
+    construction."""
+
+    def __init__(self, codec: str = "gif", thumb_side: int = 4):
+        if codec != "gif":
+            raise NotImplementedError(
+                "GIF (LZW) and PNG (zlib) are the only compressed "
+                "image formats decodable without a codec library")
+        self.thumb_side = thumb_side
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        offsets, data = _flat_binary_view(t["image"])
+        n = len(offsets) - 1
+        side = self.thumb_side
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        means = np.zeros((n, 3), dtype=np.float64)
+        thumbs = np.zeros((n, side * side), dtype=np.float32)
+        sums = np.zeros((n, 3), dtype=np.int64)
+        for i in range(n):  # per-PAYLOAD decode; pixel math is numpy
+            img = decode_gif(data[offsets[i]:offsets[i + 1]].tobytes())
+            height[i], width[i] = img.shape[0], img.shape[1]
+            means[i] = img.mean(axis=(0, 1))
+            sums[i] = img.astype(np.int64).sum(axis=(0, 1))
+            thumbs[i] = block_mean_thumbnail(img, side).ravel()
+        out = t.drop_columns(["image"])
+        flat = pa.array(thumbs.ravel(), type=pa.float32())
+        thumb_col = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * side * side, side * side,
+                               dtype=np.int64)), flat)
+        return out.append_column("width", pa.array(width)) \
+            .append_column("height", pa.array(height)) \
+            .append_column("mean_r", pa.array(means[:, 0])) \
+            .append_column("mean_g", pa.array(means[:, 1])) \
+            .append_column("mean_b", pa.array(means[:, 2])) \
+            .append_column("n_px", pa.array(width * height)) \
+            .append_column("px_sum_r", pa.array(sums[:, 0])) \
+            .append_column("px_sum_g", pa.array(sums[:, 1])) \
+            .append_column("px_sum_b", pa.array(sums[:, 2])) \
+            .append_column("thumbnail", thumb_col)
