@@ -6206,6 +6206,19 @@ FROM g ORDER BY doc_id, chunk_id
 """
 
 
+def q_bmp_decode_features(sf_dir: str) -> pd.DataFrame:
+    """REAL uncompressed-image decode under the oracle gate: 24-bit
+    BI_RGB BMP payloads (bottom-up rows, BGR channels, 4-byte row
+    padding — the format's genuine traps) attach per doc with the SAME
+    dims/pixel formula as the PPM/PNG fixtures, so the PNG oracle SQL
+    applies verbatim: a decoder that forgets the row flip or channel
+    swizzle hash-mismatches."""
+    from ..stages.multimodal import BmpFeatureStage, attach_bmp_images
+
+    return _image_decode_features(sf_dir, attach_bmp_images,
+                                  BmpFeatureStage)
+
+
 def q_gif_decode_features(sf_dir: str) -> pd.DataFrame:
     """REAL palette-image decode under the oracle gate: deterministic
     valid GIF87a payloads (pure-Python GIF-variant LZW — variable
@@ -6417,6 +6430,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "inverted_index_search": q_inverted_index_search,
     "bm25_search": q_bm25_search,
     "gif_decode_features": q_gif_decode_features,
+    "bmp_decode_features": q_bmp_decode_features,
     "sequence_packing_sharded": q_sequence_packing_sharded,
     "url_dedup_latest": q_url_dedup_latest,
     "crawl_delta": q_crawl_delta,
@@ -6589,4 +6603,5 @@ ORACLES: dict[str, str] = {
     "value_ntile": SQL_VALUE_NTILE,
     "doc_chunks": SQL_DOC_CHUNKS,
     "gif_decode_features": SQL_GIF_DECODE_FEATURES,
+    "bmp_decode_features": SQL_PNG_DECODE_FEATURES,  # same fixture math
 }

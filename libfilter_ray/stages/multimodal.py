@@ -1200,3 +1200,120 @@ class GifFeatureStage:
             .append_column("px_sum_g", pa.array(sums[:, 1])) \
             .append_column("px_sum_b", pa.array(sums[:, 2])) \
             .append_column("thumbnail", thumb_col)
+
+
+# ---------------------------------------------------------------------------
+# REAL uncompressed-image decode — 24-bit BI_RGB Windows BMP. The format
+# traps are real even without compression: pixel rows are stored
+# BOTTOM-UP, channels are BGR, and every row pads to a 4-byte boundary.
+# ---------------------------------------------------------------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal valid 24-bit BI_RGB BMP from an (h, w, 3) RGB uint8
+    array (BITMAPINFOHEADER, bottom-up, BGR, 4-byte row padding)."""
+    import struct
+
+    h, w = img.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    data = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up
+        data += img[y, :, ::-1].tobytes()   # RGB -> BGR
+        data += b"\x00" * pad
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    return hdr + info + bytes(data)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from a 24-bit BI_RGB BMP (top-down rows out;
+    negative biHeight = stored top-down per the spec). Compressed or
+    non-24-bit BMPs raise."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack("<I", payload[10:14])
+    hsize, w, h_raw, _planes, bpp, comp = \
+        struct.unpack("<IiiHHI", payload[14:34])
+    if hsize < 40 or comp != 0 or bpp != 24:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported "
+            f"(bpp={bpp}, compression={comp})")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    stride = (w * 3 + 3) & ~3
+    need = off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)
+    bgr = rows[:, :w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]                     # bottom-up -> top-down
+    return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR -> RGB
+
+
+def attach_bmp_images(t: pa.Table, *, id_column: str = "doc_id",
+                      max_side: int = 20) -> pa.Table:
+    """Deterministic VALID 24-bit BMP payloads per row — the SAME dims
+    and pixel formula as the PPM/PNG fixtures (w = 8 + id % 13,
+    h = 8 + id % 11; pixel (y, x, c) = (x*(y+1) + id + c) % 256), so
+    the shared SQL oracle shape recomputes every channel value."""
+    ids = np.asarray(t[id_column].combine_chunks()
+                     if isinstance(t[id_column], pa.ChunkedArray)
+                     else t[id_column]).astype(np.int64)
+    payloads = []
+    for i in ids:
+        w = int(8 + i % (max_side - 7))
+        h = int(8 + i % (max_side - 9))
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        px = ((x * (y + 1) + int(i) + c) % 256).astype(np.uint8)
+        payloads.append(encode_bmp(px))
+    return t.append_column("image",
+                           pa.array(payloads, type=pa.large_binary()))
+
+
+class BmpFeatureStage:
+    """Actor-pool stage with REAL uncompressed-image decode: BMP column
+    -> same output layout as Ppm/Png/GifFeatureStage. Non-BMP codecs
+    raise at construction."""
+
+    def __init__(self, codec: str = "bmp", thumb_side: int = 4):
+        if codec != "bmp":
+            raise NotImplementedError(
+                "BmpFeatureStage decodes 24-bit BI_RGB BMP only")
+        self.thumb_side = thumb_side
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        offsets, data = _flat_binary_view(t["image"])
+        n = len(offsets) - 1
+        side = self.thumb_side
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        means = np.zeros((n, 3), dtype=np.float64)
+        thumbs = np.zeros((n, side * side), dtype=np.float32)
+        sums = np.zeros((n, 3), dtype=np.int64)
+        for i in range(n):  # per-PAYLOAD decode; pixel math is numpy
+            img = decode_bmp(data[offsets[i]:offsets[i + 1]].tobytes())
+            height[i], width[i] = img.shape[0], img.shape[1]
+            means[i] = img.mean(axis=(0, 1))
+            sums[i] = img.astype(np.int64).sum(axis=(0, 1))
+            thumbs[i] = block_mean_thumbnail(img, side).ravel()
+        out = t.drop_columns(["image"])
+        flat = pa.array(thumbs.ravel(), type=pa.float32())
+        thumb_col = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * side * side, side * side,
+                               dtype=np.int64)), flat)
+        return out.append_column("width", pa.array(width)) \
+            .append_column("height", pa.array(height)) \
+            .append_column("mean_r", pa.array(means[:, 0])) \
+            .append_column("mean_g", pa.array(means[:, 1])) \
+            .append_column("mean_b", pa.array(means[:, 2])) \
+            .append_column("n_px", pa.array(width * height)) \
+            .append_column("px_sum_r", pa.array(sums[:, 0])) \
+            .append_column("px_sum_g", pa.array(sums[:, 1])) \
+            .append_column("px_sum_b", pa.array(sums[:, 2])) \
+            .append_column("thumbnail", thumb_col)
