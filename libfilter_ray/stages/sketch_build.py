@@ -175,7 +175,16 @@ class _GroupedPartialBuilder:
         # retry-safe): hash of the block's first column value + row count.
         from ..sketch.hashing import splitmix64
         if self.num_salts > 1 and batch.num_rows:
-            block_fp = int(hash_arrow_array(col.slice(0, 1), seed=7)[0])
+            try:
+                block_fp = int(hash_arrow_array(col.slice(0, 1),
+                                                seed=7)[0])
+            except TypeError:
+                # vector (list<float>) columns aren't key-hashable —
+                # fingerprint the block off its first KEY value instead
+                # (same retry-safe pure-function-of-content property)
+                kc = dict_arr.dictionary.take(
+                    dict_arr.indices.slice(0, 1).cast(pa.int64()))
+                block_fp = int(hash_arrow_array(kc, seed=7)[0])
             # int() BEFORE the modulo: numpy-u64 % python-int promotes to
             # float64 and rounds away the low bits (salt was always 0)
             salt = int(splitmix64(np.array([block_fp ^ batch.num_rows],

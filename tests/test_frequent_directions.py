@@ -121,3 +121,31 @@ def test_fd_through_job_build_cli(tmp_path, ray_session):
     assert sk.count == len(A)
     assert sk.fnorm2 == pytest.approx(float((A * A).sum()))
     assert _cov_err(A, sk) <= sk.cov_error_bound() * (1 + 1e-9)
+
+
+def test_fd_grouped_build_per_label(ray_session, rng):
+    """Vectors input through the salted two-stage GROUPED merge:
+    per-label FD sketches each satisfy the covariance bound against
+    that label's exact rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from libfilter_ray.stages.sketch_build import build_grouped_sketches
+
+    n, d = 1500, 12
+    labels = rng.integers(0, 3, n)
+    A = _lowrank(rng, n, d, 4)
+    ds = ray.data.from_arrow(pa.table({
+        "label": pa.array([f"l{v}" for v in labels]),
+        "emb": pa.array(A.tolist(), type=pa.list_(pa.float64()))})) \
+        .repartition(6)
+    out = build_grouped_sketches(ds, "label", "emb", "fd",
+                                 {"dim": d, "ell": 6})
+    assert sorted(out["label"]) == ["l0", "l1", "l2"]
+    for _, row in out.iterrows():
+        sk = FrequentDirections.from_bytes(row["payload"]).finalize()
+        lab = int(row["label"][1])
+        Ak = A[labels == lab]
+        assert sk.count == len(Ak) == row["rows"]
+        assert sk.fnorm2 == pytest.approx(float((Ak * Ak).sum()))
+        assert _cov_err(Ak, sk) <= sk.cov_error_bound() * (1 + 1e-9)
