@@ -6206,6 +6206,55 @@ FROM g ORDER BY doc_id, chunk_id
 """
 
 
+def q_link_extraction_edges(sf_dir: str) -> pd.DataFrame:
+    """Crawl-to-link-graph bridge (stages/extract.py:links_stage):
+    synthesize pages whose html embeds 1-3 planted <a href> anchors
+    around the document text (targets an arithmetic function of doc_id,
+    the PII-plant pattern), extract every href with the vectorized
+    split kernels — no regex engine, no per-row Python — and return
+    the full (doc_id, dst) edge list. The oracle replants the same
+    URLs, so a parser that misses an anchor, truncates a URL at the
+    wrong quote or picks up surrounding markup hash-mismatches."""
+    from ..stages.extract import links_stage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synthesize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        text = t["text"].combine_chunks() \
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        body = np.asarray(pc.fill_null(text, "")).astype(str)
+        html = []
+        for i, tx in zip(ids, body):  # plant loop (test fixture)
+            anchors = "".join(
+                f'<a href="https://d{(i * 7 + k) % 50}.example/'
+                f'p{(i + k) % 1000}">x</a>'
+                for k in range(1, 2 + i % 3))
+            html.append(f"<html><body><p>{tx}</p>{anchors}</body></html>")
+        return pa.table({"doc_id": t["doc_id"],
+                         "html": pa.array(html, type=pa.string())})
+
+    edges = docs.map_batches(synthesize, batch_format="pyarrow") \
+        .map_batches(links_stage(html_col="html", src_col="doc_id"),
+                     batch_format="pyarrow")
+    out = edges.to_pandas().rename(columns={"src": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["doc_id", "dst"]).reset_index(drop=True)
+
+
+SQL_LINK_EXTRACTION = """
+WITH l AS (
+  SELECT doc_id, UNNEST(range(1, 2 + doc_id % 3)) AS k FROM documents
+)
+SELECT doc_id,
+       'https://d' || CAST((doc_id * 7 + k) % 50 AS VARCHAR)
+        || '.example/p' || CAST((doc_id + k) % 1000 AS VARCHAR) AS dst
+FROM l ORDER BY doc_id, dst
+"""
+
+
 def q_bmp_decode_features(sf_dir: str) -> pd.DataFrame:
     """REAL uncompressed-image decode under the oracle gate: 24-bit
     BI_RGB BMP payloads (bottom-up rows, BGR channels, 4-byte row
@@ -6431,6 +6480,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bm25_search": q_bm25_search,
     "gif_decode_features": q_gif_decode_features,
     "bmp_decode_features": q_bmp_decode_features,
+    "link_extraction_edges": q_link_extraction_edges,
     "sequence_packing_sharded": q_sequence_packing_sharded,
     "url_dedup_latest": q_url_dedup_latest,
     "crawl_delta": q_crawl_delta,
@@ -6604,4 +6654,5 @@ ORACLES: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "gif_decode_features": SQL_GIF_DECODE_FEATURES,
     "bmp_decode_features": SQL_PNG_DECODE_FEATURES,  # same fixture math
+    "link_extraction_edges": SQL_LINK_EXTRACTION,
 }
