@@ -225,3 +225,52 @@ def test_edge_table_pagerank_rejects_duplicate_nodes(ray_session):
         {"node": pa.array([0, 1, 2, 2], type=pa.int64())}))
     with pytest.raises(ValueError, match="duplicate"):
         integer_pagerank_edges(edges, nodes, iters=1, num_shards=2)
+
+
+def test_links_to_pagerank_composition(ray_session):
+    """End-to-end crawl-to-graph bridge: pages with planted anchors ->
+    links_stage edge extraction -> integer_pagerank_edges == pagerank
+    over the directly-constructed edge table."""
+    import ray.data
+
+    from libfilter_ray.stages.extract import links_stage
+    from libfilter_ray.stages.graph import integer_pagerank_edges
+
+    n = 120
+    ids = np.arange(n, dtype=np.int64)
+    html, src_l, dst_l = [], [], []
+    for i in ids:
+        anchors = ""
+        for k in range(1, 2 + int(i) % 3):
+            j = (int(i) * 7 + k) % n
+            anchors += f'<a href="doc://{j}">x</a>'
+            src_l.append(int(i))
+            dst_l.append(j)
+        html.append(f"<html><body>text {i}{anchors}</body></html>")
+    pages = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "html": pa.array(html)})).repartition(4)
+    docs = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+
+    def to_int(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dst = pc.cast(pc.replace_substring(t["dst"], "doc://", ""),
+                      pa.int64())
+        return pa.table({"src": t["src"], "dst": dst})
+
+    extracted = pages.map_batches(
+        links_stage(html_col="html", src_col="doc_id"),
+        batch_format="pyarrow").map_batches(to_int,
+                                            batch_format="pyarrow")
+    direct = ray.data.from_arrow(pa.table({
+        "src": pa.array(src_l, type=pa.int64()),
+        "dst": pa.array(dst_l, type=pa.int64())}))
+    a = integer_pagerank_edges(extracted, docs, iters=2,
+                               node_col="doc_id", num_shards=8) \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    b = integer_pagerank_edges(direct, docs, iters=2,
+                               node_col="doc_id", num_shards=8) \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    assert a["v"].tolist() == b["v"].tolist()
+    assert a["pr_micro"].tolist() == b["pr_micro"].tolist()
+    assert a["pr_micro"].nunique() > 1  # ranks genuinely differ
