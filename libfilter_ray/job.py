@@ -1554,6 +1554,25 @@ def _cmd_fuzzy(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_links(args: argparse.Namespace) -> int:
+    """Extract every href from an html column into a (src, dst) edge
+    parquet (stages/extract.py:links_stage) — the crawl-to-link-graph
+    bridge: import-warc -> links -> graph pagerank/components."""
+    import ray.data
+
+    from .stages.extract import links_stage
+
+    paths = _table_paths(args.input, args.table)
+    _check_columns(paths, [args.html_column, args.src_column])
+    ds = ray.data.read_parquet(
+        paths, columns=[args.src_column, args.html_column])
+    out = ds.map_batches(links_stage(html_col=args.html_column,
+                                     src_col=args.src_column),
+                         batch_format="pyarrow")
+    _write_result(out, args.output)
+    return 0
+
+
 def _cmd_chunk(args: argparse.Namespace) -> int:
     """Sliding-window document chunking (stages/chunk.py): expand each
     doc into overlapping word windows — the flat_map in front of an
@@ -2130,6 +2149,16 @@ def make_parser() -> argparse.ArgumentParser:
                     dest="num_shards")
     fz.add_argument("--output", default=None)
     fz.set_defaults(fn=_cmd_fuzzy)
+
+    lk = sub.add_parser("links",
+                        help="extract href edges from an html column "
+                             "(crawl -> link-graph bridge)")
+    lk.add_argument("--input", required=True)
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--html-column", default="html", dest="html_column")
+    lk.add_argument("--src-column", default="url", dest="src_column")
+    lk.add_argument("--output", default=None)
+    lk.set_defaults(fn=_cmd_links)
 
     ch = sub.add_parser("chunk",
                         help="sliding-window document chunking "

@@ -1795,3 +1795,28 @@ def test_curate_chunk_offramp(tmp_path, ray_session):
               "--column", "text", "--id-column", "row_id",
               "--chunk-out", str(tmp_path / "c3"),
               "--chunk-window", "4", "--chunk-stride", "9"])
+
+
+def test_links_subcommand_extracts_edges(tmp_path, ray_session):
+    """`job links` over a pages table with an html column writes the
+    (src, dst) edge parquet exactly."""
+    import pandas as pd
+    import pyarrow as pa
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(pa.table({
+        "url": ["https://s/a", "https://s/b", "https://s/c"],
+        "html": [b'<a href="https://t/1">x</a><a href="https://t/2">y</a>',
+                 b"nothing here",
+                 b'<a href="https://t/3">z</a>'],
+    }), str(inp / "pages.parquet"))
+    out = tmp_path / "edges"
+    assert main(["links", "--input", str(inp), "--table", "pages",
+                 "--output", str(out)]) == 0
+    got = pq.read_table(str(out)).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    ref = pd.DataFrame({
+        "src": ["https://s/a", "https://s/a", "https://s/c"],
+        "dst": ["https://t/1", "https://t/2", "https://t/3"]})
+    pd.testing.assert_frame_equal(got, ref)
