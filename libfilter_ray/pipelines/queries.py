@@ -6206,6 +6206,29 @@ FROM g ORDER BY doc_id, chunk_id
 """
 
 
+def q_docs_source_pivot(sf_dir: str) -> pd.DataFrame:
+    """Corpus composition matrix (stages/rollup.py:pivot_counts —
+    pivot/crosstab, absent from Ray Data): per-lang document counts
+    pivoted wide over the 20 declared sources. Per-batch 2-D bincount
+    partials emit the fixed wide layout, one groupby-Sum finishes —
+    same shuffle volume as a plain grouped count; all-integer output,
+    hash-exact vs 20 conditional-sum SQL columns."""
+    from ..stages.rollup import pivot_counts
+
+    cats = [f"src{i}" for i in range(20)]
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    out = pivot_counts(ds, "lang", "source", cats).to_pandas()
+    for c in cats:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_DOCS_SOURCE_PIVOT = "SELECT lang,\n  " + ",\n  ".join(
+    f"sum(CASE WHEN source = 'src{i}' THEN 1 ELSE 0 END)::BIGINT "
+    f"AS src{i}" for i in range(20)
+) + "\nFROM documents GROUP BY lang ORDER BY lang"
+
+
 def q_link_extraction_edges(sf_dir: str) -> pd.DataFrame:
     """Crawl-to-link-graph bridge (stages/extract.py:links_stage):
     synthesize pages whose html embeds 1-3 planted <a href> anchors
@@ -6481,6 +6504,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gif_decode_features": q_gif_decode_features,
     "bmp_decode_features": q_bmp_decode_features,
     "link_extraction_edges": q_link_extraction_edges,
+    "docs_source_pivot": q_docs_source_pivot,
     "sequence_packing_sharded": q_sequence_packing_sharded,
     "url_dedup_latest": q_url_dedup_latest,
     "crawl_delta": q_crawl_delta,
@@ -6655,4 +6679,5 @@ ORACLES: dict[str, str] = {
     "gif_decode_features": SQL_GIF_DECODE_FEATURES,
     "bmp_decode_features": SQL_PNG_DECODE_FEATURES,  # same fixture math
     "link_extraction_edges": SQL_LINK_EXTRACTION,
+    "docs_source_pivot": SQL_DOCS_SOURCE_PIVOT,
 }

@@ -125,3 +125,51 @@ def _driver_tail(finest, keys, sum_name, *, sentinel):
     out["lvl"] = out["lvl"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def pivot_counts(ds, row_key: str, cat_col: str, categories):
+    """Wide count matrix (pivot/crosstab — absent from Ray Data): one
+    int64 column per DECLARED category, one row per `row_key` value.
+    Per-batch partials bincount (row, category) pairs into the fixed
+    wide layout (vectorized dictionary-encode, one 2-D bincount per
+    batch), then ONE groupby-Sum over the wide columns — the shuffle
+    moves combo-sized wide partials, the same volume as a plain grouped
+    count. The category list is part of the schema contract: a value
+    outside it raises (silent other-bucketing would corrupt the
+    matrix); pass an explicit "other" category to absorb strays."""
+    from ray.data.aggregate import Sum
+
+    cats = [str(c) for c in categories]
+    if len(set(cats)) != len(cats):
+        raise ValueError("pivot: duplicate categories")
+    cat_index = {c: i for i, c in enumerate(cats)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rk = t[row_key].combine_chunks() \
+            if isinstance(t[row_key], pa.ChunkedArray) else t[row_key]
+        cc = t[cat_col].combine_chunks() \
+            if isinstance(t[cat_col], pa.ChunkedArray) else t[cat_col]
+        rd = pc.dictionary_encode(rk)
+        rcodes = np.asarray(rd.indices)
+        uniq_rows = rd.dictionary
+        cd = pc.dictionary_encode(cc)
+        ccodes_local = np.asarray(cd.indices)
+        lut = np.empty(len(cd.dictionary), dtype=np.int64)
+        for j, v in enumerate(cd.dictionary.to_pylist()):  # O(uniq cats)
+            if v not in cat_index:
+                raise ValueError(
+                    f"pivot: category {v!r} not in the declared list")
+            lut[j] = cat_index[v]
+        nr, nc = len(uniq_rows), len(cats)
+        mat = np.bincount(rcodes * nc + lut[ccodes_local],
+                          minlength=nr * nc).reshape(nr, nc)
+        cols = {row_key: uniq_rows}
+        for i, c in enumerate(cats):
+            cols[c] = pa.array(mat[:, i].astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(row_key) \
+        .aggregate(*[Sum(c, alias_name=c) for c in cats])

@@ -68,3 +68,37 @@ def test_rollup_null_values_skipped_in_sum(ray_session):
                    "sum_v"].iloc[0] == 1.0
     assert got.loc[got["lvl"] == 0, "sum_v"].iloc[0] == 4.0
     assert got.loc[got["lvl"] == 0, "n"].iloc[0] == 3
+
+
+def test_pivot_counts_matches_crosstab(ray_session, rng):
+    import ray.data
+
+    from libfilter_ray.stages.rollup import pivot_counts
+
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], n),
+        "c": rng.choice(["a", "b", "c", "d"], n)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = pivot_counts(ds, "k", "c", ["a", "b", "c", "d"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for c in "abcd":
+        got[c] = got[c].astype("int64")
+    ref = pd.crosstab(df["k"], df["c"]).reset_index() \
+        .rename_axis(None, axis=1)
+    ref.columns = ["k", "a", "b", "c", "d"]
+    for c in "abcd":
+        ref[c] = ref[c].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["k", "a", "b", "c", "d"]], ref)
+
+
+def test_pivot_counts_rejects_undeclared_category(ray_session):
+    import pytest
+    import ray.data
+
+    from libfilter_ray.stages.rollup import pivot_counts
+
+    ds = ray.data.from_items([{"k": "x", "c": "weird"}])
+    with pytest.raises(Exception, match="not in the declared"):
+        pivot_counts(ds, "k", "c", ["a"]).materialize()
