@@ -74,7 +74,9 @@ def ed_le1_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         a, b = np.where(swap, b, a), np.where(swap, a, b)
         la, lb = np.where(swap, lb, la), np.where(swap, la, lb)
     out = np.zeros(n, dtype=bool)
-    w = int(la.max())
+    # w >= 1 so the U-dtype views stay 2-D even when every string is
+    # empty (U0 views reshape to (n, 0) and crash); padding handles it.
+    w = max(int(la.max()), 1)
     A = a.astype(f"U{w}").view("U1").reshape(n, w)
     B = b.astype(f"U{w}").view("U1").reshape(n, w)
     neq = A != B

@@ -47,7 +47,11 @@ def rollup_aggregate(ds, keys: list[str], value: str, *,
     of live keys (d = finest .. 0 = grand total), aggregated-away keys
     = `sentinel`. sum is float64 (uniform across levels), n counts rows
     (SQL count(*); sum skips nulls like SQL SUM). Key columns must not
-    contain nulls (group keys, house rule across the engine)."""
+    contain nulls (group keys, house rule across the engine). Coarser
+    levels re-sum the finest level's float64 sums rather than re-reading
+    raw rows, so for non-integer-valued columns coarse sums can differ
+    from SQL's per-level raw-row sums in the last ULPs; integer-valued
+    columns (quantities, counts) are exact at every level."""
     import ray.data
     from ray.data.aggregate import Count, Sum
 
@@ -151,6 +155,11 @@ def pivot_counts(ds, row_key: str, cat_col: str, categories):
             if isinstance(t[row_key], pa.ChunkedArray) else t[row_key]
         cc = t[cat_col].combine_chunks() \
             if isinstance(t[cat_col], pa.ChunkedArray) else t[cat_col]
+        if rk.null_count or cc.null_count:
+            raise ValueError(
+                "pivot: null in row_key/cat_col (group keys must be "
+                "non-null, house rule; map nulls to an explicit "
+                "category upstream)")
         rd = pc.dictionary_encode(rk)
         rcodes = np.asarray(rd.indices)
         uniq_rows = rd.dictionary

@@ -46,6 +46,12 @@ def test_ed_le1_mask_edge_shapes():
     a = np.array(["a", "ab", "ab", "abc", "abc"], dtype="U")
     b = np.array(["b", "a", "ba", "abc", "cba"], dtype="U")
     assert ed_le1_mask(a, b).tolist() == [True, True, False, True, False]
+    # all-empty inputs (la.max() == 0) must not crash the U-dtype views
+    e = np.array(["", "", ""], dtype="U")
+    assert ed_le1_mask(e, e).tolist() == [True, True, True]
+    assert ed_le1_mask(np.array(["", "a"], dtype="U"),
+                       np.array(["", ""], dtype="U")).tolist() == \
+        [True, True]
 
 
 def test_edit1_pairs_matches_bruteforce(ray_session, rng):

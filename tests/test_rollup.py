@@ -102,3 +102,22 @@ def test_pivot_counts_rejects_undeclared_category(ray_session):
     ds = ray.data.from_items([{"k": "x", "c": "weird"}])
     with pytest.raises(Exception, match="not in the declared"):
         pivot_counts(ds, "k", "c", ["a"]).materialize()
+
+
+def test_pivot_counts_rejects_null_keys(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from libfilter_ray.stages.rollup import pivot_counts
+
+    t = pa.table({"k": pa.array(["x", None]),
+                  "c": pa.array(["a", "a"])})
+    with pytest.raises(Exception, match="null in row_key/cat_col"):
+        pivot_counts(ray.data.from_arrow(t), "k", "c", ["a"]) \
+            .materialize()
+    t2 = pa.table({"k": pa.array(["x", "y"]),
+                   "c": pa.array(["a", None])})
+    with pytest.raises(Exception, match="null in row_key/cat_col"):
+        pivot_counts(ray.data.from_arrow(t2), "k", "c", ["a"]) \
+            .materialize()
