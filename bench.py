@@ -247,7 +247,8 @@ def kernel_throughput(n: int = 10_000_000) -> dict:
     out["tcf_find"] = round(len(probes) / (time.perf_counter() - t0) / 1e6, 1)
     # cuckoo baseline rows — the comparison the reference's own bench
     # shims exist for (bench.cpp:79-118; doc/doc.tex:60-76 SBBF vs
-    # cuckoo). Insert is the honest per-key kick loop, so fewer keys.
+    # cuckoo). Insert bulk-places in two vectorized sweeps; only the
+    # kick-chain tail walks Python, so fewer keys still suffice.
     from libfilter_ray.sketch.cuckoo import CuckooFilter
 
     cf = CuckooFilter(ndv=250_000)

@@ -2491,6 +2491,59 @@ def q_minimal_taffy_membership(sf_dir: str) -> pd.DataFrame:
 SQL_MINIMAL_TAFFY_MEMBERSHIP = SQL_STATIC_XOR_MEMBERSHIP
 
 
+def q_cuckoo_membership(sf_dir: str) -> pd.DataFrame:
+    """Per-lang standard cuckoo filter (Fan et al. 2014 — the reference's
+    bench-baseline sketch, cpp/extras/benchmarks/bench.cpp:79-118) built
+    with groupby(lang).map_groups (not union-mergeable, so each group's
+    hashes feed one build task, like the static-xor build) and probed for
+    every member plus 2^17 planted misses. Cuckoo filters have no false
+    negatives — update()'s set semantics skip only keys the filter
+    already answers present — so members_found == n_urls
+    deterministically; fpp_ok pins the measured planted-miss rate under
+    2x the fingerprint bound 2b/(2^f - 1) (hashing is seeded, so the
+    measurement is deterministic, just not SQL-computable)."""
+    from ..sketch.cuckoo import SLOTS_PER_BUCKET, CuckooFilter
+    from ..sketch.hashing import hash_arrow_array
+    from ..sources.webpages import read_webpages
+
+    pages = read_webpages(sf_dir, include_html=False) \
+        .select_columns(["url", "lang"])
+    probes_ref = ray.put(hash_arrow_array(pa.array(
+        [f"https://absent.example.net/{i}" for i in range(1 << 17)])))
+
+    def build_group(df: pd.DataFrame) -> pd.DataFrame:
+        probes = ray.get(probes_ref)
+        h = hash_arrow_array(pa.array(df["url"]))
+        # 2x ndv headroom: the paper's 95% load bound is asymptotic —
+        # tiny per-lang groups (tens of keys -> 64-slot tables) hit
+        # kick-chain overflow variance at high load
+        f = CuckooFilter(ndv=max(2 * len(df), 256), fp_bits=12)
+        f.update(h)
+        fpp = float(f.find_hashes(probes).mean())
+        bound = 2 * SLOTS_PER_BUCKET / ((1 << 12) - 1)
+        return pd.DataFrame({
+            "lang": [df["lang"].iloc[0]],
+            "n_urls": [np.int64(len(df))],
+            "members_found": [np.int64(f.find_hashes(h).sum())],
+            "fpp_ok": [bool(fpp <= 2 * bound)],
+        })
+
+    out = pages.groupby("lang").map_groups(
+        build_group, batch_format="pandas").to_pandas()
+    assert (out["members_found"] == out["n_urls"]).all()
+    assert out["fpp_ok"].all()
+    out["n_urls"] = out["n_urls"].astype("int64")
+    out["members_found"] = out["members_found"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_CUCKOO_MEMBERSHIP = """
+SELECT lang, count(*)::BIGINT AS n_urls, count(*)::BIGINT AS members_found,
+       TRUE AS fpp_ok
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_incremental_growable(sf_dir: str) -> pd.DataFrame:
     """The growable filters' raison d'être — taffy GROWTH across batches
     (doc/taffy/taffy.tex; InsertPersists across upsizes in the reference's
@@ -3442,12 +3495,17 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 
 def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q3 shape — a THREE-table composition of the engine's two
-    join regimes: customer (BUILDING segment, the small side) prunes
-    orders via the broadcast Bloom + exact-confirm semi-join pattern
-    (§2.5), the date-filtered orders then hash-equi-join the
-    shipdate-filtered lineitems (fact x fact, stages/joins.py), revenue
-    aggregates per (orderkey, orderdate), and the top-10 resolves with a
-    distributed sort + limit — the driver only ever sees 10 rows."""
+    join regimes: the customer BUILDING segment builds its Bloom with
+    the DISTRIBUTED tree merge (build_sketch — the driver holds only
+    filter bytes, never a key array that grows with scale), the Bloom
+    broadcast-prunes orders (~5x fewer rows shuffle), the survivors
+    exact-confirm with a co-partitioned semi-join against the dim keys
+    (c_custkey is unique, so inner == semi), the confirmed orders
+    hash-equi-join the shipdate-filtered lineitems (fact x fact,
+    stages/joins.py), revenue aggregates per (orderkey, orderdate), and
+    the top-10 resolves with per-block partial top-10 + a bounded
+    driver merge (blocks x 10 rows, the ann.py candidate idiom) instead
+    of a distributed sort of the tiny aggregate."""
     import pyarrow.compute as pc
 
     from ..sketch import sizing
@@ -3455,28 +3513,22 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
     from ..sketch.hashing import hash_arrow_array
     from ..stages.dedup import _cached_filter
     from ..stages.joins import hash_equi_join
+    from ..stages.sketch_build import build_sketch
 
     CUT = pd.Timestamp("1998-06-01")
     cust = _read(sf_dir, "customer", columns=["c_custkey"],
                  filter=pc.field("c_mktsegment") == "BUILDING")
-    keys = cust.to_pandas()["c_custkey"].to_numpy().astype(np.int64)
-    f = BlockBloom(sizing.block_bytes_needed(max(len(keys), 1), 0.001))
-    f.add_hashes(hash_arrow_array(pa.array(keys, type=pa.int64())))
+    n_cust = cust.count()
+    f = build_sketch(
+        cust, "c_custkey", "block",
+        {"bytes_": sizing.block_bytes_needed(max(n_cust, 1), 0.001)})
     bloom_ref = ray.put(f.to_bytes())
-    exact_ref = ray.put(np.sort(keys))
 
     def prune_orders(t: pa.Table) -> pa.Table:
         bloom = _cached_filter(bloom_ref, BlockBloom.from_bytes)
         maybe = bloom.find_hashes(hash_arrow_array(t["o_custkey"]))
-        t = t.filter(pa.array(maybe))
-        if t.num_rows:
-            exact = ray.get(exact_ref)
-            ck = np.asarray(t["o_custkey"], dtype=np.int64)
-            idx = np.searchsorted(exact, ck)
-            hit = (idx < len(exact)) & (
-                exact[np.minimum(idx, len(exact) - 1)] == ck)
-            t = t.filter(pa.array(hit))
-        return t.select(["o_orderkey", "o_orderdate"])
+        return t.filter(pa.array(maybe)) \
+            .select(["o_orderkey", "o_custkey", "o_orderdate"])
 
     def prune_lineitem(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"],
@@ -3491,6 +3543,14 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
                    columns=["o_orderkey", "o_custkey", "o_orderdate"],
                    filter=pc.field("o_orderdate") < cut) \
         .map_batches(prune_orders, batch_format="pyarrow")
+    # exact confirm: co-partitioned semi-join of the Bloom survivors
+    # against the dim keys (shuffle volume = survivors only, ~matches +
+    # 0.1% fpp strays) — no driver-side key array at any scale
+    orders = hash_equi_join(orders, cust, left_on="o_custkey",
+                            right_on="c_custkey",
+                            left_cols=["o_orderkey", "o_orderdate"],
+                            right_cols=[], num_shards=16) \
+        .select_columns(["o_orderkey", "o_orderdate"])
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"],
                filter=pc.field("l_shipdate") > cut) \
@@ -3499,11 +3559,22 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
                             right_on="l_orderkey",
                             left_cols=["o_orderdate"],
                             right_cols=["rev"])
-    top = joined.groupby(["o_orderkey", "o_orderdate"]).aggregate(
-        Sum("rev", alias_name="revenue")) \
-        .sort(["revenue", "o_orderdate", "o_orderkey"],
-              descending=[True, False, False]) \
-        .limit(10).to_pandas()
+    agg = joined.groupby(["o_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev", alias_name="revenue"))
+
+    def block_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 10:
+            return t
+        od = np.asarray(t["o_orderdate"])
+        ok = np.asarray(t["o_orderkey"])
+        rev = np.asarray(t["revenue"], dtype=np.float64)
+        rows = np.lexsort((ok, od, -rev))[:10]
+        return t.take(pa.array(rows))
+
+    cand = agg.map_batches(block_top, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                           ascending=[False, True, True]) \
+        .head(10).reset_index(drop=True)
     top["revenue"] = top["revenue"].round(2)
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top[["rank", "o_orderkey", "o_orderdate", "revenue"]]
@@ -6415,17 +6486,74 @@ def q_fd_embedding_sketch(sf_dir: str) -> pd.DataFrame:
 # dict, so SQL-oracled queries come first (rotating so every oracled query
 # eventually lands in the graded window) and the no-oracle entries (sketch
 # payloads, LSH-probabilistic results, throughput rows) sit at the end.
-# Round-4 window: the never-driver-graded oracled queries (rounds 2b-3)
-# plus the round-4 additions (warc/png/y4m/multimodal/link-graph/jsonl/
-# bpe/kmv/heavy-hitters); event_funnel, supplier_revenue,
-# doc_stats_by_lang, pricing_summary, bloom_semijoin (driver-green in
-# r2/r3) and customer_order_counts, train_val_test_split,
-# quality_percentile_cut (judge-verified 16/16 in the r3 VERDICT)
-# rotated below slot 50 to make room. After r4 grades, round-5 rotation
-# should re-admit the oldest rotated anchors and the three
-# judge-verified rotations.
+# Round-5 window, per the r4 VERDICT rotation plan: (a) queries NEW this
+# round (never graded by anyone), (b) the never-driver-graded oracled
+# queries (judge-verified in r3/r4 VERDICTs but never in a driver
+# CORRECTNESS window — gif/bmp/link-extraction/pivot from r4 plus the
+# r3 judge-verified block), (c) the judge-requested re-admits
+# (supplier_revenue, event_funnel, doc_stats_by_lang, pricing_summary,
+# bloom_semijoin — driver-green in r2/r3, re-graded to guard
+# regressions), and (d) the OLDEST driver-graded anchors (r1/r2
+# windows) to fill to 50. Every r4-window entry (driver-confirmed
+# 50/50 in CORRECTNESS_r04.json) rotates below slot 50.
 QUERIES: dict[str, Callable[[str], Any]] = {
-    # -- never-driver-graded oracled queries (rounds 2b-3) --
+    # -- (a) new this round, never graded --
+    "cuckoo_membership": q_cuckoo_membership,
+    # -- (b) oracled but never driver-graded (judge-verified only) --
+    "gif_decode_features": q_gif_decode_features,
+    "bmp_decode_features": q_bmp_decode_features,
+    "link_extraction_edges": q_link_extraction_edges,
+    "docs_source_pivot": q_docs_source_pivot,
+    "sequence_packing_sharded": q_sequence_packing_sharded,
+    "url_dedup_latest": q_url_dedup_latest,
+    "crawl_delta": q_crawl_delta,
+    "decontamination_stats": q_decontamination_stats,
+    "multimodal_meta_counts": q_multimodal_meta_counts,
+    "keyword_topk": q_keyword_topk,
+    "ppm_decode_features": q_ppm_decode_features,
+    "customer_order_counts": q_customer_order_counts,
+    "train_val_test_split": q_train_val_test_split,
+    "quality_percentile_cut": q_quality_percentile_cut,
+    "exact_value_quantiles": q_exact_value_quantiles,
+    "inverted_index_search": q_inverted_index_search,
+    "bm25_search": q_bm25_search,
+    # -- (c) judge-requested re-admits (driver-green r2/r3) --
+    "supplier_revenue": q_supplier_revenue,
+    "event_funnel": q_event_funnel,
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "pricing_summary": q_pricing_summary,
+    "bloom_semijoin": q_bloom_semijoin,
+    # -- (d) oldest driver-graded anchors (r1/r2), re-admitted --
+    "extract_roundtrip": q_extract_roundtrip,
+    "hibp_members_complete": q_hibp_members_complete,
+    "checkpointed_lineage_counts": q_checkpointed_lineage_counts,
+    "order_priority_revenue": q_order_priority_revenue,
+    "events_asof_orders": q_events_asof_orders,
+    "value_band_range_join": q_value_band_range_join,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
+    "top_users_by_events": q_top_users_by_events,
+    "text_stats_by_lang": q_text_stats_by_lang,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "ann_topk_brute": q_ann_topk_brute,
+    "revenue_by_nation": q_revenue_by_nation,
+    "orders_by_month": q_orders_by_month,
+    "events_hourly_windows": q_events_hourly_windows,
+    "user_sessions": q_user_sessions,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "json_props_stats": q_json_props_stats,
+    "domain_doc_counts": q_domain_doc_counts,
+    "tbf_exact_membership": q_tbf_exact_membership,
+    "block_bloom_membership": q_block_bloom_membership,
+    "growable_membership": q_growable_membership,
+    "static_xor_membership": q_static_xor_membership,
+    "minimal_taffy_membership": q_minimal_taffy_membership,
+    "quality_filter_counts": q_quality_filter_counts,
+    "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    # ---- slot 50 boundary ----
+    # -- rotation: the whole r4 window (driver-confirmed 50/50 in
+    # CORRECTNESS_r04.json) sits below slot 50 this round --
     "bloom_antijoin": q_bloom_antijoin,
     "training_prep_pipeline": q_training_prep_pipeline,
     "bloom_per_lang_source": q_bloom_per_lang_source,
@@ -6452,7 +6580,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk_pq_exhaustive": q_ann_topk_pq_exhaustive,
     "embedding_exact_pairs": q_embedding_exact_pairs,
     "part_lineitem_full_join": q_part_lineitem_full_join,
-    # -- new this round (oracled, never graded) --
     "warc_roundtrip": q_warc_roundtrip,
     "png_decode_features": q_png_decode_features,
     "checkpointed_bloom_members": q_checkpointed_bloom_members,
@@ -6477,82 +6604,16 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_running_value": q_user_running_value,
     "value_ntile": q_value_ntile,
     "doc_chunks": q_doc_chunks,
-    # -- rotation slots: previously driver-green or judge-verified
-    # oracled anchors pushed below slot 50 (doc_stats_by_lang,
-    # pricing_summary, bloom_semijoin by the link-graph/jsonl additions;
-    # customer_order_counts, train_val_test_split,
-    # quality_percentile_cut — judge-verified 16/16 in the r3 VERDICT —
-    # by the kmv/heavy-hitter additions; decontamination_stats — judge-
-    # verified in r3 — by the shuffle-shard addition; multimodal_meta_
-    # counts — judge-verified in r3, family still covered in-window by
-    # multimodal_features/png/y4m — by the same; keyword_topk — judge-
-    # verified in r3, corpus family still in-window — by the MAD
-    # outlier addition; ppm_decode_features — judge-verified in r3,
-    # multimodal family still in-window — by dedup_keep_best;
-    # url_dedup_latest, crawl_delta — judge-verified in r3, crawl
-    # family still in-window via domain_cap/decontamination cousins —
-    # by the rollup + edit1-typo additions; sequence_packing_sharded —
-    # judge-verified in r3, family in-window via sequence_packing —
-    # by the percent-rank addition; bm25_search + inverted_index_search
-    # — judge-verified in r3, family in-window via bm25_snippets — by
-    # the running-window + ntile additions; exact_value_quantiles —
-    # judge-verified in r3, order-stats engine in-window via
-    # mad_outlier_stats — by the chunking addition) --
-    "exact_value_quantiles": q_exact_value_quantiles,
-    "inverted_index_search": q_inverted_index_search,
-    "bm25_search": q_bm25_search,
-    "gif_decode_features": q_gif_decode_features,
-    "bmp_decode_features": q_bmp_decode_features,
-    "link_extraction_edges": q_link_extraction_edges,
-    "docs_source_pivot": q_docs_source_pivot,
-    "sequence_packing_sharded": q_sequence_packing_sharded,
-    "url_dedup_latest": q_url_dedup_latest,
-    "crawl_delta": q_crawl_delta,
-    "decontamination_stats": q_decontamination_stats,
-    "multimodal_meta_counts": q_multimodal_meta_counts,
-    "keyword_topk": q_keyword_topk,
-    "ppm_decode_features": q_ppm_decode_features,
-    "customer_order_counts": q_customer_order_counts,
-    "train_val_test_split": q_train_val_test_split,
-    "quality_percentile_cut": q_quality_percentile_cut,
-    "doc_stats_by_lang": q_doc_stats_by_lang,
-    "pricing_summary": q_pricing_summary,
-    "bloom_semijoin": q_bloom_semijoin,
-    "extract_roundtrip": q_extract_roundtrip,
-    "hibp_members_complete": q_hibp_members_complete,
-    "checkpointed_lineage_counts": q_checkpointed_lineage_counts,
-    "order_priority_revenue": q_order_priority_revenue,
-    "events_asof_orders": q_events_asof_orders,
-    "value_band_range_join": q_value_band_range_join,
-    # -- remaining oracled queries (driver-green in earlier rounds) --
-    "supplier_revenue": q_supplier_revenue,
-    "event_funnel": q_event_funnel,
-    "distinct_users_by_type": q_distinct_users_by_type,
-    "value_quantiles_by_type": q_value_quantiles_by_type,
-    "top_users_by_events": q_top_users_by_events,
-    "text_stats_by_lang": q_text_stats_by_lang,
-    "exact_dedup_docs": q_exact_dedup_docs,
-    "ann_topk_brute": q_ann_topk_brute,
-    "revenue_by_nation": q_revenue_by_nation,
-    "orders_by_month": q_orders_by_month,
-    "events_hourly_windows": q_events_hourly_windows,
+    # -- remaining oracled queries (driver-green in earlier rounds;
+    # family coverage stays in-window: sliding via events_hourly,
+    # punct/stopword via text_stats, vq via the membership block,
+    # stratified via the split/percentile pair, near_dup via
+    # ngram_jaccard_dedup) --
     "events_sliding_windows": q_events_sliding_windows,
-    "user_sessions": q_user_sessions,
-    "top_parts_per_brand": q_top_parts_per_brand,
-    "json_props_stats": q_json_props_stats,
-    "domain_doc_counts": q_domain_doc_counts,
-    "tbf_exact_membership": q_tbf_exact_membership,
-    "block_bloom_membership": q_block_bloom_membership,
-    "growable_membership": q_growable_membership,
-    "static_xor_membership": q_static_xor_membership,
-    "minimal_taffy_membership": q_minimal_taffy_membership,
     "punct_stopword_stats": q_punct_stopword_stats,
     "vector_quotient_membership": q_vector_quotient_membership,
-    "quality_filter_counts": q_quality_filter_counts,
     "stratified_sample_counts": q_stratified_sample_counts,
-    "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
-    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     # -- no SQL oracle (sketch payloads / probabilistic / throughput) --
     "block_bloom_per_lang": q_block_bloom_per_lang,
     "growable_filters_per_lang": q_growable_filters_per_lang,
@@ -6680,4 +6741,5 @@ ORACLES: dict[str, str] = {
     "bmp_decode_features": SQL_PNG_DECODE_FEATURES,  # same fixture math
     "link_extraction_edges": SQL_LINK_EXTRACTION,
     "docs_source_pivot": SQL_DOCS_SOURCE_PIVOT,
+    "cuckoo_membership": SQL_CUCKOO_MEMBERSHIP,
 }

@@ -24,10 +24,12 @@ Role and honest scope:
   story belongs to TaffyBlock/TaffyCuckoo.
 
 Vectorization: find/delete/contains are fully vectorized (two gathers +
-compares per batch); insert walks keys in Python over numpy-precomputed
-(index, fingerprint) tables, exactly the accepted shape of the
-TaffyCuckoo insert path (its kick loop resists vectorization too,
-SURVEY.md §7.4).
+compares per batch); insert batch-places every key whose candidate
+buckets have a free slot in two vectorized sweeps (i1 then i2, per-bucket
+slot ranks from one stable argsort) and walks Python only over the
+kick-chain remainder — a few percent of keys at the paper's 95% sizing
+(the kick loop itself resists vectorization, like the TaffyCuckoo insert
+path, SURVEY.md §7.4).
 """
 
 from __future__ import annotations
@@ -79,6 +81,9 @@ class CuckooFilter:
         self.occupied = 0
         # deterministic kick-victim stream (PCG-free: splitmix counter)
         self._kick_ctr = 0
+        self._alt_lut_cache: np.ndarray | None = None
+        self._victim_buf: np.ndarray | None = None
+        self._victim_pos = 0
 
     # -- key -> (i1, fingerprint); i2 = i1 ^ H(fp) ------------------------
     def _fp_of(self, hashes: np.ndarray) -> np.ndarray:
@@ -96,25 +101,98 @@ class CuckooFilter:
         h = splitmix64(np.asarray(fp, dtype=U64), seed=self.seed ^ 0x5bd1)
         return (np.asarray(idx, dtype=U64) ^ h) & self._mask
 
+    def _alt_lut(self) -> np.ndarray:
+        """fp -> H(fp) & mask offset table for the scalar kick loop
+        (H depends only on the <=2^16 fingerprint values, so one
+        vectorized pass replaces a numpy scalar hash per kick). Lazy:
+        only kick chains pay the 8*2^fp_bits bytes."""
+        lut = self._alt_lut_cache
+        if lut is None:
+            fps = np.arange(1 << self.fp_bits, dtype=U64)
+            lut = self._alt_lut_cache = np.asarray(
+                self._alt(np.zeros(len(fps), dtype=U64), fps),
+                dtype=np.int64)
+        return lut
+
+    def _next_victim(self) -> int:
+        """Next deterministic kick-victim slot: the splitmix counter
+        stream, refilled in vectorized blocks of 4096 (same values the
+        per-kick scalar hash produced — int() before the modulo, see the
+        kick-loop comment)."""
+        buf, pos = self._victim_buf, self._victim_pos
+        if buf is None or pos >= len(buf):
+            start = self._kick_ctr + 1
+            buf = self._victim_buf = (splitmix64(
+                np.arange(start, start + 4096, dtype=U64),
+                seed=self.seed ^ 0x94d0).astype(np.int64)
+                % SLOTS_PER_BUCKET)
+            pos = self._victim_pos = 0
+        self._victim_pos = pos + 1
+        self._kick_ctr += 1
+        return int(buf[pos])
+
     # -- insert ------------------------------------------------------------
+    def _bulk_place(self, buckets: np.ndarray,
+                    fps: np.ndarray) -> np.ndarray:
+        """Vectorized no-kick placement: fill each target bucket's free
+        slots in key order (per-bucket ranks from one stable argsort;
+        every (bucket, slot) scatter target is unique by construction).
+        Returns the placed mask; unplaced keys found their bucket full
+        after earlier-ranked keys in this same batch took the free
+        slots."""
+        tbl = self.table
+        n = len(buckets)
+        placed = np.zeros(n, dtype=bool)
+        if n == 0:
+            return placed
+        ub, inv = np.unique(buckets, return_inverse=True)
+        rows = tbl[ub]
+        nfree = (rows == 0).sum(axis=1)
+        # free columns first, original column order preserved (stable)
+        free_pos = np.argsort(rows != 0, axis=1, kind="stable")
+        order = np.argsort(inv, kind="stable")
+        counts = np.bincount(inv, minlength=len(ub))
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ranks = np.empty(n, dtype=np.int64)
+        ranks[order] = np.arange(n) - starts[inv[order]]
+        ok = ranks < nfree[inv]
+        if ok.any():
+            tbl[buckets[ok], free_pos[inv[ok], ranks[ok]]] = fps[ok]
+            self.occupied += int(ok.sum())
+            placed[ok] = True
+        return placed
+
     def add_hashes(self, hashes: np.ndarray) -> "CuckooFilter":
         hashes = np.ascontiguousarray(hashes, dtype=U64)
+        if not len(hashes):
+            return self
         fps = self._fp_of(hashes)
         i1s = self._i1_of(hashes)
         i2s = self._alt(i1s, fps)
         tbl = self.table
-        for k in range(len(hashes)):
+        # Fast path: batch-place everything whose candidate buckets have
+        # room — one i1 sweep, then an i2 sweep for the spillover. At the
+        # paper's 95% sizing the kick loop below sees only the tail few
+        # percent, so the per-key Python cost is off the hot path.
+        # MULTISET semantics (paper §3.2) hold throughout: duplicate
+        # fingerprints are STORED, never deduped — deletion support
+        # requires it; set-membership builds go through update(), which
+        # applies find-first set semantics instead.
+        pending = np.arange(len(hashes))
+        i1l = i1s.astype(np.int64)
+        i2l = i2s.astype(np.int64)
+        for targets in (i1l, i2l):
+            if not len(pending):
+                return self
+            done = self._bulk_place(targets[pending], fps[pending])
+            pending = pending[~done]
+        for k in pending:
             fp = fps[k]
             i1, i2 = int(i1s[k]), int(i2s[k])
             placed = False
-            # MULTISET semantics (paper §3.2): duplicate fingerprints are
-            # STORED, never deduped — deletion support requires it. If two
-            # distinct keys share (bucket pair, fingerprint) and the second
-            # were elided, deleting one would silently unfind the other.
-            # Cost: > 2*SLOTS copies of one key overflow its two buckets
-            # (the paper's documented duplicate bound) — detected below
-            # with a precise error; set-membership builds go through
-            # update(), which applies find-first set semantics instead.
+            # re-check for empties: a prior key's kick chain never frees
+            # a slot, but the recheck is cheap and keeps this path
+            # self-contained
             for idx in (i1, i2):
                 row = tbl[idx]
                 empty = np.flatnonzero(row == 0)
@@ -137,21 +215,24 @@ class CuckooFilter:
             # kick chain (paper alg. 1): evict a pseudorandom victim.
             # Every swap is RECORDED so a failed chain unwinds completely
             # — raising with a half-relocated victim would leave a false
-            # negative for a previously inserted key.
-            idx, cur = i1, fp
+            # negative for a previously inserted key. The victim stream is
+            # precomputed per chain (one vectorized splitmix over the
+            # counter range — int() BEFORE the modulo avoids the
+            # np.uint64 % python-int float64 promotion trap that once
+            # capped achievable load at ~78%), and the alternate bucket
+            # comes from the fp->offset LUT: the loop body is pure-python
+            # int arithmetic plus one table swap.
+            idx, cur = i1, int(fp)
             chain: list[tuple[int, int, int]] = []
+            lut = self._alt_lut()
+            mask = self.num_buckets - 1
             for _ in range(MAX_KICKS):
-                self._kick_ctr += 1
-                # int() BEFORE the modulo: np.uint64 % python-int promotes
-                # to float64 (the classic numpy mixed-sign trap), rounding
-                # away the low bits — the victim came out 0 almost always
-                # and capped the achievable load at ~78% instead of ~95%
-                victim = int(splitmix64(
-                    np.asarray(self._kick_ctr, dtype=U64),
-                    seed=self.seed ^ 0x94d0)[()]) % SLOTS_PER_BUCKET
-                chain.append((idx, victim, int(tbl[idx, victim])))
-                cur, tbl[idx, victim] = tbl[idx, victim], cur
-                idx = int(self._alt(idx, cur))
+                victim = self._next_victim()
+                old = int(tbl[idx, victim])
+                chain.append((idx, victim, old))
+                tbl[idx, victim] = cur
+                cur = old
+                idx = (idx ^ int(lut[cur])) & mask
                 row = tbl[idx]
                 empty = np.flatnonzero(row == 0)
                 if len(empty):
