@@ -81,6 +81,33 @@ def _pr_damp(t: pa.Table) -> pa.Table:
     return pa.table({"v": t["v"], "pr_micro": pa.array(r)})
 
 
+def _pr_damp_with(extra: int, keep: tuple[str, ...] = ()):
+    """Damping with the per-node dangling share folded in:
+    r' = teleport + (85*(s + extra))//100, extra = D // N with D the
+    round's total dangling mass (standard-PageRank redistribution, in
+    the same exact-int arithmetic). `keep` names carrier columns to
+    pass through (the edges face keeps the out-degree column)."""
+    def f(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["s"], dtype=np.int64)
+        r = PR_TELEPORT + (PR_DAMP_NUM * (s + extra)) // PR_DAMP_DEN
+        cols = {"v": t["v"], "pr_micro": pa.array(r)}
+        for c in keep:
+            cols[c] = t[c]
+        return pa.table(cols)
+    return f
+
+
+def _fill_deg(t: pa.Table) -> pa.Table:
+    """(v, pr_micro, d-with-nulls) -> (v, pr_micro, deg): the left-outer
+    degree join leaves dangling nodes null; they are exactly the
+    deg=0 rows the redistribute recurrence needs to see."""
+    import pyarrow.compute as pc
+
+    deg = pc.coalesce(pc.cast(t["d"], pa.int64()), pa.scalar(0))
+    return pa.table({"v": t["v"], "pr_micro": t["pr_micro"],
+                     "deg": deg})
+
+
 def synth_link_edges(docs_ds, n_docs: int, *, id_col: str = "doc_id"):
     """Directed (src, dst) edge Dataset from the formula above — the
     stand-in for reading a real anchor-href edge table. Streaming
@@ -139,15 +166,28 @@ def component_size_histogram(docs_ds, n_docs: int, *,
 
 
 def integer_pagerank(docs_ds, n_docs: int, *, iters: int = 3,
-                     id_col: str = "doc_id"):
+                     id_col: str = "doc_id", dangling: str = "drop"):
     """Dataset (v, pr_micro) after ``iters`` exact-integer PageRank
     rounds. Each round is one scatter (map_batches emits
     ``r_u // outdeg(u)`` onto each out-neighbor, generated from the node
     id — for a real edge table this becomes a hash join against the
     co-partitioned adjacency shard) and one groupby-sum shuffle; ranks
     never pass through the driver. A zero contribution is emitted for
-    every node itself so in-degree-0 nodes survive the groupby."""
+    every node itself so in-degree-0 nodes survive the groupby.
+
+    ``dangling`` picks the recurrence: "drop" (the documented
+    simplification — dangling mass vanishes) or "redistribute" (the
+    standard formulation real link graphs need: each round's total
+    dangling mass D folds back uniformly, r' = teleport +
+    (85*(s + D//N))//100, still exact int64). Redistribute costs one
+    extra scalar tree-aggregate per round (D reaches the driver as one
+    int — no shuffle) plus a materialize (the round consumes the
+    carrier twice, the iterative-lineage guard)."""
     from ray.data.aggregate import Sum
+
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be 'drop' or 'redistribute', "
+                         f"got {dangling!r}")
 
     ranks = docs_ds.map_batches(lambda t: _pr_init(t, id_col),
                                 batch_format="pyarrow")
@@ -168,17 +208,32 @@ def integer_pagerank(docs_ds, n_docs: int, *, iters: int = 3,
                  np.zeros(len(u), dtype=np.int64)])),
         })
 
+    def dangling_mass(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["v"], dtype=np.int64)
+        r = np.asarray(t["pr_micro"], dtype=np.int64)
+        dm = int(r[_outdeg_of(u, n_docs) == 0].sum())
+        return pa.table({"dm": pa.array([dm], type=pa.int64())})
+
     for _ in range(iters):
+        extra = 0
+        if dangling == "redistribute":
+            ranks = ranks.materialize()  # consumed twice this round
+            d_total = ranks.map_batches(
+                dangling_mass, batch_format="pyarrow").sum("dm") or 0
+            extra = int(d_total) // n_docs
         ranks = ranks.map_batches(scatter, batch_format="pyarrow") \
             .groupby("v").aggregate(Sum("contrib", alias_name="s")) \
-            .map_batches(_pr_damp, batch_format="pyarrow")
+            .map_batches(_pr_damp_with(extra) if extra or
+                         dangling == "redistribute" else _pr_damp,
+                         batch_format="pyarrow")
     return ranks
 
 
 def integer_pagerank_edges(edges_ds, nodes_ds, *, iters: int = 3,
                            node_col: str = "node",
                            src_col: str = "src", dst_col: str = "dst",
-                           num_shards: int = 64):
+                           num_shards: int = 64,
+                           dangling: str = "drop"):
     """The real-edge-table face of `integer_pagerank`: same exact-int
     recurrence, but the adjacency comes from a (src, dst) Dataset
     instead of the id formula. Out-degrees attach to the edge table
@@ -190,10 +245,22 @@ def integer_pagerank_edges(edges_ds, nodes_ds, *, iters: int = 3,
     the first one a local exchange. Setup validates node uniqueness
     (one O(nodes) aggregate): a duplicated node id would replicate the
     node's out-edges through every round's join, silently multiplying
-    its contribution mass."""
-    from ray.data.aggregate import Count, Sum
+    its contribution mass.
+
+    ``dangling="redistribute"`` applies the standard dangling-mass
+    recurrence (see `integer_pagerank`). The per-node out-degree rides
+    the rank carrier itself (zero rows carry ``dd=d``, contribution
+    rows ``dd=-1``, a Max aggregate recovers it through the
+    groupby-sum), so each round's dangling total D is one scalar
+    tree-aggregate over the carrier — no extra join or shuffle."""
+    from ray.data.aggregate import Count, Max, Sum
 
     from .joins import hash_equi_join
+
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be 'drop' or 'redistribute', "
+                         f"got {dangling!r}")
+    redis = dangling == "redistribute"
 
     # read the edge table once: it feeds both the out-degree groupby
     # and the join's left side, which would otherwise re-scan the
@@ -215,19 +282,41 @@ def integer_pagerank_edges(edges_ds, nodes_ds, *, iters: int = 3,
             f"nodes table has duplicate {node_col!r} ids "
             f"({n_nodes} rows, {n_distinct} distinct) — duplicates "
             "would silently multiply those nodes' contribution mass")
+    if redis:
+        # attach each node's out-degree to the carrier once (0 for
+        # dangling nodes) — one setup join, reused every round via the
+        # Max trick below
+        ranks = hash_equi_join(
+            ranks, deg, left_on="v", right_on=src_col,
+            left_cols=["pr_micro"], right_cols=["d"],
+            num_shards=num_shards, how="left outer") \
+            .map_batches(_fill_deg, batch_format="pyarrow")
 
     def contrib(t: pa.Table) -> pa.Table:
         r = np.asarray(t["pr_micro"], dtype=np.int64)
         d = np.asarray(t["d"], dtype=np.int64)
-        return pa.table({
+        cols = {
             "v": pa.array(np.asarray(t[dst_col], dtype=np.int64)),
             "contrib": pa.array(r // np.maximum(d, 1)),
-        })
+        }
+        if redis:
+            cols["dd"] = pa.array(np.full(t.num_rows, -1,
+                                          dtype=np.int64))
+        return pa.table(cols)
 
     def zero(t: pa.Table) -> pa.Table:
         v = np.asarray(t["v"], dtype=np.int64)
-        return pa.table({"v": pa.array(v), "contrib": pa.array(
-            np.zeros(len(v), dtype=np.int64))})
+        cols = {"v": pa.array(v), "contrib": pa.array(
+            np.zeros(len(v), dtype=np.int64))}
+        if redis:
+            cols["dd"] = t["deg"]
+        return pa.table(cols)
+
+    def dangling_mass(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["pr_micro"], dtype=np.int64)
+        d = np.asarray(t["deg"], dtype=np.int64)
+        return pa.table({"dm": pa.array([int(r[d == 0].sum())],
+                                        type=pa.int64())})
 
     for _ in range(iters):
         # Two iterative-dataflow guards, both load-bearing:
@@ -242,14 +331,27 @@ def integer_pagerank_edges(edges_ds, nodes_ds, *, iters: int = 3,
         #    per-round wall time growing to match); pinning ranks back
         #    to `num_shards` blocks keeps every round the same cost.
         ranks = ranks.repartition(num_shards).materialize()
+        extra = 0
+        if redis:
+            d_total = ranks.map_batches(
+                dangling_mass, batch_format="pyarrow").sum("dm") or 0
+            extra = int(d_total) // n_nodes
         joined = hash_equi_join(
             edges_d, ranks, left_on=src_col, right_on="v",
             left_cols=[dst_col, "d"], right_cols=["pr_micro"],
             num_shards=num_shards)
+        agg = [Sum("contrib", alias_name="s")]
+        if redis:
+            agg.append(Max("dd", alias_name="deg"))
         ranks = joined.map_batches(contrib, batch_format="pyarrow") \
             .union(ranks.map_batches(zero, batch_format="pyarrow")) \
-            .groupby("v").aggregate(Sum("contrib", alias_name="s")) \
-            .map_batches(_pr_damp, batch_format="pyarrow")
+            .groupby("v").aggregate(*agg) \
+            .map_batches(
+                _pr_damp_with(extra, keep=("deg",)) if redis
+                else _pr_damp,
+                batch_format="pyarrow")
+    if redis:
+        ranks = ranks.drop_columns(["deg"])
     return ranks
 
 
@@ -276,10 +378,10 @@ def topk_from_ranks(ranks_ds, k: int, *, id_name: str = "doc_id"):
 
 
 def pagerank_topk(docs_ds, n_docs: int, *, k: int = 10, iters: int = 3,
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", dangling: str = "drop"):
     """Top-k (doc_id, pr_micro) pandas frame, ties broken by doc_id —
     distributed per-block partial top-k (sort is on a k-row result,
     never the full rank table)."""
     ranks = integer_pagerank(docs_ds, n_docs, iters=iters,
-                             id_col=id_col)
+                             id_col=id_col, dangling=dangling)
     return topk_from_ranks(ranks, k, id_name="doc_id")

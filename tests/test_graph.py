@@ -40,17 +40,19 @@ def _local_components(n):
     return np.array([find(i) for i in range(n)], dtype=np.int64)
 
 
-def _local_pagerank(n, iters):
+def _local_pagerank(n, iters, dangling="drop"):
     src, dst = _local_edges(n)
     outdeg = _outdeg_of(np.arange(n, dtype=np.int64), n)
     r = np.full(n, PR_BASE, dtype=np.int64)
     for _ in range(iters):
+        extra = int(r[outdeg == 0].sum()) // n \
+            if dangling == "redistribute" else 0
         share = r // np.maximum(outdeg, 1)
         s = np.bincount(dst, weights=share[src].astype(np.float64),
                         minlength=n).astype(np.int64)
         # bincount goes through float64; the sums here are < 2^53 so the
         # round-trip is exact for the test sizes
-        r = PR_TELEPORT + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+        r = PR_TELEPORT + (PR_DAMP_NUM * (s + extra)) // PR_DAMP_DEN
     return r
 
 
@@ -123,6 +125,46 @@ def test_edge_table_pagerank_matches_formula_path(ray_session):
         num_shards=8).to_pandas().sort_values("v").reset_index(drop=True)
     assert a["v"].tolist() == b["v"].tolist()
     assert a["pr_micro"].tolist() == b["pr_micro"].tolist()
+
+
+def test_pagerank_redistribute_matches_local_reference(ray_session):
+    """Dangling-mass redistribution (the standard formulation): both
+    faces produce the same exact integers as the local reference, and
+    differ from drop mode (the graph HAS dangling nodes, so the modes
+    must diverge — a silent no-op redistribute would pass equality)."""
+    import ray.data
+
+    from libfilter_ray.stages.graph import (
+        integer_pagerank, integer_pagerank_edges)
+
+    assert (_outdeg_of(np.arange(N, dtype=np.int64), N) == 0).any()
+    ref = _local_pagerank(N, iters=3, dangling="redistribute")
+    assert ref.tolist() != _local_pagerank(N, iters=3).tolist()
+
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(np.arange(N, dtype=np.int64))}))
+    a = integer_pagerank(docs, N, iters=3, dangling="redistribute") \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    assert a["pr_micro"].tolist() == ref.tolist()
+
+    edges = synth_link_edges(docs, N)
+    b = integer_pagerank_edges(
+        edges, docs, iters=3, node_col="doc_id", num_shards=8,
+        dangling="redistribute").to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert b["pr_micro"].tolist() == ref.tolist()
+    assert list(b.columns) == ["v", "pr_micro"]
+
+
+def test_pagerank_rejects_unknown_dangling_mode(ray_session):
+    import ray.data
+
+    from libfilter_ray.stages.graph import integer_pagerank
+
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(np.arange(10, dtype=np.int64))}))
+    with pytest.raises(ValueError, match="dangling"):
+        integer_pagerank(docs, 10, dangling="teleport")
 
 
 def _uf_components(n_nodes, src, dst):
