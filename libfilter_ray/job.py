@@ -1486,10 +1486,14 @@ def _cmd_bpe(args: argparse.Namespace) -> int:
     the word table stays distributed; stdout (or --output) is the
     learned merge table (merge_rank, left, right, pair_n) — feed it to
     any BPE segmenter. `--min-count` prunes the typo tail first, the
-    standard corpus-scale practice."""
+    standard corpus-scale practice. `--save-dir` additionally exports
+    the standard two-file tokenizer layout (merges.txt + vocab.json)
+    that round-trips into real BPE loaders (stages/bpe.py:
+    save_bpe_artifacts / load_bpe_artifacts)."""
     import ray.data
 
-    from .stages.bpe import learn_bpe_merges
+    from .stages.bpe import bpe_alphabet, learn_bpe_merges, \
+        save_bpe_artifacts
 
     paths = _table_paths(args.input, args.table)
     _check_columns(paths, [args.column])
@@ -1497,6 +1501,10 @@ def _cmd_bpe(args: argparse.Namespace) -> int:
     out = learn_bpe_merges(ds, k=args.merges, text_col=args.column,
                            min_count=args.min_count,
                            num_shards=args.shards)
+    if args.save_dir:
+        alpha = bpe_alphabet(ds, text_col=args.column)
+        mpath, vpath = save_bpe_artifacts(args.save_dir, out, alpha)
+        print(f"artifacts: {mpath} {vpath}", file=sys.stderr)
     _write_result(out, args.output)
     return 0
 
@@ -2230,6 +2238,9 @@ def make_parser() -> argparse.ArgumentParser:
     bp.add_argument("--min-count", type=int, default=1,
                     help="prune words rarer than this before training")
     bp.add_argument("--shards", type=int, default=16)
+    bp.add_argument("--save-dir", default=None,
+                    help="export merges.txt + vocab.json (the standard "
+                         "loadable tokenizer layout) to this directory")
     bp.add_argument("--output", default=None)
     bp.set_defaults(fn=_cmd_bpe)
 

@@ -284,6 +284,123 @@ def token_stats_after_merges(docs_ds, merges, *, text_col: str = "text",
     return out
 
 
+#: first line of merges.txt — the version header the standard loaders
+#: (GPT-2 encoder.py lineage, HF tokenizers) expect and skip
+BPE_MERGES_HEADER = "#version: 0.2"
+
+
+def _check_writable_symbols(symbols) -> None:
+    """merges.txt is space-and-newline delimited, so a symbol containing
+    either is unrepresentable. Words come from text.split(' ') here, so
+    this never fires for trained merges — it guards hand-built lists."""
+    for s in symbols:
+        if " " in s or "\n" in s or "\r" in s:
+            raise ValueError(
+                f"symbol {s!r} contains whitespace — not representable "
+                "in the merges.txt format (this trainer's symbols come "
+                "from space-split words and never do; byte-level "
+                "pretokenizers are how real tokenizers lift this)")
+
+
+def bpe_alphabet(docs_ds, *, text_col: str = "text") -> list[str]:
+    """Sorted distinct base symbols (code points of space-split words)
+    — the vocab.json seed rows. One streaming pass of per-batch char
+    uniques + an alphabet-sized groupby; the driver sees only the
+    distinct characters."""
+    import pyarrow.compute as pc
+
+    def chars(t: pa.Table) -> pa.Table:
+        col = t[text_col].combine_chunks() \
+            if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        col = pc.fill_null(col, "")
+        flat = np.asarray(pc.list_flatten(pc.split_pattern(col, " ")),
+                          dtype=object)
+        u = np.unique(np.array([c for w in flat for c in w],
+                               dtype=object))
+        return pa.table({"sym": pa.array(u.tolist(), type=pa.string())})
+
+    out = docs_ds.map_batches(chars, batch_format="pyarrow") \
+        .groupby("sym").count().to_pandas()
+    return sorted(out["sym"].astype(str).tolist())
+
+
+def save_bpe_artifacts(out_dir: str, merges, alphabet) -> tuple[str, str]:
+    """Write the learned tokenizer as the standard two-file layout:
+    ``merges.txt`` (version header + one ``left right`` line per merge,
+    learned order) and ``vocab.json`` (token -> id; base alphabet
+    sorted first, then each merge's joined token in merge order — the
+    rank layout real BPE loaders reconstruct ids from). `merges` is an
+    ordered [(left, right), ...] (or the learn_bpe_merges frame).
+    Returns (merges_path, vocab_path)."""
+    import json
+    import os
+
+    if hasattr(merges, "itertuples"):  # learn_bpe_merges frame
+        merges = [(str(r.left), str(r.right))
+                  for r in merges.itertuples()]
+    merges = [(str(a), str(b)) for a, b in merges]
+    alpha = sorted({str(s) for s in alphabet})
+    _check_writable_symbols([s for ab in merges for s in ab])
+    _check_writable_symbols(alpha)
+    os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, "merges.txt")
+    with open(mpath, "w", encoding="utf-8") as f:
+        f.write(BPE_MERGES_HEADER + "\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    vocab: dict[str, int] = {}
+    for s in alpha:
+        vocab.setdefault(s, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    vpath = os.path.join(out_dir, "vocab.json")
+    with open(vpath, "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False, indent=0)
+    return mpath, vpath
+
+
+def load_bpe_artifacts(in_dir: str):
+    """(merges, vocab) back from `save_bpe_artifacts`'s layout — or any
+    other producer of the standard two files. Merge lines split on the
+    single space the format guarantees; blank and header lines skip."""
+    import json
+    import os
+
+    merges: list[tuple[str, str]] = []
+    with open(os.path.join(in_dir, "merges.txt"),
+              encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, _, b = line.partition(" ")
+            if not _:
+                raise ValueError(f"malformed merges.txt line {line!r}")
+            merges.append((a, b))
+    with open(os.path.join(in_dir, "vocab.json"),
+              encoding="utf-8") as f:
+        vocab = {str(k): int(v) for k, v in json.load(f).items()}
+    return merges, vocab
+
+
+def segment_words(words, merges) -> list[list[str]]:
+    """Segment `words` (list of space-free strings) with an ordered
+    merge list — the same vectorized run-parity merge-apply the trainer
+    and token_stats_after_merges use, so a save/load cycle provably
+    cannot drift from training-time segmentation."""
+    words = [str(w) for w in words]
+    seqs = [list(w) for w in words]
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    syms = np.array([c for s in seqs for c in s], dtype=object)
+    word_of = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+    for a, b in merges:
+        syms, word_of = _apply_merge_flat(syms, word_of, str(a), str(b))
+    out: list[list[str]] = [[] for _ in words]
+    for s, w in zip(syms.tolist(), word_of.tolist()):
+        out[w].append(s)
+    return out
+
+
 def bpe_reference(texts, counts=None, *, k: int = 3):
     """Pure-Python reference (same semantics) for tests: texts is an
     iterable of document strings."""

@@ -48,6 +48,68 @@ CORPUS = ["the cat sat on the mat", "the dog and the cat",
           "x  y", "", "ababab abc", "zzzz zz z"]
 
 
+def test_artifact_save_load_roundtrip(tmp_path):
+    """merges.txt + vocab.json round-trip: loaded merges segment
+    identically, the vocab covers every emitted token with contiguous
+    ids (alphabet-first, then merge order)."""
+    from libfilter_ray.stages.bpe import (
+        BPE_MERGES_HEADER, bpe_reference, load_bpe_artifacts,
+        save_bpe_artifacts, segment_words)
+
+    ref = bpe_reference(CORPUS, k=6)
+    merges = [(m["left"], m["right"]) for m in ref]
+    alpha = sorted({c for t in CORPUS for w in t.split(" ") for c in w})
+    mpath, vpath = save_bpe_artifacts(str(tmp_path), merges, alpha)
+    assert open(mpath, encoding="utf-8").readline().rstrip("\n") \
+        == BPE_MERGES_HEADER
+    loaded, vocab = load_bpe_artifacts(str(tmp_path))
+    assert loaded == merges
+    words = sorted({w for t in CORPUS for w in t.split(" ") if w})
+    a = segment_words(words, merges)
+    b = segment_words(words, loaded)
+    assert a == b
+    toks = {s for segs in a for s in segs}
+    assert toks <= set(vocab)  # every emitted token is addressable
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    assert all(vocab[x] < vocab[m["left"] + m["right"]]
+               for x in alpha for m in ref)
+
+
+def test_artifact_rejects_whitespace_symbols(tmp_path):
+    from libfilter_ray.stages.bpe import save_bpe_artifacts
+
+    with pytest.raises(ValueError, match="whitespace"):
+        save_bpe_artifacts(str(tmp_path), [("a b", "c")], ["a"])
+
+
+def test_segment_words_matches_reference_segmentation():
+    """segment_words (the flat vectorized apply) == the pure-Python
+    greedy reference applied word by word."""
+    from libfilter_ray.stages.bpe import bpe_reference, segment_words
+
+    ref = bpe_reference(CORPUS, k=6)
+    merges = [(m["left"], m["right"]) for m in ref]
+    words = sorted({w for t in CORPUS for w in t.split(" ") if w})
+
+    def ref_segment(w):
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    assert segment_words(words, merges) == [ref_segment(w)
+                                            for w in words]
+
+
 def test_distributed_matches_reference(ray_session):
     import ray.data
 

@@ -1449,6 +1449,33 @@ def test_bpe_subcommand_matches_reference(tmp_path, ray_session):
     assert got.to_dict("records") == ref
 
 
+def test_bpe_save_dir_roundtrips_into_loader(tmp_path, ray_session):
+    """CLI --save-dir exports merges.txt + vocab.json; loading them back
+    segments the corpus identically to the learned merge frame (the
+    save -> load -> apply parity the artifact format exists for)."""
+    import pyarrow.parquet as _pq
+
+    from conftest import SF_DIR
+    from libfilter_ray.stages.bpe import (
+        load_bpe_artifacts, segment_words)
+
+    out = tmp_path / "merges.parquet"
+    save = tmp_path / "tok"
+    assert main(["bpe", "--input", SF_DIR, "--merges", "3",
+                 "--shards", "4", "--output", str(out),
+                 "--save-dir", str(save)]) == 0
+    learned = _pq.read_table(out).to_pandas()
+    merges = list(zip(learned["left"], learned["right"]))
+    loaded, vocab = load_bpe_artifacts(str(save))
+    assert loaded == [(str(a), str(b)) for a, b in merges]
+    texts = _pq.read_table(f"{SF_DIR}/documents.parquet",
+                           columns=["text"])["text"].to_pylist()
+    words = sorted({w for t in texts if t for w in t.split(" ") if w})
+    segs = segment_words(words, loaded)
+    assert segs == segment_words(words, merges)
+    assert {s for seg in segs for s in seg} <= set(vocab)
+
+
 def test_topk_subcommand_exact_string_and_int(tmp_path, ray_session):
     """`topk` == plain GROUP BY ... HAVING on both column families."""
     import duckdb
