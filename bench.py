@@ -26,6 +26,30 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+#: documented per-entry host-mood bands at sf0.1/32 CPUs (seconds) —
+#: provenance in BASELINE.md (each was anchored when its entry landed,
+#: widened only with a recorded slow-host observation). The bench JSON
+#: reports breaches under "band_breaches" so a regression is machine-
+#: checkable instead of prose-checkable. Entries without a documented
+#: band are intentionally absent.
+BANDS: dict[str, tuple[float, float]] = {
+    "exact_value_quantiles": (2.0, 4.6),
+    "part_lineitem_full_join": (3.5, 7.5),
+    "lm_quality_filter": (4.0, 9.5),
+    "bm25_search": (2.0, 5.0),
+    "shipping_priority": (4.0, 8.0),
+    "keyword_topk": (1.8, 4.5),
+    "quality_percentile_cut": (2.2, 5.5),
+    "warc_roundtrip": (1.3, 3.5),
+    "png_decode_features": (3.0, 8.0),
+    "y4m_frame_sample": (2.0, 5.5),
+    "link_pagerank_topk": (2.0, 7.0),
+    # new-in-r5 legs, anchored 2026-08-19 (mid-band host, min-of-2):
+    "gif_decode_features": (2.8, 7.5),     # anchor 3.60 s
+    "bmp_decode_features": (1.5, 4.5),     # anchor 1.97 s
+    "wav_spectrogram_features": (1.1, 3.5),  # anchor 1.46 s
+}
+
 
 def _warm_cache() -> None:
     import glob
@@ -183,6 +207,12 @@ def run_bench() -> dict:
     # scatter + groupby-sum shuffle per round (the all-to-all-per-
     # iteration workload none of the other entries exercise)
     timed("link_pagerank_topk", q.q_link_pagerank_topk)
+    # real GIF87a decode (stdlib LZW + palette) per doc
+    timed("gif_decode_features", q.q_gif_decode_features)
+    # real BMP decode (BITMAPINFOHEADER walk, bottom-up rows) per doc
+    timed("bmp_decode_features", q.q_bmp_decode_features)
+    # WAV decode + hann-window STFT spectrogram per doc
+    timed("wav_spectrogram_features", q.q_wav_spectrogram_features)
 
     # single-process kernel throughput (comparable to the reference's
     # single-core table in BASELINE.md — SBBF insert/lookup M keys/s)
@@ -190,6 +220,11 @@ def run_bench() -> dict:
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["flagship_block_bloom"], 1)
+    breaches = {
+        name: [timings[name], lo, hi]
+        for name, (lo, hi) in BANDS.items()
+        if name in timings and not lo <= timings[name] <= hi
+    }
     result = {
         "metric": "headline_pipelines_total",
         "value": total,
@@ -200,6 +235,10 @@ def run_bench() -> dict:
         "docs": n_docs,
         "docs_per_sec": docs_per_sec,
         "kernel_mkeys_per_sec": kernels,
+        # machine-checkable band verdicts (BASELINE.md documents each
+        # band's provenance): {name: [sec, band_lo, band_hi]} for every
+        # banded entry outside its band at sf0.1 — empty means all in
+        "band_breaches": breaches,
     }
     ray.shutdown()
     return result
@@ -298,6 +337,80 @@ def run_headline_only() -> dict:
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1]}
 
 
+def run_growth(ndv: int = 10_000_000, factor: float = 1.05,
+               probe_n: int = 1 << 17, out=None) -> None:
+    """Growth-curve protocol — the reference's primary published
+    artifact (cpp/extras/benchmarks/bench.cpp:124-240 BenchHelp;
+    doc/taffy/all-bench-100000000-014.txt): insert keys in geometric
+    `factor` chunks and at every step emit CSV rows
+    ``filter_name,ndv_start,ndv_finish,bytes,sample_type,payload``
+    with sample types insert_nanos (per-key insert ns over the chunk),
+    find_missing_nanos / find_present_nanos (per-key probe ns), and
+    fpp (measured absent-probe hit rate). Single-process, like the
+    reference. Documented deviations: probes are vectorized numpy
+    batches of `probe_n` keys (default 2^17; the reference loops 1M
+    scalar probes), so the to_fin_base/to_ins_base loop-overhead rows
+    are meaningless here and are omitted; the growable TaffyCuckoo's
+    per-key insert path caps its leg at 1e6 keys (honest engine
+    limitation, noted on stderr)."""
+    import numpy as np
+
+    from libfilter_ray.sketch import sizing
+    from libfilter_ray.sketch.block_bloom import BlockBloom
+    from libfilter_ray.sketch.cuckoo import CuckooFilter
+    from libfilter_ray.sketch.taffy_block import TaffyBlock
+    from libfilter_ray.sketch.taffy_cuckoo import TaffyCuckoo
+
+    out = out or sys.stdout
+    rng = np.random.default_rng(14)
+    to_insert = rng.integers(0, 2**64, ndv, dtype=np.uint64)
+    to_find = rng.integers(0, 2**64, probe_n, dtype=np.uint64)
+    tcf_cap = min(ndv, 1_000_000)
+    filters = [
+        ("SplitBlockBloom",
+         BlockBloom(sizing.block_bytes_needed(ndv, 0.01)), ndv),
+        ("TaffyBlock", TaffyBlock(ndv=1000, fpp=0.01), ndv),
+        ("TaffyCuckoo", TaffyCuckoo(bytes_=1024), tcf_cap),
+        ("Cuckoo", CuckooFilter(ndv=ndv), ndv),
+    ]
+    if tcf_cap < ndv:
+        print(f"note: TaffyCuckoo leg capped at {tcf_cap} keys "
+              "(per-key insert path)", file=sys.stderr)
+    print("filter_name,ndv_start,ndv_finish,bytes,sample_type,payload",
+          file=out)
+
+    def emit(name, lo, hi, nbytes, stype, payload):
+        print(f'"{name}",{lo},{hi},{nbytes},"{stype}",{payload:.6g}',
+              file=out)
+
+    for name, f, cap in filters:
+        last = 0
+        while last < cap:
+            hi = max(last + 1, min(cap, int(last * factor) + 1))
+            t0 = time.perf_counter()
+            f.add_hashes(to_insert[last:hi])
+            t1 = time.perf_counter()
+            nbytes = f.size_in_bytes()
+            emit(name, last, hi, nbytes, "insert_nanos",
+                 (t1 - t0) * 1e9 / (hi - last))
+            t0 = time.perf_counter()
+            miss = f.find_hashes(to_find)
+            t1 = time.perf_counter()
+            emit(name, last, hi, nbytes, "find_missing_nanos",
+                 (t1 - t0) * 1e9 / probe_n)
+            emit(name, last, hi, nbytes, "fpp", float(miss.mean()))
+            present = to_insert[rng.integers(0, hi, probe_n)]
+            t0 = time.perf_counter()
+            pres = f.find_hashes(present)
+            t1 = time.perf_counter()
+            emit(name, last, hi, nbytes, "find_present_nanos",
+                 (t1 - t0) * 1e9 / probe_n)
+            if not pres.all():
+                raise AssertionError(
+                    f"{name}: false negative at ndv={hi}")
+            last = hi
+
+
 def run_scaling() -> dict:
     """The two-cluster-size criterion, evidenced in-sandbox: the IDENTICAL
     flagship job in two fresh processes at 8 and 32 CPUs (N vs 4N) on the
@@ -351,6 +464,9 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--growth" in sys.argv:
+        ndv = int(os.environ.get("GRAFT_GROWTH_NDV", "10000000"))
+        run_growth(ndv=ndv)
     elif "--headline-only" in sys.argv:
         print(json.dumps(run_headline_only()))
     else:
