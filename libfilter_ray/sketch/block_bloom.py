@@ -144,6 +144,34 @@ class BlockBloom:
         f.buckets = arr.reshape(f.num_buckets, 8).copy()
         return f
 
+    # -- int-array serde (== c/lib/block.c:47-53, the Java-interop
+    # variant: the lane words reinterpreted as SIGNED int32, memcpy
+    # semantics — on a little-endian host the bit pattern is identical
+    # to the byte dump above) --------------------------------------------
+    def to_ints(self) -> np.ndarray:
+        """Lane words as a flat signed-int32 array (length 8*num_buckets)."""
+        return self.buckets.reshape(-1).view(np.int32).copy()
+
+    @classmethod
+    def from_ints(cls, ints) -> "BlockBloom":
+        """Rebuild from the signed-int32 lane-word dump produced by
+        :meth:`to_ints` (or by the reference's Java ``serialize()``).
+
+        ``libfilter_block_deserialize_from_ints`` memcpys ``n``
+        native int32s into the bucket array; the analogue here is a
+        signed→unsigned view. ``n`` must be a positive multiple of 8
+        (whole 32-byte buckets), as in the C path where init truncates
+        to whole buckets before the copy."""
+        arr = np.asarray(ints, dtype=np.int32)
+        if arr.ndim != 1 or arr.size == 0 or arr.size % 8 != 0:
+            raise ValueError(
+                f"int serde payload must be a flat positive multiple of "
+                f"8 int32 lane words, got shape {arr.shape}")
+        f = cls.__new__(cls)
+        f.num_buckets = arr.size // 8
+        f.buckets = arr.view(U32).reshape(f.num_buckets, 8).copy()
+        return f
+
     # -- misc --------------------------------------------------------------
     def size_in_bytes(self) -> int:
         return self.num_buckets * BUCKET_BYTES
