@@ -42,6 +42,12 @@ VOCAB = np.array([
     "probe", "build", "block", "page", "crawl", "index", "token",
     "slice", "plan",
 ], dtype=object)
+#: long-tail word types (see _base_words: the low hash bit picks
+#: head-vs-tail, so ~50% of tokens are one of 2^16 "wXXXX" types)
+N_TAIL = 1 << 16
+TAIL_VOCAB = np.array(["w%04x" % i for i in range(N_TAIL)], dtype=object)
+#: bump when the text formula changes — write_documents wipes stale shards
+GEN_VERSION = 2
 LANGS = np.array(["en", "zh", "es", "fr", "de"], dtype=object)
 #: cumulative per-cent thresholds mirroring the testdata's ~40/15x4 skew
 LANG_CUM = np.array([40, 55, 70, 85, 100], dtype=np.int64)
@@ -52,29 +58,43 @@ NEAR_MOD = 137                   # i%137==0 near-copies base(i-1)
 _S_LEN, _S_TOK, _S_LANG, _S_SRC = 0xD0C1, 0xD0C2, 0xD0C3, 0xD0C4
 
 
-def _base_word_idx(ids: np.ndarray):
-    """(lens, flat word-index array) of the BASE (pre-override) texts
+def _base_words(ids: np.ndarray):
+    """(lens, flat word object-array) of the BASE (pre-override) texts
     for the given doc ids — the per-doc formula everything derives
-    from."""
+    from.
+
+    Token t of doc i hashes once (splitmix64(i*128+t)); the low bit
+    picks head (the 40 VOCAB words, ~50% of tokens — the Zipf head that
+    keeps heavy-hitter / top-words pipelines meaningful) vs tail (2^16
+    deterministic "wXXXX" types). The long tail is what makes random
+    documents realistically DISSIMILAR: with a head-only vocabulary two
+    unrelated docs share most of their k-gram shingles, so at 10^6 rows
+    LSH candidate pair counts grow ~quadratically — nothing like
+    Common-Crawl text, where cross-doc Jaccard of non-dups is low and
+    pair counts track the planted dup rate."""
     ids = ids.astype(np.uint64)
     lens = (MIN_WORDS + splitmix64(ids, seed=_S_LEN)
             % np.uint64(MAX_WORDS - MIN_WORDS + 1)).astype(np.int64)
     di = np.repeat(ids, lens)
     tp = np.arange(len(di), dtype=np.int64) \
         - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
-    widx = (splitmix64(di * np.uint64(128) + tp.astype(np.uint64),
-                       seed=_S_TOK) % np.uint64(len(VOCAB))) \
-        .astype(np.int64)
-    return lens, widx
+    h = splitmix64(di * np.uint64(128) + tp.astype(np.uint64),
+                   seed=_S_TOK)
+    hi = (h >> np.uint64(1))
+    words = np.where(
+        (h & np.uint64(1)) == 0,
+        VOCAB[(hi % np.uint64(len(VOCAB))).astype(np.int64)],
+        TAIL_VOCAB[(hi % np.uint64(N_TAIL)).astype(np.int64)])
+    return lens, words
 
 
 def _texts_of(ids: np.ndarray) -> np.ndarray:
     """Final text per doc id (base formula + dup/near overrides),
     object-dtype array."""
     ids = ids.astype(np.int64)
-    lens, widx = _base_word_idx(ids)
+    lens, words = _base_words(ids)
     offsets = np.concatenate(([0], np.cumsum(lens)))
-    flat = pa.array(VOCAB[widx].tolist(), type=pa.string())
+    flat = pa.array(words.tolist(), type=pa.string())
     texts = np.asarray(
         pc.binary_join_element_wise(
             pc.binary_join(pa.ListArray.from_arrays(
@@ -84,10 +104,10 @@ def _texts_of(ids: np.ndarray) -> np.ndarray:
     near = np.flatnonzero((ids % NEAR_MOD == 0) & (ids > 0)
                           & ((ids - 1) % DUP_MOD != DUP_MOD - 1))
     if len(near):
-        dlens, dwidx = _base_word_idx(ids[near] - 1)
+        dlens, dwords = _base_words(ids[near] - 1)
         doff = np.concatenate(([0], np.cumsum(dlens)))
         for j, i in enumerate(near):
-            w = VOCAB[dwidx[doff[j]:doff[j + 1]]].tolist()
+            w = dwords[doff[j]:doff[j + 1]].tolist()
             w[3 % len(w)] = "dup"
             w[7 % len(w)] = "slow"
             texts[i] = " ".join(w)
@@ -100,11 +120,10 @@ def _texts_of(ids: np.ndarray) -> np.ndarray:
                          & (ids % NEAR_MOD != 0)
                          & ((ids - DUP_LAG) % NEAR_MOD != 0))
     if len(dup):
-        dlens, dwidx = _base_word_idx(ids[dup] - DUP_LAG)
+        dlens, dwords = _base_words(ids[dup] - DUP_LAG)
         doff = np.concatenate(([0], np.cumsum(dlens)))
         for j, i in enumerate(dup):
-            texts[i] = " ".join(VOCAB[dwidx[doff[j]:doff[j + 1]]]
-                                .tolist())
+            texts[i] = " ".join(dwords[doff[j]:doff[j + 1]].tolist())
     return texts
 
 
@@ -137,6 +156,17 @@ def write_documents(out_dir: str, n_docs: int, *,
     as a directory). Returns the documents.parquet directory path."""
     ddir = os.path.join(out_dir, "documents.parquet")
     os.makedirs(ddir, exist_ok=True)
+    ver_path = ddir + ".genver"
+    try:
+        stale = open(ver_path).read().strip() != str(GEN_VERSION)
+    except OSError:
+        stale = True
+    if stale:
+        for f in os.listdir(ddir):
+            if f.endswith(".parquet"):
+                os.unlink(os.path.join(ddir, f))
+        with open(ver_path, "w") as f:
+            f.write(str(GEN_VERSION))
     for k, lo in enumerate(range(0, n_docs, chunk)):
         path = os.path.join(ddir, f"part-{k:04d}.parquet")
         if os.path.exists(path):

@@ -528,12 +528,22 @@ def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
     Stage 3 (verify): exact k-shingle Jaccard on candidate texts only —
     texts fetched via a broadcast dict of the candidate ids (tiny set).
     """
-    import ray
+    buckets = minhash_bucket_ds(ds, column, id_column, k=k,
+                                num_perm=num_perm, bands=bands,
+                                batch_size=batch_size)
+    return minhash_pairs_from_buckets(buckets, ds, column, id_column,
+                                      k=k, threshold=threshold)
+
+
+def minhash_bucket_ds(ds, column: str, id_column: str, *, k: int = 5,
+                      num_perm: int = 128, bands: int = 16,
+                      batch_size: int = 512):
+    """Stage 1 of the minhash pipeline as a Dataset: per-row signatures
+    exploded to (band_key, id) bucket rows."""
 
     def sig_stage(t: pa.Table) -> pa.Table:
         sig = minhash_signatures(t[column], k=k, num_perm=num_perm)
         keys = lsh_band_keys(sig, bands=bands)
-        n = t.num_rows
         ids = _str(t[id_column]).to_numpy(zero_copy_only=False)
         return pa.table({
             "band_key": pa.array(keys.ravel().view(np.int64),
@@ -541,10 +551,27 @@ def minhash_near_dup_pairs(ds, column: str, id_column: str, *, k: int = 5,
             id_column: pa.array(np.repeat(ids, bands)),
         })
 
-    buckets = ds.map_batches(sig_stage, batch_format="pyarrow",
-                             batch_size=batch_size)
-    return minhash_pairs_from_buckets(buckets, ds, column, id_column,
-                                      k=k, threshold=threshold)
+    return ds.map_batches(sig_stage, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def minhash_near_dup_pairs_ds(ds, column: str, id_column: str, *,
+                              k: int = 5, num_perm: int = 128,
+                              bands: int = 16, threshold: float = 0.7,
+                              batch_size: int = 512,
+                              max_bucket: int = 4096):
+    """Dataset form of `minhash_near_dup_pairs` — the crawl-scale path:
+    confirmed (id_a, id_b, jaccard) pairs stay a Dataset end to end
+    (bucketing, sharded pairing, pruned-join verification), so nothing
+    O(pairs) ever lands on the driver. Feed straight to
+    `near_dup_dedup` or a parquet sink."""
+    buckets = minhash_bucket_ds(ds, column, id_column, k=k,
+                                num_perm=num_perm, bands=bands,
+                                batch_size=batch_size)
+    cand = candidate_pairs_ds(buckets, "band_key", id_column,
+                              max_bucket=max_bucket)
+    return verify_jaccard_pairs_ds(cand, ds, column, id_column, k,
+                                   threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -32,9 +32,20 @@ N_DOCS = int(os.environ.get("GRAFT_SF10_DOCS", "1000000"))
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 FAMILIES = [
+    "read_count_baseline",     # read + count only: the engine floor that
+                               # everything below should be judged against
+                               # (plasma pages mapped only by the driver
+                               # count as Private_Dirty in smaps_rollup,
+                               # so even a collect-free run grows with SF)
     "exact_dedup_docs",        # hash-partitioned exact dedup
     "training_prep_pipeline",  # curate chain: quality -> dedup -> stats
-    "minhash_near_dup",        # LSH banding + sharded pair verify
+    "minhash_near_dup_ds",     # LSH banding + sharded pair verify over
+                               # the RAW corpus (planted near/exact dups),
+                               # Dataset form: pairs never hit the driver.
+                               # (q_minhash_near_dup's plant-a-clone-of-
+                               # every-doc harness makes pair count O(n)
+                               # by construction — a correctness fixture,
+                               # not a scale workload)
     "bpe_merges",              # iterative tokenizer training
     "shuffle_shard_report",    # global permutation -> training shards
     "link_pagerank_topk",      # iterative all-to-all link analysis
@@ -63,13 +74,36 @@ def run_child(family: str, sf_dir: str) -> None:
              include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
+    from libfilter_ray.context import apply_scale_defaults
+
     DataContext.get_current().enable_progress_bars = False
+    apply_scale_defaults()  # push-based sort exchange; LFR_SHUFFLE A/Bs
     import libfilter_ray.pipelines.queries as q
 
-    fn = getattr(q, f"q_{family}")
+    if family == "read_count_baseline":
+        def fn(d):
+            import ray.data as rd
+            ds = rd.read_parquet(os.path.join(d, "documents.parquet"),
+                                 columns=["doc_id", "n_chars"])
+            return [ds.count()]
+    elif family == "minhash_near_dup_ds":
+        def fn(d):
+            import ray.data as rd
+
+            from libfilter_ray.stages.dedup import minhash_near_dup_pairs_ds
+            ds = rd.read_parquet(os.path.join(d, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+            pairs = minhash_near_dup_pairs_ds(ds, "text", "doc_id",
+                                              threshold=0.6)
+            return [pairs.count()]  # pairs stay distributed; driver sees N
+    else:
+        fn = getattr(q, f"q_{family}")
     t0 = time.perf_counter()
     out = fn(sf_dir)
-    rows = len(out) if hasattr(out, "__len__") else -1
+    if isinstance(out, list) and len(out) == 1 and isinstance(out[0], int):
+        rows = out[0]  # count-style families report the count itself
+    else:
+        rows = len(out) if hasattr(out, "__len__") else -1
     wall = time.perf_counter() - t0
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     # maxrss counts /dev/shm plasma pages the driver merely TOUCHED

@@ -237,6 +237,25 @@ def test_minhash_lsh_near_dup(dup_docs):
     assert len(deduped) <= 120
 
 
+def test_minhash_near_dup_pairs_ds_matches_collected(dup_docs):
+    """The Dataset (crawl-scale) form returns exactly the collected
+    form's pairs — same banding, sharded pairing and pruned-join
+    verification, no driver collect."""
+    from libfilter_ray.stages.dedup import (minhash_near_dup_pairs,
+                                            minhash_near_dup_pairs_ds)
+
+    want = minhash_near_dup_pairs(dup_docs, "text", "doc_id",
+                                  threshold=0.6)
+    got = minhash_near_dup_pairs_ds(dup_docs, "text", "doc_id",
+                                    threshold=0.6).to_pandas()
+    key = ["id_a", "id_b"]
+    got[key] = got[key].astype(np.int64)
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got[key].values.tolist() == want[key].values.tolist()
+    np.testing.assert_allclose(got["jaccard"], want["jaccard"])
+
+
 def test_ngram_jaccard_pairs_match_bruteforce(dup_docs):
     """Blocked exact-Jaccard pairs == a single-process brute force over the
     same blocking rule (identical 32-char prefix, distinct 5-gram Jaccard)."""
