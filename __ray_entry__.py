@@ -20,7 +20,12 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from libfilter_ray.context import apply_scale_defaults
 from libfilter_ray.pipelines import queries as _q
+
+# entry-point context posture (push-based sort exchange — the pull-based
+# default leaks driver heap per shuffled byte; libfilter_ray/context.py)
+apply_scale_defaults()
 
 
 def entry() -> Any:

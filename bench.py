@@ -110,6 +110,9 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    from libfilter_ray.context import apply_scale_defaults
+
+    apply_scale_defaults()
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
@@ -313,8 +316,11 @@ def run_headline_only() -> dict:
              logging_level="ERROR", object_store_memory=4 << 30)
     from ray.data import DataContext
 
+    from libfilter_ray.context import apply_scale_defaults
+
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    apply_scale_defaults()
 
     _warm_workers()
     _warm_cache()
@@ -368,14 +374,22 @@ def run_growth(ndv: int = 10_000_000, factor: float = 1.05,
     tcf_cap = min(ndv, 1_000_000)
     filters = [
         ("SplitBlockBloom",
-         BlockBloom(sizing.block_bytes_needed(ndv, 0.01)), ndv),
-        ("TaffyBlock", TaffyBlock(ndv=1000, fpp=0.01), ndv),
-        ("TaffyCuckoo", TaffyCuckoo(bytes_=1024), tcf_cap),
-        ("Cuckoo", CuckooFilter(ndv=ndv), ndv),
+         BlockBloom(sizing.block_bytes_needed(ndv, 0.01)), ndv,
+         "add_hashes"),
+        ("TaffyBlock", TaffyBlock(ndv=1000, fpp=0.01), ndv, "add_hashes"),
+        ("TaffyCuckoo", TaffyCuckoo(bytes_=1024), tcf_cap, "add_hashes"),
+        # the distributed-build insert path (multi-pass vectorized
+        # placement + vectorized upsize) runs the FULL ndv — same
+        # membership/fpp semantics, different slot layout than the
+        # sequential reference order (taffy_cuckoo.py:add_hashes_bulk)
+        ("TaffyCuckooBulk", TaffyCuckoo(bytes_=1024), ndv,
+         "add_hashes_bulk"),
+        ("Cuckoo", CuckooFilter(ndv=ndv), ndv, "add_hashes"),
     ]
     if tcf_cap < ndv:
-        print(f"note: TaffyCuckoo leg capped at {tcf_cap} keys "
-              "(per-key insert path)", file=sys.stderr)
+        print(f"note: sequential TaffyCuckoo leg capped at {tcf_cap} keys "
+              "(per-key reference-order insert path; TaffyCuckooBulk "
+              "runs the full ndv)", file=sys.stderr)
     print("filter_name,ndv_start,ndv_finish,bytes,sample_type,payload",
           file=out)
 
@@ -383,12 +397,13 @@ def run_growth(ndv: int = 10_000_000, factor: float = 1.05,
         print(f'"{name}",{lo},{hi},{nbytes},"{stype}",{payload:.6g}',
               file=out)
 
-    for name, f, cap in filters:
+    for name, f, cap, insert_name in filters:
+        insert = getattr(f, insert_name)
         last = 0
         while last < cap:
             hi = max(last + 1, min(cap, int(last * factor) + 1))
             t0 = time.perf_counter()
-            f.add_hashes(to_insert[last:hi])
+            insert(to_insert[last:hi])
             t1 = time.perf_counter()
             nbytes = f.size_in_bytes()
             emit(name, last, hi, nbytes, "insert_nanos",

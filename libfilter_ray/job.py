@@ -83,6 +83,9 @@ def _ensure_ray(num_cpus: int | None) -> bool:
     start a local one. Returns True iff this process owns the session."""
     import ray
 
+    from .context import apply_scale_defaults
+
+    apply_scale_defaults()  # push-based sort exchange (context.py)
     if ray.is_initialized():
         return False
     kw: dict[str, Any] = {"include_dashboard": False,

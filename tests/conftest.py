@@ -17,6 +17,9 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    from libfilter_ray.context import apply_scale_defaults
+
+    apply_scale_defaults()  # push-based sort exchange; LFR_SHUFFLE A/Bs
     yield
     ray.shutdown()
 
