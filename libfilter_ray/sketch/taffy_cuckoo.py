@@ -339,11 +339,220 @@ class TaffyCuckoo:
         self._insert_side_path_ttl(0, b, fp, tl)
 
     def add_hashes(self, hashes: np.ndarray) -> "TaffyCuckoo":
+        """Sequential bulk insert — BIT-IDENTICAL to per-key ``add_hash``
+        (this is the path the golden C-reference conformance digests pin,
+        tests/golden/tcf_golden.txt). Distributed builds go through
+        ``update``/``add_hashes_bulk`` instead, which trade slot-for-slot
+        layout identity for a vectorized build at the same membership /
+        fpp / growth semantics."""
         for k in np.ascontiguousarray(hashes, dtype=U64):
             self.add_hash(int(k))
         return self
 
-    update = add_hashes
+    # -- vectorized bulk build (the distributed hot path) -------------------
+    def _bulk_place_pass(self, q: np.ndarray, tails: np.ndarray):
+        """One vectorized placement pass over path entries.
+
+        ``q`` carries the bucket/fp-defining HIGH bits (a raw 64-bit hash,
+        or a re-derived tail-free prefix during upsize migration); ``tails``
+        are the explicit encoded tails. From one gather of both sides'
+        candidate buckets (pass-start state):
+
+        - dedupe entries whose (fp, stored-tail-prefix) already sit in
+          either side's bucket (a superset of the scalar dedupe, which only
+          sees the bucket it inserts into — strictly fewer wasted slots,
+          same membership), and exact-duplicate repeats within the pass;
+        - of the remaining entries, place the FIRST one targeting each
+          (side, bucket) into that bucket's first empty slot — side 0 if it
+          has room, else side 1 — one scatter per side (no PCG use, no
+          kicks). Later same-bucket entries are DEFERRED: their decision
+          was computed from pass-start state, so they re-derive next pass
+          (placements only FILL empty slots, which is why a pass-start
+          dedupe stays valid and a pass-start "bucket full" cannot unfill);
+        - entries whose BOTH buckets are full are SLOW — the caller runs
+          them through the scalar kick path against live state.
+
+        Returns (deferred_positions, slow_positions); placements/dedupes
+        are committed/dropped in place. Entry order is immaterial here —
+        the sequential-conformance path is ``add_hashes``, not this."""
+        m = len(q)
+        idx = np.arange(m)
+        s0, s1 = self.sides
+        w = self.log_side_size + HEAD
+        pre = q >> U64(64 - w)
+        h0 = s0.f.forward(w, pre)
+        b0 = (h0 >> U64(HEAD)).astype(np.int64)
+        f0 = (h0 & U64(FP_MASK)).astype(np.uint16)
+        h1 = s1.f.forward(w, pre)
+        b1 = (h1 >> U64(HEAD)).astype(np.int64)
+        f1 = (h1 & U64(FP_MASK)).astype(np.uint16)
+        r0f, r0t = s0.fps[b0], s0.tails[b0]      # (m, SLOTS) copies
+        r1f, r1t = s1.fps[b1], s1.tails[b1]
+        m0 = (r0f == f0[:, None]) & _is_prefix_of_vec(
+            r0t.ravel(), np.repeat(tails, SLOTS)).reshape(m, SLOTS)
+        m1 = (r1f == f1[:, None]) & _is_prefix_of_vec(
+            r1t.ravel(), np.repeat(tails, SLOTS)).reshape(m, SLOTS)
+        dedupe = m0.any(1) | m1.any(1)
+        e0, e1 = r0t == 0, r1t == 0
+        has0, has1 = e0.any(1), e1.any(1)
+        fe0, fe1 = e0.argmax(1), e1.argmax(1)
+        # an entry is a no-op duplicate only when BOTH q and tail match an
+        # earlier entry; same-q different-tail entries stay fresh (they
+        # share buckets, so the first-per-bucket rule serializes them)
+        _, hfirst, hinv = np.unique(q, return_index=True,
+                                    return_inverse=True)
+        fidx = hfirst[hinv]
+        fresh = (fidx == idx) | (tails != tails[fidx])
+        place0 = fresh & ~dedupe & has0
+        place1 = fresh & ~dedupe & ~has0 & has1
+        slow = fresh & ~dedupe & ~has0 & ~has1
+        win = np.zeros(m, dtype=bool)
+        c0 = np.flatnonzero(place0)
+        if len(c0):
+            _, first = np.unique(b0[c0], return_index=True)
+            w0 = c0[first]
+            win[w0] = True
+            s0.fps[b0[w0], fe0[w0]] = f0[w0]
+            s0.tails[b0[w0], fe0[w0]] = tails[w0]
+        c1 = np.flatnonzero(place1)
+        if len(c1):
+            _, first = np.unique(b1[c1], return_index=True)
+            w1 = c1[first]
+            win[w1] = True
+            s1.fps[b1[w1], fe1[w1]] = f1[w1]
+            s1.tails[b1[w1], fe1[w1]] = tails[w1]
+        self.occupied += int(win.sum())
+        return (np.flatnonzero((place0 | place1) & ~win),
+                np.flatnonzero(slow))
+
+    def _bulk_policy(self) -> None:
+        """The 0.90 / +4 / stash>8 growth policy (taffy-cuckoo.h:390-400)
+        with the vectorized upsize — the bulk-path twin of the check at
+        the top of ``add_hash`` (which must keep the scalar `_upsize` for
+        the golden sequential digests)."""
+        while (self.occupied > 0.90 * self.capacity()
+               or self.occupied + 4 >= self.capacity()
+               or len(self.sides[0].stash)
+               + len(self.sides[1].stash) > 8):
+            self._upsize_bulk()
+
+    def add_hashes_bulk(self, hashes: np.ndarray) -> "TaffyCuckoo":
+        """Bulk insert for distributed builds: multi-pass vectorized
+        two-side placement (``_bulk_place_pass``) in margin-capped chunks
+        so the growth policy cannot trigger mid-pass, a vectorized upsize
+        (``_upsize_bulk``), and kick-path work minimized by DEFERRAL:
+        a key whose both candidate buckets are full near the 0.90 load
+        ceiling is carried until after the next upsize (where the halved
+        load lets it place vectorized) instead of walking the scalar kick
+        chain now; only the final-drain residue (input exhausted, no
+        upsize pending) takes the scalar path. Deterministic for a given
+        input sequence and a VALID TaffyCuckoo under every property the
+        conformance suite pins (members found, fpp bound, growth policy,
+        union semantics) — but NOT slot-for-slot identical to the per-key
+        reference order, which the golden digests pin via ``add_hashes``."""
+        hashes = np.ascontiguousarray(hashes, dtype=U64)
+        n = len(hashes)
+        i = 0
+        carry = np.empty(0, dtype=U64)   # slow keys awaiting an upsize
+        carry_log = self.log_side_size
+        while i < n or len(carry):
+            self._bulk_policy()
+            if len(carry) and i >= n and self.log_side_size == carry_log:
+                # input exhausted and no growth since deferral: the carry
+                # can only make progress through the scalar kick path
+                for k in carry:
+                    self._bulk_policy()
+                    b, fp, tl = _to_path(int(k), self.sides[0].f,
+                                         self.log_side_size)
+                    self._insert_side_path_ttl(0, b, fp, tl)
+                carry = carry[:0]
+                continue
+            cap = self.capacity()
+            margin = min(int(0.90 * cap) - self.occupied,
+                         cap - 5 - self.occupied) + 1
+            if margin <= 0:
+                self.add_hash(int(hashes[i]) if i < n else int(carry[0]))
+                if i < n:
+                    i += 1
+                else:
+                    carry = carry[1:]
+                continue
+            if len(carry) and self.log_side_size > carry_log:
+                chunk, carry = carry[:margin], carry[margin:]
+            else:
+                chunk = hashes[i:i + margin]
+                i += len(chunk)
+            w = self.log_side_size + HEAD
+            pre_tail = chunk >> U64(64 - w - TAIL)
+            tails = (((pre_tail & U64((1 << TAIL) - 1)) * U64(2) + U64(1))
+                     .astype(np.uint16))
+            pq, pt = chunk, tails
+            while len(pq):
+                deferred, slow = self._bulk_place_pass(pq, pt)
+                if len(slow):
+                    carry = np.concatenate([carry, pq[slow]])
+                pq, pt = pq[deferred], pt[deferred]
+            carry_log = self.log_side_size
+        return self
+
+    def _upsize_bulk(self) -> None:
+        """Vectorized upsize for bulk-built filters: the same entry
+        transformation as `_upsize`/`_upsize_helper`
+        (c/lib/taffy-cuckoo.c:208-258) — re-derive each entry's tail-free
+        prefix, push one tail bit into it (both one-bit extensions when
+        the tail is empty) — executed as array ops, with the migrated
+        entries inserted into the 2x target through the multi-pass bulk
+        placement instead of one scalar ttl-insert per entry. Only the
+        bulk path calls this; scalar ``add_hash`` keeps `_upsize` so the
+        golden sequential digests stay pinned."""
+        t = TaffyCuckoo.__new__(TaffyCuckoo)
+        t._init_sides(self.log_side_size + 1)
+        log = self.log_side_size
+        w = log + HEAD
+        qs, ts = [], []
+        for s in (0, 1):
+            side = self.sides[s]
+            sb = np.array([e[0] for e in side.stash], dtype=np.int64)
+            sf = np.array([e[1] for e in side.stash], dtype=np.uint16)
+            st = np.array([e[2] for e in side.stash], dtype=np.uint16)
+            bi, si = np.nonzero(side.tails)
+            bucket = np.concatenate([sb, bi.astype(np.int64)])
+            fp = np.concatenate([sf, side.fps[bi, si]])
+            tail = np.concatenate([st, side.tails[bi, si]])
+            if not len(bucket):
+                continue
+            hashed = (bucket.astype(U64) << U64(HEAD)) | fp.astype(U64)
+            q = side.f.backward(w, hashed) << U64(64 - w)
+            emark = tail == EMPTY_TAIL_MARK
+            qe = q[emark]
+            bit = U64(1) << U64(64 - log - HEAD - 1)
+            qs += [qe, qe | bit]
+            ts += [np.full(len(qe), EMPTY_TAIL_MARK, dtype=np.uint16)] * 2
+            qn = q[~emark] | ((tail[~emark].astype(U64) >> U64(TAIL))
+                              << U64(64 - log - HEAD - 1))
+            qs.append(qn)
+            ts.append(((tail[~emark].astype(np.uint16) << 1)
+                       & np.uint16(TAIL_MASK)))
+        self.log_side_size = t.log_side_size
+        self.sides = t.sides
+        self.rng = t.rng
+        self.occupied = t.occupied
+        if not qs:
+            return
+        pq, pt = np.concatenate(qs), np.concatenate(ts)
+        while len(pq):
+            deferred, slow = self._bulk_place_pass(pq, pt)
+            for j in slow:
+                # target-side scalar ttl-insert, as in _upsize_helper
+                # (no policy re-check during migration — the target never
+                # upsizes mid-migration, matching the scalar path; an
+                # overfull stash triggers at the next add)
+                bkt, fpj, _ = _to_path(int(pq[j]), self.sides[0].f,
+                                       self.log_side_size)
+                self._insert_side_path_ttl(0, bkt, fpj, int(pt[j]))
+            pq, pt = pq[deferred], pt[deferred]
+
+    update = add_hashes_bulk
 
     # -- vectorized find ---------------------------------------------------
     def _paths_vec(self, hashes: np.ndarray, side: _Side):

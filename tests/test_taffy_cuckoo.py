@@ -248,3 +248,53 @@ def test_merge_base_picked_by_size_not_occupancy(rng):
     big_empty2 = TaffyCuckoo(8192)
     m2 = small_full.merge(big_empty2)
     assert m2.find_hashes(keys).all()
+
+
+def test_bulk_build_set_semantics(rng):
+    """add_hashes_bulk (the distributed-build path, = `update`) must match
+    the sequential reference build at SET semantics: every member found,
+    fpp within the 2^-F bound, same growth policy invariants — layout may
+    differ (the goldens pin layout through `add_hashes` only)."""
+    for n in (0, 1, 37, 900, 20000):
+        keys = rand_u64(rng, n)
+        if n >= 37:
+            keys[n // 3: n // 3 + n // 10] = keys[: n // 10]  # dups
+        bulk = TaffyCuckoo(512).add_hashes_bulk(keys)
+        assert bulk.find_hashes(keys).all()
+        # growth policy invariants hold at rest
+        assert bulk.occupied <= 0.90 * bulk.capacity() + 1
+        assert (len(bulk.sides[0].stash) + len(bulk.sides[1].stash)) <= 8
+    seq = TaffyCuckoo(512).add_hashes(keys)
+    probes = rand_u64(rng, 1 << 16)
+    # same fpp regime as the sequential build (both ~2^-10 * O(1))
+    fb = bulk.find_hashes(probes).mean()
+    fs = seq.find_hashes(probes).mean()
+    assert fb < 0.01 and fs < 0.01
+    # members of either build found by the other's probe set logic
+    assert seq.find_hashes(keys).all()
+
+
+def test_bulk_build_merges_like_sequential(rng):
+    """Partial filters built with the bulk path union correctly (the
+    grouped distributed build: per-partition update -> tree merge)."""
+    keys = rand_u64(rng, 6000)
+    parts = [TaffyCuckoo(512).add_hashes_bulk(keys[i::4]) for i in range(4)]
+    acc = parts[0].clone()
+    for p in parts[1:]:
+        acc = acc.merge(p.clone())
+    assert acc.find_hashes(keys).all()
+    probes = rand_u64(rng, 1 << 15)
+    assert acc.find_hashes(probes).mean() < 2 ** -6
+
+
+def test_bulk_build_deterministic(rng):
+    """Same input sequence -> identical serialized filter (parallelism
+    invariance of the per-partition build step)."""
+    keys = rand_u64(rng, 12000)
+    a = TaffyCuckoo(512).add_hashes_bulk(keys.copy())
+    b = TaffyCuckoo(512).add_hashes_bulk(keys.copy())
+    assert a.occupied == b.occupied and a.log_side_size == b.log_side_size
+    for s in range(2):
+        assert np.array_equal(a.sides[s].fps, b.sides[s].fps)
+        assert np.array_equal(a.sides[s].tails, b.sides[s].tails)
+        assert a.sides[s].stash == b.sides[s].stash
