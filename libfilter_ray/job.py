@@ -348,6 +348,16 @@ def _cmd_neardup(args: argparse.Namespace) -> int:
             pairs = dd.minhash_pairs_from_buckets(
                 job.run(), ds, args.column, args.id_column,
                 k=args.shingle_k, threshold=args.threshold)
+        elif args.output:
+            # crawl-scale path: the confirmed-pair Dataset streams to the
+            # parquet sink — nothing O(pairs) ever lands on the driver
+            pairs_ds = dd.minhash_near_dup_pairs_ds(
+                ds, args.column, args.id_column, k=args.shingle_k,
+                threshold=args.threshold)
+            _write_result(pairs_ds, args.output)
+            print(f"confirmed pairs streamed to {args.output}",
+                  file=sys.stderr)
+            return 0
         else:
             pairs = dd.minhash_near_dup_pairs(
                 ds, args.column, args.id_column, k=args.shingle_k,
